@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loading + numeric canonicalization helpers shared by all queries.
+  *
+  * Oracle-parity rule: the driver hash-compares our parquet output against
+  * DuckDB running the same SQL. Floating-point SUMs are order-dependent, and
+  * Spark's partial aggregation order differs run-to-run — so every money/qty
+  * aggregate goes through an exact DECIMAL(18,2) cast first (the fixtures
+  * store 2-decimal values in doubles), then back to double AFTER the exact
+  * aggregation. This makes results bit-identical across engines and across
+  * partitionings, which is also what you want at 100 TB: decimal sums are
+  * associative, so map-side partial aggregation stays enabled.
+  */
+object Tables {
+  /** Read one fixture table. Parquet scan: Catalyst pushes filters +
+    * prunes columns into the scan automatically (verify via .explain:
+    * PushedFilters / ReadSchema). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact 2-decimal view of a double column (fixtures are 2-dp values). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent exact sum of a 2-dp double column, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact average = exact sum / count, both surfaced as double — matches
+    * DuckDB's CAST(SUM(DECIMAL) AS DOUBLE)/COUNT(*) exactly. */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+}

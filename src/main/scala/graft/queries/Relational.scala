@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Relational operator surface: scans, filters, projections, hash/sort
+  * aggregation, inner/semi/anti joins, broadcast joins, windows, sorts,
+  * limits, set ops, rollup/cube, having — all Catalyst built-ins per
+  * SURVEY.md §2.3–§2.7 (the reference has none of these; they're the
+  * engine's relational capability layer, oracle-checked against DuckDB).
+  *
+  * Scale notes (100 TB): every aggregate uses exact DECIMAL math (see
+  * [[graft.Tables]]) so map-side partial aggregation stays correct and
+  * results are partition-order-independent. Dimension tables (region,
+  * nation, supplier at these ratios) are broadcast explicitly; fact-fact
+  * joins are left to Catalyst/AQE (sort-merge with shuffle on join keys).
+  */
+object Relational {
+  private val D = "double"
+
+  /** Exact revenue term: extendedprice * (1 - discount), 4-dp decimal. */
+  private def revTerm = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+    .cast(DecimalType(18, 4))
+  private val revSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TPC-H Q1 shape: scan → filter → hash agg (map-side partial) → sort
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revTerm).cast(D).as("sum_disc_price"),
+          sum((revTerm * (lit(1) + dec(col("l_tax")))).cast(DecimalType(18, 6)))
+            .cast(D).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- TPC-H Q6 shape: tight filter (all predicates push to parquet) → scalar agg
+    "q2_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum((dec(col("l_extendedprice")) * dec(col("l_discount"))).cast(DecimalType(18, 4)))
+            .cast(D).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- TPC-H Q3 shape: 3-way join → agg → top-k (deterministic tiebreak)
+    "q3_join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(revTerm).cast(D).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q4 shape: EXISTS → left-semi join, group, sort
+    "q4_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on keys
+    "q5_multi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revTerm).cast(D).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- window: row_number per customer, top-3 orders by price
+    "q6_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- windows: rank + lag + running exact sum over per-customer order history
+    "q7_window_running" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rnk"),
+          lag(col("o_orderkey"), 1).over(wo).as("prev_orderkey"),
+          sum(dec(col("o_totalprice"))).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(D).as("running_spend"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // ---- global sort + limit (TakeOrderedAndProject — no full sort at scale)
+    "q8_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ---- set ops: intersect + except + union, tagged
+    "q9_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+      a.intersect(b).select(lit("both").as("tag"), col("o_custkey"))
+        .unionByName(a.except(b).select(lit("f_only").as("tag"), col("o_custkey")))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // ---- distinct aggregation (expand + two-phase agg under the hood)
+    "q10_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- rollup with grouping sets (null grouping rows coalesced for parity)
+    "q11_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // ---- cube
+    "q12_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // ---- group + having
+    "q13_having" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"), davg(col("p_retailprice")).as("avg_price"))
+        .filter(col("n_parts") > 5)
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- anti join: customers with no 'P'-status orders
+    "q14_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- scalar expression sampler: case/when, string fns, date parts, arithmetic
+    "q15_scalar_fns" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 3, 20)).as("prio_word"),
+          concat(lit("ord#"), col("o_orderkey").cast("string")).as("tag"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          when(col("o_totalprice") > 150000, "big")
+            .when(col("o_totalprice") > 50000, "mid")
+            .otherwise("small").as("size_class"),
+          (dec(col("o_totalprice")) % 97).cast(D).as("price_mod"),
+          abs(col("o_custkey") - lit(1000)).as("key_dist"),
+          length(col("o_orderpriority")).as("prio_len"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- left outer join + null handling
+    "q16_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- correlated scalar-subquery shape: customers above their nation's avg balance
+    "q17_above_avg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val navg = c.groupBy(col("c_nationkey").as("nk"))
+        .agg((sum(dec(col("c_acctbal"))).cast(D) / count(lit(1))).as("nation_avg"))
+      c.join(broadcast(navg), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+         |CAST(SUM(CAST($revSql * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+         |CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q3_join_topk" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-30'
+         |AND l_shipdate > TIMESTAMP '1998-06-30'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_multi_join" ->
+      s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_window_topn" ->
+      """SELECT * FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q7_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |rank() OVER w AS rnk,
+        |lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q8_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q9_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'f_only' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q10_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+        |COUNT(*) AS n_rows FROM lineitem""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        |COALESCE(l_linestatus, '(all)') AS linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |COALESCE(o_orderpriority, '(all)') AS priority,
+        |COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q13_having" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price
+        |FROM part GROUP BY p_brand HAVING COUNT(*) > 5 ORDER BY p_brand""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_scalar_fns" ->
+      """SELECT o_orderkey,
+        |UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio_word,
+        |'ord#' || CAST(o_orderkey AS VARCHAR) AS tag,
+        |CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+        |CASE WHEN o_totalprice > 150000 THEN 'big'
+        |     WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS size_class,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 97 AS DOUBLE) AS price_mod,
+        |ABS(o_custkey - 1000) AS key_dist,
+        |CAST(LENGTH(o_orderpriority) AS INTEGER) AS prio_len
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q16_outer_join" ->
+      """SELECT c_custkey,
+        |COALESCE(n_orders, 0) AS n_orders, COALESCE(spend, 0.0) AS spend
+        |FROM customer LEFT JOIN (
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q17_above_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |JOIN (SELECT c_nationkey AS nk,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS nation_avg
+        |FROM customer GROUP BY c_nationkey) a ON c.c_nationkey = a.nk
+        |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant checks for the relational suite at sf0.001.
+  * The hard correctness gate is the driver's DuckDB hash compare
+  * (tools/compare_oracle.py locally); these tests pin structural
+  * invariants that survive refactors.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("every query runs and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
+      s"oracle keys without queries: ${SparkEntry.oracleSql.keySet -- qs.keySet}")
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // must execute
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_agg groups and sums are exact") {
+    val rows = SparkEntry.queries("q1_agg")(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val liCount = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == liCount)
+  }
+
+  test("q6_window_topn emits at most 3 rows per customer, rn in 1..3") {
+    val df = SparkEntry.queries("q6_window_topn")(spark, sf)
+    val bad = df.groupBy(col("o_custkey")).count().filter(col("count") > 3).count()
+    assert(bad == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
+  }
+
+  test("q9_set_ops tags are disjoint") {
+    val df = SparkEntry.queries("q9_set_ops")(spark, sf)
+    val dup = df.groupBy(col("o_custkey")).agg(countDistinct(col("tag")).as("nt"))
+      .filter(col("nt") > 1).count()
+    assert(dup == 0, "a custkey appeared as both 'both' and 'f_only'")
+  }
+
+  test("q16_outer_join preserves all customers") {
+    val df = SparkEntry.queries("q16_outer_join")(spark, sf)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(df.count() == nCust)
+  }
+}

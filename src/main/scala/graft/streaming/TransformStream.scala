@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.model.Model
+import graft.ops.TransformOp
+
+/** The streaming Transform leg — the reference's change-feed-driven
+  * micro-batch processor (EtlProcess.cs:181-209, SURVEY.md §3.2) as
+  * Structured Streaming over the Parquet landing zone:
+  *
+  *  - source: file stream over `landingDir`; `maxFilesPerTrigger`
+  *    reproduces the `MaxItemsPerInvocation=10` backpressure knob
+  *    (EtlProcess.cs:186).
+  *  - checkpointing: Spark's `checkpointLocation` replaces the
+  *    `transformsLease` lease container (SURVEY.md §1.4).
+  *  - P4: ONE batch GUID per micro-batch, minted driver-side inside
+  *    `foreachBatch` (`lit(UUID.randomUUID)`) — per-row `uuid()` would
+  *    silently change semantics (SURVEY.md §7.4.1).
+  *  - P5: the reference's arrival-order counter is change-feed order,
+  *    which is not reproducible; we define the deterministic order
+  *    `orderBy(id)` within the batch and document the deviation
+  *    (SURVEY.md §7.4.2). The unpartitioned window is safe because a
+  *    micro-batch is bounded by the backpressure knob; at cluster scale
+  *    the seq would be per-source-partition, matching the reference's
+  *    per-Cosmos-partition ordering guarantee.
+  *  - idempotent replay (§7.4.8): each micro-batch overwrites its own
+  *    `batch=<epochId>` subdirectory; epochId is stable across retries,
+  *    so at-least-once redelivery converges to exactly-once output.
+  */
+final class TransformStream(
+    spark: SparkSession,
+    landingDir: String,
+    outDir: String,
+    checkpointDir: String,
+    preferredLocations: String,
+    maxFilesPerTrigger: Int = 1,
+    frozenNow: Option[String] = None) {
+
+  def start(): StreamingQuery = {
+    val src = spark.readStream
+      .schema(Model.sampleItemSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(landingDir)
+
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val batchGuid = UUID.randomUUID().toString // P4: driver-side, per batch
+          val seqW = Window.orderBy(col("id"))
+          val withSeq = batch.withColumn("seq", row_number().over(seqW))
+          val now = frozenNow.map(s => to_timestamp(lit(s)))
+            .getOrElse(current_timestamp())
+          val out = TransformOp.transform(
+            withSeq, lit(batchGuid), col("seq"), preferredLocations, now)
+          out.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$epochId")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read back the transformed table across all micro-batch directories.
+    * Plain directory read: partition discovery turns `batch=N` subdirs into
+    * a `batch` column. (No glob — Spark 4.1's FileStreamSink.hasMetadata
+    * throws FileNotFoundException on literal glob paths.)
+    */
+  def readTransformed(): DataFrame =
+    try spark.read.parquet(outDir)
+    catch {
+      // zero micro-batches ever committed → empty typed result, not a crash
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Model.transformedItemSchema)
+    }
+}

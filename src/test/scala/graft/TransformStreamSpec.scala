@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.sources.Generator
+import graft.streaming.TransformStream
+
+/** §3.2 streaming-leg semantics: per-batch constant TransformBatch (P4),
+  * deterministic in-batch seq (P5), checkpoint restart with no duplicate
+  * ids (at-least-once → effectively-once, SURVEY.md §7.4.8).
+  */
+class TransformStreamSpec extends SparkSpec {
+
+  private def land(dir: String, n: Long, tag: String): Unit =
+    Generator.sampleItems(spark, n).drop("i")
+      .withColumn("id", concat(lit(tag + "-"), col("id")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+
+  test("two micro-batches: constant batch guid within, distinct across; seq is 1..n") {
+    val base = Files.createTempDirectory("stream")
+    val landing = base.resolve("landing").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+
+    land(landing, 7, "a")
+    val ts = new TransformStream(spark, landing, out, cp, "East US,West US")
+    val q1 = ts.start()
+    q1.processAllAvailable(); q1.stop()
+    land(landing, 5, "b")
+    val q2 = ts.start()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = ts.readTransformed()
+    assert(got.count() == 12)
+    // P4: one TransformBatch guid per micro-batch
+    val perBatch = got.groupBy(col("batch"))
+      .agg(countDistinct(col("TransformBatch")).as("g"), count(lit(1)).as("n"))
+      .collect()
+    assert(perBatch.forall(_.getAs[Long]("g") == 1L))
+    assert(perBatch.map(_.getAs[Long]("n")).sorted.toSeq == Seq(5L, 7L))
+    // distinct guids across batches
+    assert(got.select("TransformBatch").distinct().count() == 2)
+    // P5: seq embedded in AdditionalData covers 1..n per batch
+    val seqs = got.select(
+      regexp_extract(col("AdditionalData"), "\\[(\\d+)\\]", 1).cast("int").as("seq"),
+      col("batch")).collect().groupBy(_.getAs[Any]("batch"))
+    seqs.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("seq")).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // P2 invariant: no null/blank Description or Name ever
+    assert(got.filter(col("Description").isNull || trim(col("Description")) === "" ||
+      col("Name").isNull || trim(col("Name")) === "").count() == 0)
+  }
+
+  test("restart from checkpoint does not reprocess or duplicate ids") {
+    val base = Files.createTempDirectory("stream2")
+    val landing = base.resolve("landing").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+
+    land(landing, 6, "x")
+    val ts = new TransformStream(spark, landing, out, cp, "East US")
+    val q1 = ts.start(); q1.processAllAvailable(); q1.stop()
+    // restart with NO new data: checkpoint must prevent re-emission
+    val q2 = ts.start(); q2.processAllAvailable(); q2.stop()
+    val got = ts.readTransformed()
+    assert(got.count() == 6)
+    assert(got.select("id").distinct().count() == 6, "replay duplicated ids")
+  }
+}

@@ -22,6 +22,19 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events fixture stores TIMESTAMP(NANOS) which Spark 4 only reads
+    * as long via spark.sql.legacy.parquet.nanosAsLong (set in every
+    * session builder). Normalize to a microsecond TimestampType column —
+    * truncating division, matching DuckDB's ns→us read behavior. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
   /** Exact 2-decimal view of a double column (fixtures are 2-dp values). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for LLM training-data pipelines, each designed
+  * for the 100 TB shape of the problem:
+  *
+  *  - exact: single hash-shuffle on a 128-bit content hash.
+  *  - n-gram Jaccard: inverted-index self-join on shingles — candidate
+  *    pairs only ever materialize for documents sharing a shingle, never
+  *    the O(n²) cross product.
+  *  - MinHash + LSH: constant-size signature per doc (one shuffle),
+  *    banding join so only same-bucket docs pair up; tune bands/rows for
+  *    the target similarity threshold.
+  *  - SimHash: 32-bit signature; candidate pairs via 8-bit chunk blocking
+  *    (pigeonhole: hamming ≤ 3 ⇒ some chunk of 4 is equal).
+  *
+  * Hashing is the "portable hash" — the first 8 hex digits of md5 parsed
+  * as an integer — chosen because BOTH Spark and DuckDB compute it with
+  * identical results, making every operator here oracle-checkable. At
+  * production scale swap [[portableHash32]] for `xxhash64` (one line;
+  * faster, same distribution properties).
+  */
+object Dedup {
+
+  /** Deterministic 32-bit hash shared bit-for-bit with the DuckDB oracle:
+    * Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB `('0x'||substr(md5(x),1,8))::BIGINT`. */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word-level n-gram shingles (default 3) of whitespace-tokenized text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+  }
+
+  /** Exact dedup: group by full content hash. Returns one row per
+    * duplicate GROUP (h, keep_id = min doc_id, n). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** (doc_id, shingle) inverted index, distinct. */
+  private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh")).distinct()
+
+  /** n-gram Jaccard near-dup pairs above `threshold`.
+    * Shuffle plan: explode → distinct (1 shuffle) → self-join on shingle
+    * (1 shuffle) → pair-count agg (1 shuffle). Hot shingles should be
+    * frequency-capped at real scale (drop shingles in > F docs — they
+    * generate F² pairs and carry no signal). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(docs, n)
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = idx.as("a"); val b = idx.as("b")
+    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "ni"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "nj"), "j")
+      .withColumn("jaccard", col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** Fixed MinHash permutation parameters (a, b) — mirrored verbatim in
+    * the oracle SQL. sig_j = min over shingles of (a_j*h + b_j) mod P.
+    * a_j < 2^20 keeps a_j*h < 2^52: no 64-bit overflow in either engine. */
+  val MinhashP = 4294967311L // prime > 2^32
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (745207L, 2683L), (404089L, 21019L), (996163L, 48611L), (625469L, 90821L),
+    (53087L, 11257L), (355069L, 2707L), (801955L, 84713L), (493127L, 30803L),
+    (136897L, 4519L), (279847L, 73009L), (947431L, 12893L), (537527L, 59359L),
+    (705667L, 31583L), (172933L, 92401L), (830587L, 70123L), (391939L, 66851L))
+
+  /** Per-doc MinHash signature columns s0..s{k-1}. One explode + one
+    * grouped aggregation — constant output size per document. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+    val idx = shingleIndex(docs, n)
+      .withColumn("h", portableHash32(col("sh")))
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % MinhashP).as(s"s$j")
+    }
+    idx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `threshold`.
+    * Banding: 4 bands × 4 rows over the 16-component signature; candidates
+    * are pairs agreeing on ≥ 1 full band (standard S-curve selectivity).
+    * est_jaccard = fraction of equal signature components. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, n)
+    val bandCols = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("-", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)).as("bh"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    val eq = (0 until 16).map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), col("i") === col("a.doc_id"))
+      .join(sigs.as("b"), col("j") === col("b.doc_id"))
+      .withColumn("est_jaccard", eq.cast("double") / 16.0)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("i"), col("j"), col("est_jaccard"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens (multiset — frequency-weighted).
+    * bit_i = 1 iff Σ_tokens (2·bit_i(hash(token)) − 1) > 0. Two grouped
+    * aggregations; the bit-position explode multiplies rows ×32 but stays
+    * map-local before the first shuffle. */
+  def simhash32(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .withColumn("h", portableHash32(col("w")))
+    val bits = words
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(when(expr("(shiftright(h, i) & 1)") === 1, 1).otherwise(-1)).as("sgn"))
+      .withColumn("bit", when(col("sgn") > 0, 1L).otherwise(0L))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), i)")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3).
+    * Blocking: 4 chunks of 8 bits — pigeonhole guarantees every pair
+    * within hamming 3 shares at least one chunk, so the self-join only
+    * materializes same-chunk candidates. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash32(docs)
+    val chunks = sh
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, 8 * c) & 255"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.simhash").as("shi"), col("y.simhash").as("shj"))
+      .distinct()
+    cand.withColumn("hd", expr("bit_count(shi ^ shj)"))
+      .filter(col("hd") <= maxHamming)
+      .select(col("i"), col("j"), col("hd"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed media metadata carried alongside the opaque payload. */
+final case class MediaMeta(format: String, n_bytes: Long, source: String)
+
+/** One media object: opaque binary payload + typed metadata. */
+final case class MediaRecord(media_id: Long, kind: String,
+    payload: Array[Byte], meta: MediaMeta)
+
+/** Decoded/extracted features per media object. */
+final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+    header_hex: String, payload_sha: String, width: Int, height: Int,
+    n_frames: Int, feature: Array[Float])
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (SURVEY.md north-star ops).
+  *
+  * The DECODE step is a clearly-marked deterministic STUB — real codec
+  * libraries aren't in this container. Everything around it is the real
+  * 100 TB design: binary payloads stay columnar in Parquet, the typed
+  * `Dataset[MediaRecord] → Dataset[MediaFeatures]` boundary runs
+  * per-partition (`mapPartitions` — one iterator per task, payloads are
+  * never collected to the driver), and downstream feature columns are
+  * ordinary columns for the relational/similarity operators.
+  */
+object Multimodal {
+
+  /** Build a media table from the documents fixture: payload = UTF-8 bytes
+    * of `text` standing in for real image/audio/video blobs. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("fake/v1").as("format"),
+        length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  /** STUB — deterministic fake decode (`???`-equivalent, see note above):
+    * real implementation would call the codec here (e.g. JPEG decode,
+    * audio resample, video frame-sample) on each payload. The fake
+    * derives dimensions/frames from payload bytes so tests are exact. */
+  private def fakeDecode(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    val sha = MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val header = bytes.take(4).map("%02X".format(_)).mkString
+    val h = math.abs(java.util.Arrays.hashCode(bytes))
+    // 8-bin byte histogram as the stand-in feature vector
+    val hist = new Array[Float](8)
+    bytes.foreach(b => hist((b & 0xFF) >> 5) += 1f)
+    val n = math.max(1, bytes.length).toFloat
+    MediaFeatures(r.media_id, r.kind, bytes.length.toLong, header, sha,
+      width = 16 + h % 1024, height = 16 + (h / 1024) % 1024,
+      n_frames = if (r.kind == "video") 1 + h % 32 else 1,
+      feature = hist.map(_ / n))
+  }
+
+  /** Per-partition decode + feature extraction. Partitioning is preserved;
+    * batch shape = one task iterator (the Scala analogue of an Arrow-batch
+    * UDF: payload bytes stream through the executor, never the driver). */
+  def decodeFeatures(spark: SparkSession, ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Convenience: documents fixture → typed media dataset. */
+  def mediaDataset(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(docs).as[MediaRecord]
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) — at 100 TB these run at scan speed
+  * and pipeline inside whole-stage codegen with the parquet reader.
+  *
+  * Every function here has an exact DuckDB-SQL twin (see
+  * graft.queries.Extensions) so the whole module is oracle-checked.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
+  def subtokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,!?;:]", "")).cast("double") / length(c)
+
+  private def hitCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(words)))
+
+  /** Fraction of tokens in a stopword list. */
+  def stopRatio(c: Column, stopwords: Seq[String]): Column =
+    hitCount(c, stopwords).cast("double") / tokenCount(c)
+
+  /** Language-marker stopword lists (tiny n-gram heuristic). */
+  val enMarkers = Seq("the", "a", "of", "and", "is")
+  val esMarkers = Seq("el", "la", "de", "los", "es")
+  val deMarkers = Seq("der", "die", "das", "und", "ist")
+
+  /** Heuristic language ID: argmax of marker-list hit counts with a fixed
+    * deterministic tie-break order (en > es > de). */
+  def langGuess(c: Column): Column = {
+    val en = hitCount(c, enMarkers)
+    val es = hitCount(c, esMarkers)
+    val de = hitCount(c, deMarkers)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** Content fingerprint: md5 of lowercased text with all non-alphanumerics
+    * stripped — robust to whitespace/punctuation-only edits. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  val defaultStopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** One-pass per-document stats table over a (doc_id, text) frame. */
+  def textStats(df: DataFrame): DataFrame = {
+    val txt = col("text")
+    df.select(
+      col("doc_id"),
+      tokenCount(txt).as("n_tokens"),
+      subtokenCount(txt).as("n_subtokens"),
+      length(txt).as("n_chars_m"),
+      punctRatio(txt).as("punct_ratio"),
+      stopRatio(txt, defaultStopwords).as("stop_ratio"),
+      langGuess(txt).as("lang_guess"),
+      fingerprint(txt).as("fingerprint"))
+  }
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-pipeline extension queries (dedup / similarity / text / multimodal),
+  * each oracle-checked against DuckDB.
+  *
+  * The fixtures contain no natural duplicates (500 unique docs; max
+  * within-label cosine 0.47), so the dedup queries run over the fixture
+  * PLUS deterministically planted duplicates — the same `doc_id`
+  * arithmetic on both the Spark and SQL sides — so every operator
+  * demonstrably finds planted structure and still hash-matches.
+  */
+object Extensions {
+
+  /** Planted-dup corpus: exact copies of doc_id % 25 == 0 (ids +200000)
+    * and near-copies (3 appended tokens) of doc_id % 25 == 13 (+100000). */
+  def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val exact = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 25 === 13)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra token tail")).as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  private val plantedSql =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' extra token tail' AS text
+      |    FROM documents WHERE doc_id % 25 = 13
+      |)""".stripMargin
+
+  // shared SQL fragments ----------------------------------------------------
+  private val hSql = "CAST(concat('0x', substr(md5(%s), 1, 8)) AS BIGINT)"
+  private val shinglesSql =
+    """sh_idx AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM docs))
+      |)""".stripMargin
+  private val minhashSigSql = {
+    val mins = Dedup.minhashParams.zipWithIndex.map { case ((a, b), j) =>
+      s"CAST(min((h * $a + $b) % ${Dedup.MinhashP}) AS BIGINT) AS s$j"
+    }.mkString(",\n    ")
+    s"""hashes AS (SELECT doc_id, ${hSql.format("sh")} AS h FROM sh_idx),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM hashes GROUP BY doc_id)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) => {
+      TextOps.textStats(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(plantedDocs(s, dir)).orderBy(col("h"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(plantedDocs(s, dir), n = 3, threshold = 0.5)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(plantedDocs(s, dir), n = 3, threshold = 0.5)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(plantedDocs(s, dir), maxHamming = 3)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "embed_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), topN = 20)
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      Multimodal.mediaTable(t(s, dir, "documents"))
+        .select(col("media_id"), col("kind"),
+          col("meta.n_bytes").as("n_bytes"),
+          hex(substring(col("payload"), 1, 4)).as("header_hex"),
+          sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subtokens,
+        |CAST(length(text) AS INTEGER) AS n_chars_m,
+        |CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |  t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |  / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        |CASE
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is')))
+        |    >= len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('el','la','de','los','es')))
+        |   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is')))
+        |    >= len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('der','die','das','und','ist')))
+        |  THEN 'en'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('el','la','de','los','es')))
+        |    >= len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('der','die','das','und','ist')))
+        |  THEN 'es' ELSE 'de' END AS lang_guess,
+        |md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH $plantedSql
+         |SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n
+         |FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $plantedSql,
+         |$shinglesSql,
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_idx GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+         |  FROM sh_idx a JOIN sh_idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i, j, CAST(c AS DOUBLE) / (si.sz + sj.sz - c) AS jaccard
+         |FROM pairs JOIN sizes si ON pairs.i = si.doc_id
+         |JOIN sizes sj ON pairs.j = sj.doc_id
+         |WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5
+         |ORDER BY i, j""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val bandSql = (0 until 4).map { bnd =>
+        val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws('-', $cols)) AS bh FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      val eqSum = (0 until 16)
+        .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $plantedSql,
+         |$shinglesSql,
+         |$minhashSigSql,
+         |bands AS (
+         |  $bandSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT i, j, CAST($eqSum AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand JOIN sigs sa ON cand.i = sa.doc_id
+         |JOIN sigs sb ON cand.j = sb.doc_id
+         |WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5
+         |ORDER BY i, j""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH $plantedSql,
+         |words AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM docs),
+         |hw AS (SELECT doc_id, ${hSql.format("w")} AS h FROM words),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM hw CROSS JOIN range(0, 32) r(i) GROUP BY doc_id, i),
+         |sh AS (SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS simhash
+         |       FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY i, j""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |p AS (SELECT qid, vec_id,
+        |    round(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) / (nrm * qn), 4) AS cos
+        |  FROM n CROSS JOIN q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
+        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nrm * b.nrm), 4) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cos DESC, i, j LIMIT 20""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |hex(substring(text, 1, 4)) AS header_hex,
+        |sha256(text) AS payload_sha
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

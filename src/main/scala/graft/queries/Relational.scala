@@ -226,6 +226,45 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- event-time tumbling window aggregation (batch twin of the
+    // streaming `groupBy(window($"ts", "1 hour"))` plan)
+    "q18_events_hourly" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- semi-structured JSON extraction from a string column
+    "q19_events_json" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_bucket"))
+    }),
+
+    // ---- sessionization: 30-minute inactivity gap via lag window
+    "q20_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag(col("ts"), 1).over(byUser).as("prev_ts"))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+      gapped
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
     "q17_above_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -361,6 +400,36 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q18_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q19_events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q20_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM gapped),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
     "q17_above_avg" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c

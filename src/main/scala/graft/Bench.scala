@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the scale factor in
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup pass first
+  * (session init, codegen JIT, FS cache) so per-query numbers reflect
+  * steady state rather than first-query startup cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,10 +13,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // warmup: JIT + whole-stage-codegen compile paths + page-cache the inputs
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -16,27 +16,34 @@ import scala.util.Random
   *    corpus never cross-products. Approximate; recall measured in
   *    SimilaritySpec against the exact path.
   *
-  * Dot products use the higher-order `zip_with`/`aggregate` built-ins —
-  * sequential fold in doubles, which matches the DuckDB oracle's
-  * `list_sum(list_transform(list_zip(...)))` bit-for-bit (same IEEE op
-  * order); cosines are rounded to 4 dp for rank stability.
+  * Dot products use the codegen'd [[graft.functions.DotProduct]]
+  * expression — a sequential double fold, which matches the DuckDB
+  * oracle's `list_sum(list_transform(list_zip(...)))` bit-for-bit (same
+  * IEEE op order) while avoiding the per-element boxing of the
+  * interpreted `zip_with`/`aggregate` route; cosines are rounded to 4 dp
+  * for rank stability.
   */
 object Similarity {
 
-  /** embedding column cast to array<double> for deterministic arithmetic. */
+  /** embedding column cast to array<double> for deterministic arithmetic.
+    * (Compute paths use [[graft.functions.DotProduct]], which widens
+    * float→double element-wise itself — same values, no array rewrite.) */
   def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Codegen'd sequential-fold dot product — bit-identical to the
+    * interpreted `aggregate(zip_with(...))` route and to DuckDB's
+    * `list_sum(list_transform(list_zip(...)))`, but allocation-free. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact cosine top-k neighbors for each query vector.
     * `queries` must be small enough to broadcast (it is hint-broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val q = queries.select(col("vec_id").as("qid"), vec(col("embedding")).as("qv"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -79,10 +86,10 @@ object Similarity {
       concat(lit(tbl.toString + ":"), bucketKey(v, tp))
     }: _*)
 
-    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val cKeyed = c.select(col("vec_id"), explode(tableKeys(col("v"))).as("bucket"))
-    val q = queries.select(col("vec_id").as("qid"), vec(col("embedding")).as("qv"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
     val qKeyed = q.select(col("qid"), explode(tableKeys(col("qv"))).as("bucket"))
 
@@ -102,7 +109,7 @@ object Similarity {
   /** Most-similar within-label pairs (embedding-cosine near-dup with label
     * blocking — the blocking key caps pair growth at scale). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+    val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val pairs = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

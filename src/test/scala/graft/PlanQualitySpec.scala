@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-quality guards: assert the physical-plan properties that matter at
+  * 100 TB — predicate pushdown into the parquet scan, column pruning,
+  * broadcast of dimension tables, top-k instead of full sort — so a
+  * refactor can't silently regress them.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // formatted mode prints un-truncated PushedFilters/ReadSchema
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("q2_filter pushes ALL predicates (date range, discount range, quantity)") {
+    val p = plan("q2_filter")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThan(l_quantity").foreach(f =>
+      assert(p.contains(f), s"filter $f not pushed in:\n$p"))
+  }
+
+  test("q1_agg prunes to exactly the needed columns") {
+    val p = plan("q1_agg")
+    assert(!p.contains("l_orderkey"), "q1 scan reads unneeded l_orderkey")
+    assert(!p.contains("l_partkey"), "q1 scan reads unneeded l_partkey")
+  }
+
+  test("q5_multi_join broadcasts the dimension tables") {
+    val p = plan("q5_multi_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter not pushed to scan")
+  }
+
+  test("q8_sort_limit plans top-k (TakeOrderedAndProject), not a full global sort") {
+    val p = plan("q8_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("q4_semi_join stays a semi join in the physical plan") {
+    assert(plan("q4_semi_join").contains("LeftSemi"))
+  }
+
+  test("ann_cosine_topk uses the codegen dot product, not interpreted HOFs") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("dotproduct") || p.toLowerCase.contains("dotproduct"),
+      s"DotProduct expression missing from:\n$p")
+    assert(!p.contains("zip_with"), "interpreted zip_with crept back into the hot path")
+  }
+}

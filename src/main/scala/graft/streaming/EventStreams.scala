@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row for the typed stateful ops. */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Open-session state carried between micro-batches. */
+final case class SessionState(seq: Long, startMicros: Long, lastMicros: Long, n: Long)
+
+/** A closed session emitted downstream. */
+final case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
+    session_start: Timestamp, session_end: Timestamp)
+
+/** Streaming analytics over the events stream — the engine's exposure of
+  * event-time windows + watermarks and keyed custom state (SURVEY.md §2.8:
+  * the reference is processing-time only; these are the north-star
+  * streaming extensions).
+  *
+  * Scale notes: the windowed aggregate is keyed state partitioned by
+  * (window, event_type) — state size is bounded by the watermark horizon,
+  * not the stream length. Sessionization state is one small record per
+  * ACTIVE user; closed sessions leave state immediately on emission.
+  */
+object EventStreams {
+
+  /** Event-time tumbling window with a watermark: late rows beyond
+    * `watermark` are dropped, windows close (and emit, in append mode)
+    * once the watermark passes their end. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total"))
+
+  /** java.sql.Timestamp ↔ epoch MICROSECONDS (getTime alone is
+    * millisecond-precision and silently truncates the fixture's
+    * microsecond event times). */
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Stateful sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState: emits each session as it CLOSES (a later
+    * event arrives past the gap); the open session per user rides in
+    * GroupState across micro-batches. Timestamps are tracked at full
+    * microsecond precision so bounds match the batch sessionizer exactly. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMillis: Long = 30 * 60 * 1000): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMicros = gapMillis * 1000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      var cur = state.getOption
+      val closed = Seq.newBuilder[ClosedSession]
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastMicros <= gapMicros =>
+            cur = Some(s.copy(lastMicros = t, n = s.n + 1))
+          case Some(s) =>
+            closed += ClosedSession(userId, s.seq, s.n,
+              fromMicros(s.startMicros), fromMicros(s.lastMicros))
+            cur = Some(SessionState(s.seq + 1, t, t, 1))
+          case None =>
+            cur = Some(SessionState(1, t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

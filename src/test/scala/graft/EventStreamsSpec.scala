@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Event, EventStreams}
+
+/** Drives the streaming analytics over a file stream of the events
+  * fixture split into two chronological micro-batches, so watermarks
+  * advance and sessions/windows actually close across batches.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  // events fixture normalized to microsecond timestamps
+  private def fixture = graft.Tables.events(spark, sf)
+
+  /** Write the fixture into two chronological parquet slices — as FILES
+    * in the stream dir root (the file-stream source does not recurse into
+    * non-partition subdirectories). */
+  private def landTwoBatches(): String = {
+    val dir = Files.createTempDirectory("evstream")
+    val cut = fixture.selectExpr("percentile_approx(ts, 0.5) AS c").collect()(0).getTimestamp(0)
+    def landAs(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("slice").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, dir.resolve(name))
+    }
+    landAs(fixture.filter(col("ts") <= cut), "b0.parquet")
+    landAs(fixture.filter(col("ts") > cut), "b1.parquet")
+    dir.toString
+  }
+
+  test("watermarked hourly windows close and emit in append mode") {
+    val dir = landTwoBatches()
+    val src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.hourlyCounts(src, "2 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hourly").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hourly")
+    assert(got.count() > 0, "no windows closed — watermark never advanced")
+    // emitted (closed) windows must agree with the batch ground truth
+    val batch = fixture
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val joined = got.select(col("hour"), col("event_type"), col("n").as("stream_n"))
+      .join(batch, Seq("hour", "event_type"))
+    assert(joined.filter(col("stream_n") =!= col("n")).count() == 0,
+      "closed streaming window disagrees with batch aggregation")
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    val dir = landTwoBatches()
+    val ss = spark
+    import ss.implicits._
+    val src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    val q = EventStreams.sessionize(spark, src)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+    assert(got.count() > 0, "no sessions closed across batches")
+    // session invariants: positive counts, start <= end, seq >= 1
+    assert(got.filter(col("n_events") < 1 ||
+      col("session_start") > col("session_end") || col("session_seq") < 1).count() == 0)
+    // cross-check against the batch sessionizer (q20): closed streaming
+    // sessions must appear in the batch result with identical bounds
+    val batch = SparkEntry.queries("q20_sessionize")(spark, sf)
+    val j = got.join(batch,
+      got("user_id") === batch("user_id") &&
+        got("session_start") === batch("session_start") &&
+        got("session_end") === batch("session_end") &&
+        got("n_events") === batch("n_events"))
+    assert(j.count() == got.count(),
+      "a closed streaming session has no matching batch session")
+  }
+}

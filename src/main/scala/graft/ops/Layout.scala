@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for shuffle elimination and skew handling —
+  * the knobs that decide whether a 100 TB join is one co-located pass or
+  * a cluster-melting exchange.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed table. Two tables bucketed
+    * the same way on their join key sort-merge-join with NO exchange and
+    * NO sort at query time — the shuffle is paid once at write time and
+    * amortized over every subsequent join (the standard layout for a
+    * 100 TB fact table joined repeatedly on the same key). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous JVM's in-memory catalog dies with the process but leaves
+    // the managed location on disk; clear both or CREATE TABLE fails with
+    // LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val leftover = new java.io.File(warehouse, table.toLowerCase)
+    if (leftover.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(leftover)
+    }
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * random salt in [0, salts); the small side is replicated ×salts with
+    * every salt value. A key holding S% of all rows fans out across
+    * `salts` reducers instead of one straggler task.
+    *
+    * AQE's skew-join handles moderate skew automatically at runtime;
+    * explicit salting is for the pathological keys AQE can't split
+    * (single giant key inside one shuffle block). */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val saltedL = skewed.withColumn("_salt",
+      (rand(seed = 7) * salts).cast("int"))
+    val saltedR = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedL.join(saltedR, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Range-partition + sort within partitions: the layout for downstream
+    * consumers that need globally ordered output without a single-task
+    * final sort. */
+  def globalSortedLayout(df: DataFrame, key: Column, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+}

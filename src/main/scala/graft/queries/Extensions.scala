@@ -90,6 +90,22 @@ object Extensions {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), topN = 20)
     }),
 
+    // NO SQL oracle (approximate/seeded paths — driver records rows-only):
+    // LSH ANN is recall-gated against brute force in ExtensionsSpec.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // NO SQL oracle (HLL sketch values are engine-specific).
+    "approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       Multimodal.mediaTable(t(s, dir, "documents"))
         .select(col("media_id"), col("kind"),

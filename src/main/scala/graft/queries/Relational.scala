@@ -265,6 +265,86 @@ object Relational {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // ---- LIKE / string-predicate pushdown (StringContains/StartsWith to scan)
+    "q21_like" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").contains("widget") || col("p_name").startsWith("blue"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- IN-subquery (planned as left-semi) over a derived key set
+    "q22_in_subquery" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 7500)
+        .select(col("c_custkey"))
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- pivot-shape conditional aggregation (one pass, no shuffle per column)
+    "q23_pivot_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(D).as("total_f"),
+          sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(D).as("total_o"),
+          sum(when(col("o_orderstatus") === "P", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(D).as("total_p"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- array aggregation + array functions
+    "q24_array_agg" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_keys"))
+        .select(col("s_nationkey"),
+          // array serialized for the oracle hash (array-typed output
+          // columns aren't hashable by the compare layer)
+          concat_ws(",", col("supp_keys")).as("supp_keys_csv"),
+          size(col("supp_keys")).as("n_supp"),
+          element_at(col("supp_keys"), 1).as("first_key"),
+          array_contains(col("supp_keys"), 1L).as("has_supp1"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // ---- string function battery
+    "q25_string_fns" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          instr(col("p_name"), "widget").as("widget_pos"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded"),
+          reverse(col("p_name")).as("rev"),
+          substring(col("p_name"), 1, 4).as("prefix4"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- date/time function battery + interval arithmetic
+    "q26_date_fns" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+          expr("o_orderdate + INTERVAL 30 DAYS").as("plus30"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+            .as("days_to_2002"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
     "q17_above_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -400,6 +480,58 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q21_like" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%widget%' OR p_name LIKE 'blue%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q22_in_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q23_pivot_agg" ->
+      """SELECT o_orderpriority,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q24_array_agg" ->
+      """SELECT s_nationkey,
+        |array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS supp_keys_csv,
+        |CAST(len(list(s_suppkey ORDER BY s_suppkey)) AS INTEGER) AS n_supp,
+        |list(s_suppkey ORDER BY s_suppkey)[1] AS first_key,
+        |list_contains(list(s_suppkey ORDER BY s_suppkey), 1) AS has_supp1
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q25_string_fns" ->
+      """SELECT p_partkey,
+        |UPPER(p_name) AS uname,
+        |replace(p_name, ' ', '_') AS snake,
+        |CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
+        |lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+        |reverse(p_name) AS rev,
+        |substring(p_name, 1, 4) AS prefix4,
+        |string_split(p_name, ' ')[1] AS first_word,
+        |CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q26_date_fns" ->
+      """SELECT o_orderkey,
+        |CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+        |CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+        |CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+        |strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |o_orderdate + INTERVAL 30 DAY AS plus30,
+        |CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+        |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q18_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,

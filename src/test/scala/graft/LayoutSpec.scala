@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Physical-layout guarantees: bucketed joins skip the exchange, salted
+  * joins keep results identical while spreading skewed keys.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed tables sort-merge-join with NO exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Layout.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    // disable broadcast so the join strategy decision is about exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // correctness unchanged
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted join returns exactly the plain join's rows on a skewed key") {
+    // make a pathologically skewed fact: 90% of rows on one key
+    val skewed = spark.range(0, 10000).toDF("id")
+      .withColumn("k", when(col("id") % 10 =!= 0, 1L).otherwise(col("id")))
+    val dim = spark.range(0, 10000).toDF("k")
+      .withColumn("name", concat(lit("dim_"), col("k")))
+    val plain = skewed.join(dim, "k").agg(
+      count(lit(1)).as("n"), sum(col("id")).as("s")).collect()(0)
+    val salted = Layout.saltedJoin(skewed, dim, "k", salts = 8).agg(
+      count(lit(1)).as("n"), sum(col("id")).as("s")).collect()(0)
+    assert(plain.getLong(0) == salted.getLong(0), "row count changed by salting")
+    assert(plain.getLong(1) == salted.getLong(1), "content changed by salting")
+  }
+
+  test("globalSortedLayout yields non-overlapping sorted partitions") {
+    val df = Layout.globalSortedLayout(
+      spark.read.parquet(s"$sf/orders.parquet"), col("o_orderkey"), 4)
+    val bounds = df.select(col("o_orderkey"))
+      .mapPartitions { it =>
+        val s = it.map(_.getLong(0)).toSeq
+        if (s.isEmpty) Iterator.empty
+        else Iterator((s.min, s.max, (s == s.sorted)))
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean))
+      .collect().sortBy(_._1)
+    assert(bounds.forall(_._3), "a partition is not internally sorted")
+    bounds.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, "partition ranges overlap")
+      case _ =>
+    }
+  }
+}

@@ -345,6 +345,21 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- as-of join: each purchase picks up the user's most recent
+    // prior-or-same view (Spark has no built-in; see graft.ops.AsOfJoin)
+    "q27_asof_join" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asOf(purchases, views, "user_id", "ts", "ts",
+          Seq("ts" -> "view_ts", "value" -> "view_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("value", "purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
     "q17_above_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -480,6 +495,14 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q27_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts AS purchase_ts, l.value AS purchase_value,
+        |r.ts AS view_ts, r.value AS view_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q21_like" ->
       """SELECT p_partkey, p_name, p_brand FROM part

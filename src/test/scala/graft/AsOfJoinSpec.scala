@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+/** As-of join edge semantics (the oracle covers the bulk; these pin the
+  * boundary cases) + SQL registration of the custom dot product.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join: inclusive bound, no-match nulls, latest-wins") {
+    val ss = spark
+    import ss.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "L1"), // exact-tie with right → match
+      (1L, ts("2024-01-01 12:00:00"), "L2"), // two candidates → latest wins
+      (2L, ts("2024-01-01 09:00:00"), "L3")  // right exists only later → null
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (2L, ts("2024-01-01 23:00:00"), 9.0)
+    ).toDF("k", "t", "rv")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "t",
+        Seq("t" -> "rt", "rv" -> "rv"))
+      .orderBy(col("k"), col("t")).collect()
+    assert(got(0).getAs[Double]("rv") == 1.0, "equal-time right row must match (inclusive)")
+    assert(got(1).getAs[Double]("rv") == 2.0, "latest preceding right row must win")
+    assert(got(2).isNullAt(got(2).fieldIndex("rv")), "no preceding right row → null")
+    assert(got(2).isNullAt(got(2).fieldIndex("rt")))
+  }
+
+  test("dot_product is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    // and over real embedding data
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
+    val n = spark.sql(
+      """SELECT a.vec_id, dot_product(a.embedding, a.embedding) AS sq
+        |FROM emb a WHERE a.vec_id < 5""".stripMargin).collect()
+    assert(n.length == 5 && n.forall(_.getDouble(1) > 0))
+  }
+}

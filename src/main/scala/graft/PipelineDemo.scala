@@ -14,7 +14,8 @@ import graft.streaming.TransformStream
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(100L)
+    val n = args.headOption.filterNot(_.startsWith("--")).map(_.toLong).getOrElse(100L)
+    val dedup = args.contains("--dedup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -29,11 +30,18 @@ object PipelineDemo {
     val lock = new RunLock(base.resolve("lock"))
     val audit = new RunAudit(base.resolve("audit").toString)
     val landing = base.resolve("landing").toString
-    val job = new ExtractLoadJob(spark,
-      () => Some(Generator.sampleItems(spark, n).drop("i")),
-      landing, lock, audit, "demo-worker")
+    // --dedup: frozen-content source + content ledger, run TWICE — the
+    // second run must land zero rows (SURVEY.md §7.4.7 opt-in fix)
+    def mkJob(lockName: String) = new ExtractLoadJob(spark,
+      () => Some(
+        if (dedup) Generator.sampleItems(spark, n, Some("2026-01-01 00:00:00"),
+          deterministicIds = true).drop("i")
+        else Generator.sampleItems(spark, n).drop("i")),
+      landing, new RunLock(base.resolve(lockName)), audit, "demo-worker",
+      dedupeByContent = dedup)
 
-    val outcome = job.runOnce()
+    val outcome = mkJob("lock1").runOnce()
+    if (dedup) mkJob("lock2").runOnce()
 
     val ts = new TransformStream(spark, landing,
       base.resolve("transformed").toString, base.resolve("cp").toString,

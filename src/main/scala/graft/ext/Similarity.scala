@@ -106,6 +106,82 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    * ANN: assign every corpus vector to its nearest of `nCells` centroids
+    * (one pass), probe only the `nProbe` cells nearest each query.
+    *
+    * Centroids are a deterministic seeded sample of the corpus refined by
+    * a few Lloyd iterations ON THE DRIVER over a bounded sample — at
+    * 100 TB you train the quantizer on a sample (standard practice), then
+    * the expensive full-corpus pass is a single scan + narrow shuffle on
+    * cell id; queries broadcast. Versus LSH: IVF adapts to the data
+    * distribution, so recall per candidate examined is usually higher.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      sampleSize: Int = 2000, lloydIters: Int = 5): DataFrame = {
+    // --- train quantizer on a seeded driver-side sample
+    val sample = corpus.select(col("embedding")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val rnd = new Random(seed)
+    var centroids = rnd.shuffle(sample.indices.toList).take(nCells)
+      .map(sample(_)).toArray
+    for (_ <- 0 until lloydIters) {
+      val assign = sample.map { v =>
+        centroids.indices.maxBy(c => dotArr(v, centroids(c)) /
+          (normArr(centroids(c)) max 1e-12))
+      }
+      centroids = centroids.indices.map { c =>
+        val members = sample.indices.filter(assign(_) == c)
+        if (members.isEmpty) centroids(c)
+        else {
+          val dim = sample(0).length
+          val m = new Array[Double](dim)
+          members.foreach(i => (0 until dim).foreach(d => m(d) += sample(i)(d)))
+          m.map(_ / members.length)
+        }
+      }.toArray
+    }
+
+    // --- cell assignment as a column expression (argmax over centroid dots)
+    def cellOf(v: Column): Column = {
+      val scores = centroids.zipWithIndex.map { case (cvec, i) =>
+        struct((dot(v, array(cvec.map(lit(_)): _*)) /
+          lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
+      }
+      array_max(array(scores: _*)).getField("c")
+    }
+    def probeCells(v: Column): Column = {
+      val scores = centroids.zipWithIndex.map { case (cvec, i) =>
+        struct((dot(v, array(cvec.map(lit(_)): _*)) /
+          lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
+      }
+      slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
+        .getField("c")
+    }
+
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cell", cellOf(col("v")))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.select(col("qid"), col("vec_id"), col("cos"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
+
   /** Most-similar within-label pairs (embedding-cosine near-dup with label
     * blocking — the blocking key caps pair growth at scale). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {

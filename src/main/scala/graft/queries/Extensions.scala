@@ -98,6 +98,14 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // NO SQL oracle (seeded quantizer — approximate path; recall-gated and
+    // exact-at-full-probe-gated in ExtensionsSpec).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // NO SQL oracle (HLL sketch values are engine-specific).
     "approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(

@@ -50,6 +50,14 @@ object EventStreams {
     t
   }
 
+  /** Streaming exactly-once-per-key dedup: duplicates of `event_id`
+    * arriving within the watermark horizon are dropped; state is bounded
+    * by the horizon (dropDuplicatesWithinWatermark), not stream length —
+    * the scalable form of a dedup ledger for at-least-once sources. */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState: emits each session as it CLOSES (a later
     * event arrives past the gap); the open session per user rides in

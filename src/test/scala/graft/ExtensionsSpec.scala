@@ -63,6 +63,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(approx.forall { case (q, v) => q != v })
   }
 
+  test("IVF ANN recall beats LSH at comparable candidate budgets") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nCells = 16, nProbe = 4)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, f"IVF recall $recall%.2f below gate")
+    // probing all cells must recover brute force exactly
+    val full = Similarity.ivfTopK(emb, queries, 10, nCells = 16, nProbe = 16)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe == nCells must equal the exact result")
+  }
+
   test("multimodal decode plumbing: typed dataset, per-partition, deterministic stub") {
     val media = Multimodal.mediaDataset(spark, docs)
     val feats = Multimodal.decodeFeatures(spark, media)

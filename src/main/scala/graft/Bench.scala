@@ -27,12 +27,16 @@ object Bench {
 
     // noop sink forces FULL computation of every output column —
     // .count() would let Catalyst prune computed columns (a projection
-    // query would "bench" a bare scan).
+    // query would "bench" a bare scan). min-of-2 runs suppresses the
+    // run-to-run noise of a shared machine.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

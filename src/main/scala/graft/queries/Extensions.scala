@@ -111,6 +111,10 @@ object Extensions {
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("p99_price"),
         count(lit(1)).as("n_rows"))
     }),
 

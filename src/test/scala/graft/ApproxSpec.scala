@@ -14,6 +14,10 @@ class ApproxSpec extends SparkSpec {
       math.abs(est - exact).toDouble / exact < 0.05
     assert(within(row.getAs[Long]("approx_parts"), exactParts))
     assert(within(row.getAs[Long]("approx_orders"), exactOrders))
+    // percentile sketch within 2% of the exact quantiles
+    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5, 0.99), 0.0)
+    assert(math.abs(row.getAs[Double]("median_price") - exact(0)) / exact(0) < 0.02)
+    assert(math.abs(row.getAs[Double]("p99_price") - exact(1)) / exact(1) < 0.02)
   }
 
   test("ann_lsh_topk emits ranked neighbors per query with valid structure") {

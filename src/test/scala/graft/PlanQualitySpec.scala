@@ -48,6 +48,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q4_semi_join").contains("LeftSemi"))
   }
 
+  test("q6_window_topn plans two-phase WindowGroupLimit (map-side top-k before shuffle)") {
+    val p = plan("q6_window_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-filter pattern lost its group-limit pushdown:\n$p")
+  }
+
   test("ann_cosine_topk uses the codegen dot product, not interpreted HOFs") {
     val p = plan("ann_cosine_topk")
     assert(p.contains("dotproduct") || p.toLowerCase.contains("dotproduct"),

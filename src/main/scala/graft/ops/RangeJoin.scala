@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Banded time-range self/two-table join.
+  *
+  * A naive `a.ts BETWEEN b.ts - w AND b.ts + w` theta join plans as a
+  * broadcast-nested-loop (O(n·m) compares) — unusable at scale. The
+  * scalable Spark shape: quantize time into `window`-sized buckets,
+  * explode ONE side into its bucket and the two adjacent buckets, then
+  * EQUI-join on (key, bucket) and post-filter the exact predicate. Every
+  * candidate pair shares a bucket, so the join is a hash join with
+  * ≤ 3× row amplification on one side — the standard interval-join
+  * technique (e.g. Flink's interval join uses the same idea).
+  */
+object RangeJoin {
+
+  /** Pairs of rows from `left` and `right` with equal `key` whose `time`
+    * values are within `windowSeconds` of each other (|lt − rt| ≤ w),
+    * excluding identical (idCol) rows when self-joining. */
+  def timeWindowPairs(left: DataFrame, right: DataFrame, key: String,
+      time: String, idCol: String, windowSeconds: Long): DataFrame = {
+    val w = windowSeconds
+    val lb = (unix_micros(col(time)) / (w * 1000000L)).cast("long")
+    val l = left.select(col(key).as("k"), col(idCol).as("i"),
+      col(time).as("lt"), lb.as("b"))
+    val r = right.select(col(key).as("k"), col(idCol).as("j"),
+        col(time).as("rt"),
+        explode(array((-1 to 1).map(d => lb + d): _*)).as("b"))
+    l.join(r, Seq("k", "b"))
+      .filter(col("i") < col("j") &&
+        abs(unix_micros(col("lt")) - unix_micros(col("rt"))) <= w * 1000000L)
+      .select(col("k"), col("i"), col("j"), col("lt"), col("rt"))
+      .distinct()
+  }
+}

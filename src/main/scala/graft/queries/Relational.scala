@@ -360,6 +360,32 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // ---- banded time-range join: same-user event pairs within 5 minutes
+    // (equi-join on time buckets + exact filter; never a nested loop)
+    "q28_range_join" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      graft.ops.RangeJoin.timeWindowPairs(ev, ev, "user_id", "ts", "event_id", 300)
+        .select(col("k").as("user_id"), col("i").as("event_i"),
+          col("j").as("event_j"), col("lt").as("ts_i"), col("rt").as("ts_j"))
+        .orderBy(col("user_id"), col("event_i"), col("event_j"))
+    }),
+
+    // ---- TPC-H Q17 shape: correlated aggregate threshold (per-part avg)
+    "q29_corr_agg" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val lp = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val th = lp.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(dec(col("l_quantity"))).cast(D) / count(lit(1)) * 0.2)
+          .as("qty_thresh"))
+      lp.join(th, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg((sum(dec(col("l_extendedprice"))).cast(D) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
     "q17_above_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -495,6 +521,28 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q28_range_join" ->
+      """SELECT a.user_id, a.event_id AS event_i, b.event_id AS event_j,
+        |a.ts AS ts_i, b.ts AS ts_j
+        |FROM events a JOIN events b
+        |ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300 * 1000000
+        |ORDER BY a.user_id, event_i, event_j""".stripMargin,
+
+    "q29_corr_agg" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |th AS (
+        |  SELECT l_partkey AS pk,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)*0.2 AS qty_thresh
+        |  FROM lp GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0 AS avg_yearly,
+        |COUNT(*) AS n
+        |FROM lp JOIN th ON lp.l_partkey = th.pk
+        |WHERE l_quantity < qty_thresh""".stripMargin,
 
     "q27_asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts AS purchase_ts, l.value AS purchase_value,

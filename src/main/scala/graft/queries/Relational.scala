@@ -386,6 +386,35 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // ---- analytic window battery: ntile / percent_rank / cume_dist /
+    // first_value / nth_value over per-segment customer balances
+    "q30_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first(col("c_custkey")).over(wf).as("richest_cust"),
+          nth_value(col("c_custkey"), 2).over(wf).as("second_cust"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    // ---- explicit GROUPING SETS (beyond rollup/cube)
+    "q31_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
     "q17_above_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -521,6 +550,28 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q30_window_analytics" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cume,
+        |first_value(c_custkey) OVER wf AS richest_cust,
+        |nth_value(c_custkey, 2) OVER wf AS second_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+        |wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q31_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |COALESCE(o_orderpriority, '(all)') AS priority,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
 
     "q28_range_join" ->
       """SELECT a.user_id, a.event_id AS event_i, b.event_id AS event_j,

@@ -50,6 +50,13 @@ object EventStreams {
     t
   }
 
+  /** Stream-static enrichment join: each micro-batch hash-joins against
+    * the (broadcast) dimension snapshot — the standard pattern for
+    * attaching slowly-changing reference data to a stream without
+    * stateful join machinery. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exactly-once-per-key dedup: duplicates of `event_id`
     * arriving within the watermark horizon are dropped; state is bounded
     * by the horizon (dropDuplicatesWithinWatermark), not stream length —

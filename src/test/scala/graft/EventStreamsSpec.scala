@@ -52,6 +52,22 @@ class EventStreamsSpec extends SparkSpec {
       "closed streaming window disagrees with batch aggregation")
   }
 
+  test("stream-static enrichment joins every batch against the dimension") {
+    val dir = landTwoBatches()
+    val dim = fixture.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int"))
+    val src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.enrich(src, dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+    assert(got.count() == fixture.count(), "enrichment dropped or duplicated rows")
+    assert(got.filter(col("tier").isNull).count() == 0)
+    assert(got.filter(col("tier") =!= (col("user_id") % 3).cast("int")).count() == 0)
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     val dir = landTwoBatches()
     val ss = spark

@@ -415,6 +415,59 @@ object Relational {
         .orderBy(col("status"), col("priority"))
     }),
 
+    // ---- TPC-H Q7 shape: bidirectional nation-pair volume with
+    // a disjunctive pair predicate over broadcast dims
+    "q32_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revTerm).cast(D).as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ---- TPC-H Q19 shape: deeply disjunctive predicate (OR of ANDs)
+    "q33_disjunctive" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(revTerm).cast(D).as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // ---- TPC-H Q22 shape: scalar avg subquery + anti join + substring key
+    "q34_global_sales" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("cntry", substring(col("c_name"), 10, 2))
+      // scalar subquery as a broadcast cross join — stays lazy/distributed,
+      // no driver-side collect
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(davg(col("c_acctbal")).as("ab"))
+      val noOrders = c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+      noOrders.groupBy(col("cntry"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("cntry"))
+    }),
+
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
     "q17_above_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -550,6 +603,38 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q32_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         |CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+         |   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q33_disjunctive" ->
+      s"""SELECT CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q34_global_sales" ->
+      """WITH c AS (SELECT *, substring(c_name, 10, 2) AS cntry FROM customer),
+        |ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS ab
+        |       FROM c WHERE c_acctbal > 0)
+        |SELECT cntry, COUNT(*) AS n_cust,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM c, ab
+        |WHERE c_acctbal > ab
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY cntry ORDER BY cntry""".stripMargin,
 
     "q30_window_analytics" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -30,15 +30,10 @@ object EventsDemo {
     val dir = Files.createTempDirectory("events-demo")
     val cut = fixture.selectExpr("percentile_approx(ts, 0.5) AS c")
       .collect()(0).getTimestamp(0)
-    def landAs(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("slice").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, dir.resolve(name))
-    }
-    landAs(fixture.filter(col("ts") <= cut), "b0.parquet")
-    landAs(fixture.filter(col("ts") > cut), "b1.parquet")
+    graft.sources.ParquetSlices.writeSingleFile(
+      fixture.filter(col("ts") <= cut), dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(
+      fixture.filter(col("ts") > cut), dir.resolve("b1.parquet"))
 
     val src = spark.readStream.schema(fixture.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)

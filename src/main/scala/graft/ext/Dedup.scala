@@ -40,9 +40,15 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column = {
     val bound = transform(
       array(split(trim(text), "\\s+")),
-      toks => transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      toks =>
+        // guard: size < n would make sequence(0, negative) count DOWN and
+        // index out of bounds (ANSI error) — short docs get no shingles,
+        // matching the oracle's range(1, len-1) which is empty there
+        when(size(toks) >= n,
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+          .otherwise(array().cast("array<string>")))
     element_at(bound, 1)
   }
 

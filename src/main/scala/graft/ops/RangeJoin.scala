@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Pairs of rows from `left` and `right` with equal `key` whose `time`
-    * values are within `windowSeconds` of each other (|lt − rt| ≤ w),
-    * excluding identical (idCol) rows when self-joining. */
+    * values are within `windowSeconds` of each other (|lt − rt| ≤ w).
+    *
+    * @param selfJoin when true (left and right are the SAME dataset),
+    *                 emit each unordered pair once via `i < j`; when
+    *                 false, keep every (left, right) match — an ordered
+    *                 i<j filter would silently drop half the pairs of a
+    *                 genuine two-table join. */
   def timeWindowPairs(left: DataFrame, right: DataFrame, key: String,
-      time: String, idCol: String, windowSeconds: Long): DataFrame = {
+      time: String, idCol: String, windowSeconds: Long,
+      selfJoin: Boolean = true): DataFrame = {
     val w = windowSeconds
     val lb = (unix_micros(col(time)) / (w * 1000000L)).cast("long")
     val l = left.select(col(key).as("k"), col(idCol).as("i"),
@@ -28,8 +34,9 @@ object RangeJoin {
     val r = right.select(col(key).as("k"), col(idCol).as("j"),
         col(time).as("rt"),
         explode(array((-1 to 1).map(d => lb + d): _*)).as("b"))
+    val pairPred = if (selfJoin) col("i") < col("j") else lit(true)
     l.join(r, Seq("k", "b"))
-      .filter(col("i") < col("j") &&
+      .filter(pairPred &&
         abs(unix_micros(col("lt")) - unix_micros(col("rt"))) <= w * 1000000L)
       .select(col("k"), col("i"), col("j"), col("lt"), col("rt"))
       .distinct()

@@ -33,6 +33,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("rt")))
   }
 
+  test("range join in two-table mode keeps pairs regardless of id order") {
+    val ss = spark
+    import ss.implicits._
+    // left ids are HIGHER than right ids — a self-join-style i<j filter
+    // would drop every match
+    val left = Seq((1L, 100L, ts("2024-01-01 10:00:00")))
+      .toDF("k", "id", "t")
+    val right = Seq((1L, 5L, ts("2024-01-01 10:02:00")))
+      .toDF("k", "id", "t")
+    val two = graft.ops.RangeJoin.timeWindowPairs(
+      left, right, "k", "t", "id", 300, selfJoin = false)
+    assert(two.count() == 1, "two-table mode dropped a valid pair")
+    val self = graft.ops.RangeJoin.timeWindowPairs(
+      left, right, "k", "t", "id", 300)
+    assert(self.count() == 0, "self-join mode must apply the i<j dedup")
+  }
+
   test("dot_product is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

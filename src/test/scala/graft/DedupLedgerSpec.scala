@@ -46,14 +46,8 @@ class DedupLedgerSpec extends SparkSpec {
   test("streaming dedup drops replayed event_ids within the watermark") {
     val dir = Files.createTempDirectory("sdedup")
     val fixture = Tables.events(spark, sf).limit(200)
-    def landAs(name: String): Unit = {
-      val tmp = Files.createTempDirectory("slice").toString
-      fixture.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, dir.resolve(name))
-    }
-    landAs("b0.parquet"); landAs("b1.parquet") // same 200 events twice
+    graft.sources.ParquetSlices.writeSingleFile(fixture, dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(fixture, dir.resolve("b1.parquet")) // same 200 events twice
     val src = spark.readStream.schema(fixture.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val q = EventStreams.dedupedEvents(src)

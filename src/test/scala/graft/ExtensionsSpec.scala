@@ -63,6 +63,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(approx.forall { case (q, v) => q != v })
   }
 
+  test("shingles of documents shorter than n tokens are empty, not an error") {
+    val ss = spark
+    import ss.implicits._
+    val short = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("doc_id", "text")
+    val got = short.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+    assert(got(3L) == Seq("a b c", "b c d"))
+    // and the pair pipelines are total on short docs
+    assert(Dedup.ngramJaccardPairs(short, 3, 0.1).count() == 0)
+  }
+
   test("IVF ANN recall beats LSH at comparable candidate budgets") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)

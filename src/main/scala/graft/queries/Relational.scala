@@ -468,6 +468,71 @@ object Relational {
         .orderBy(col("cntry"))
     }),
 
+    // ---- argmax/argmin aggregation (max_by with a collision-free ordinal
+    // so ties can't make the result nondeterministic across engines)
+    "q35_argmax" -> ((s, dir) => {
+      val ord = (dec(col("o_totalprice")) * 100).cast("long") * 100000000L +
+        col("o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), ord).as("priciest_order"),
+          min_by(col("o_orderkey"), ord).as("cheapest_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- conditional distinct counts in one pass
+    "q37_cond_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(when(col("l_quantity") > 25, col("l_partkey"))).as("parts_bulk"),
+          countDistinct(when(col("l_quantity") <= 25, col("l_partkey"))).as("parts_small"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- TPC-H Q13 shape: order-count distribution via left join + double agg
+    "q38_order_distribution" -> ((s, dir) => {
+      val counts = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q15 shape: top-revenue supplier via max-equality subquery
+    "q39_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revTerm).cast(D).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("mr"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- exact interpolated quantiles per group
+    "q40_quantiles" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(median(col("c_acctbal")), 6).as("med_bal"),
+          round(expr("percentile(c_acctbal, 0.25)"), 6).as("q1_bal"),
+          round(expr("percentile(c_acctbal, 0.75)"), 6).as("q3_bal"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
     "q17_above_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -603,6 +668,47 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q35_argmax" ->
+      """SELECT o_orderpriority,
+        |max_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS priciest_order,
+        |min_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS cheapest_order,
+        |max(o_totalprice) AS max_price,
+        |min(o_totalprice) AS min_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q37_cond_distinct" ->
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END) AS parts_bulk,
+        |COUNT(DISTINCT CASE WHEN l_quantity <= 25 THEN l_partkey END) AS parts_small,
+        |COUNT(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q38_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q39_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(SUM($revSql) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q40_quantiles" ->
+      """SELECT c_mktsegment,
+        |round(median(CAST(c_acctbal AS DOUBLE)), 6) AS med_bal,
+        |round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25), 6) AS q1_bal,
+        |round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75), 6) AS q3_bal,
+        |COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q32_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

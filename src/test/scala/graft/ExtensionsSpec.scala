@@ -90,6 +90,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(full == exact, "nProbe == nCells must equal the exact result")
   }
 
+  test("multimodal features flow into the similarity operators end-to-end") {
+    // decode → 8-dim feature vectors → brute-force cosine top-k:
+    // the full media-dedup pipeline shape with ordinary columns between
+    // the stages (no special casing anywhere downstream)
+    val feats = Multimodal.decodeFeatures(spark,
+        Multimodal.mediaDataset(spark, docs))
+      .toDF().select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val queries = feats.filter(col("vec_id") < 5)
+    val topk = Similarity.bruteForceTopK(feats, queries, k = 3).collect()
+    assert(topk.length == 5 * 3)
+    assert(topk.forall(r => r.getAs[Double]("cos") <= 1.0001 &&
+      r.getAs[Double]("cos") >= -1.0001))
+    // byte-histogram features of same-ish text distributions are highly
+    // similar — nearest neighbors should be close to 1
+    assert(topk.filter(_.getAs[Int]("rk") == 1)
+      .forall(_.getAs[Double]("cos") > 0.8))
+  }
+
   test("multimodal decode plumbing: typed dataset, per-partition, deterministic stub") {
     val media = Multimodal.mediaDataset(spark, docs)
     val feats = Multimodal.decodeFeatures(spark, media)

@@ -54,6 +54,26 @@ object TextOps {
 
   val defaultStopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** TF-IDF over a (doc_id, text) corpus: smoothed idf = ln(1 + N/df),
+    * tf = term count within the doc. Two grouped aggregations + one join
+    * on term — no cross product; df table is corpus-vocabulary-sized and
+    * broadcastable at most scales. Returns (doc_id, term, tf, df, tfidf). */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(1.0) + col("n_docs").cast("double") /
+          col("df").cast("double")), 6))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** One-pass per-document stats table over a (doc_id, text) frame. */
   def textStats(df: DataFrame): DataFrame = {
     val txt = col("text")

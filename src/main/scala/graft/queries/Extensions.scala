@@ -118,6 +118,27 @@ object Extensions {
         count(lit(1)).as("n_rows"))
     }),
 
+    // TF-IDF: top term per document (deterministic tfidf-desc/term tiebreak)
+    "text_tfidf_top" -> ((s, dir) => {
+      val scored = TextOps.tfIdf(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("doc_id"))
+    }),
+
+    // NO SQL oracle (custom Expression): winnowing fingerprints summarized
+    // to scalars; algorithmic guarantees are spec-gated (WinnowSpec).
+    "text_winnow" -> ((s, dir) => {
+      val fp = graft.functions.Winnow.winnow(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(fp).as("n_fp"),
+          element_at(fp, 1).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       Multimodal.mediaTable(t(s, dir, "documents"))
         .select(col("media_id"), col("kind"),
@@ -227,6 +248,23 @@ object Extensions {
         |  round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nrm * b.nrm), 4) AS cos
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cos DESC, i, j LIMIT 20""".stripMargin,
+
+    "text_tfidf_top" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf, df,
+        |    round(tf * ln(1 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

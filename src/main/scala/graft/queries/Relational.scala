@@ -468,6 +468,15 @@ object Relational {
         .orderBy(col("cntry"))
     }),
 
+    // ---- histogram by fixed-width buckets (portable floor arithmetic;
+    // DuckDB 1.0 has no width_bucket)
+    "q36_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- argmax/argmin aggregation (max_by with a collision-free ordinal
     // so ties can't make the result nondeterministic across engines)
     "q35_argmax" -> ((s, dir) => {
@@ -668,6 +677,12 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q36_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000) AS INTEGER) AS bucket,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q35_argmax" ->
       """SELECT o_orderpriority,

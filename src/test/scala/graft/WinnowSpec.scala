@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Winnow.winnow
+
+/** Winnowing guarantees (Schleimer et al., SIGMOD'03): identical docs →
+  * identical fingerprint sets; a shared substring of length ≥ w + k − 1 →
+  * at least one shared fingerprint; short/empty input is total.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private def fps(rows: Seq[(Long, String)]): Map[Long, Set[Long]] = {
+    val ss = spark
+    import ss.implicits._
+    rows.toDF("id", "text").select(col("id"), winnow(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+  }
+
+  test("identical documents produce identical fingerprints") {
+    val doc = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    val m = fps(Seq(1L -> doc, 2L -> doc))
+    assert(m(1L) == m(2L) && m(1L).nonEmpty)
+  }
+
+  test("a document sharing a long substring shares fingerprints; disjoint text shares none") {
+    val core = "spark catalyst optimizer rewrites logical plans into physical plans"
+    val m = fps(Seq(
+      1L -> core,
+      2L -> (core + " with adaptive query execution at runtime"),
+      3L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"))
+    assert((m(1L) & m(2L)).nonEmpty, "winnowing guarantee violated: long shared substring, no shared fingerprint")
+    val overlap = (m(1L) & m(2L)).size.toDouble / m(1L).size
+    assert(overlap > 0.5, f"expected high overlap for contained text, got $overlap%.2f")
+    assert((m(1L) & m(3L)).isEmpty, "unrelated texts should share no fingerprints here")
+  }
+
+  test("total on short and empty inputs") {
+    val m = fps(Seq(1L -> "", 2L -> "ab", 3L -> "abcdefgh"))
+    assert(m(1L).isEmpty && m(2L).isEmpty)
+    assert(m(3L).size == 1, "exactly-k-length input has one k-gram, one fingerprint")
+  }
+
+  test("fingerprint-based near-dup detection over the fixture finds planted dups") {
+    val planted = graft.queries.Extensions.plantedDocs(spark, sf)
+    val withFp = planted.select(col("doc_id"), explode(winnow(col("text"))).as("fp"))
+    // docs sharing > 80% of the smaller doc's fingerprints
+    val sizes = withFp.groupBy("doc_id").count()
+    val pairs = withFp.as("a").join(withFp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    val exactPairs = pairs.filter(col("j") - col("i") === 200000).count()
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(exactPairs == expected,
+      s"winnow-based dedup missed planted exact dups: $exactPairs != $expected")
+  }
+}

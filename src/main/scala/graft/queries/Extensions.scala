@@ -118,6 +118,26 @@ object Extensions {
         count(lit(1)).as("n_rows"))
     }),
 
+    // Typed Aggregator: space-bounded top-5 customers per segment (the
+    // buffer never exceeds k entries, so map-side partials ship <= k rows
+    // per group — compare the window-rank plan that shuffles every row)
+    "q41_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKByScore(5)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_acctbal").as("score"),
+          col("c_custkey").as("id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => graft.functions.Scored(r._2, r._3))
+        .agg(agg.toColumn.name("top_ids"))
+        .toDF("c_mktsegment", "top_ids")
+        .select(col("c_mktsegment"),
+          concat_ws(",", transform(col("top_ids"), _.cast("string")))
+            .as("top_ids_csv"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // TF-IDF: top term per document (deterministic tfidf-desc/term tiebreak)
     "text_tfidf_top" -> ((s, dir) => {
       val scored = TextOps.tfIdf(
@@ -248,6 +268,11 @@ object Extensions {
         |  round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nrm * b.nrm), 4) AS cos
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cos DESC, i, j LIMIT 20""".stripMargin,
+
+    "q41_topk_agg" ->
+      """SELECT c_mktsegment,
+        |array_to_string(list(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC)[1:5], ',') AS top_ids_csv
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "text_tfidf_top" ->
       """WITH terms AS (

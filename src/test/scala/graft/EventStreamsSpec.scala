@@ -63,6 +63,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.filter(col("tier") =!= (col("user_id") % 3).cast("int")).count() == 0)
   }
 
+  test("rows later than the watermark are dropped from closed windows") {
+    val dir = Files.createTempDirectory("late")
+    val ordered = fixture.orderBy(col("ts"))
+    val cut = fixture.selectExpr("percentile_approx(ts, 0.5) AS c")
+      .collect()(0).getTimestamp(0)
+    // batch 0: everything AFTER the cut (advances the watermark far ahead);
+    // batch 1: the OLDER half arrives late — beyond the 2h watermark, so
+    // it must not be double-counted into already-closed windows
+    graft.sources.ParquetSlices.writeSingleFile(
+      ordered.filter(col("ts") > cut), dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(
+      ordered.filter(col("ts") <= cut), dir.resolve("b1.parquet"))
+    val src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStreams.hourlyCounts(src, "2 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late")
+    // Spark's watermark contract: on-time data is NEVER lost; data beyond
+    // the watermark MAY or may not be processed (dropping is best-effort).
+    // The hard append-mode invariants: a window emits AT MOST once, and
+    // an emitted count never exceeds the batch ground truth.
+    val dupes = got.groupBy(col("hour"), col("event_type")).count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0, "append mode emitted the same window twice")
+    val batch = fixture
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("true_n"))
+    val over = got.join(batch, Seq("hour", "event_type"))
+      .filter(col("n") > col("true_n")).count()
+    assert(over == 0, "an emitted window over-counted vs batch ground truth")
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     val dir = landTwoBatches()
     val ss = spark

@@ -66,7 +66,10 @@ object TextOps {
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    tf.join(broadcast(df), "term")
+    // no hard broadcast hint on df: the vocabulary table is tiny here but
+    // web-scale corpora have multi-GB vocabularies — let AQE pick
+    // broadcast vs shuffle from the actual size
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(lit(1.0) + col("n_docs").cast("double") /

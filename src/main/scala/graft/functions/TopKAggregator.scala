@@ -26,11 +26,15 @@ final class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Long
 
   private def trim(buf: Seq[Scored]): Seq[Scored] = buf.sorted(desc).take(k)
 
+  // invariant: the buffer is always sorted descending, so the common case
+  // (a full buffer and a row below the cutoff) is one comparison — not a
+  // per-row k·log k re-sort on the hot path
   override def zero: Seq[Scored] = Nil
   override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
-    if (buf.size < k) buf :+ a else trim(buf :+ a)
+    if (buf.size >= k && desc.lteq(buf.last, a)) buf
+    else trim(buf :+ a)
   override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = trim(b1 ++ b2)
-  override def finish(buf: Seq[Scored]): Seq[Long] = buf.sorted(desc).map(_.id)
+  override def finish(buf: Seq[Scored]): Seq[Long] = buf.map(_.id)
 
   override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()

@@ -478,9 +478,11 @@ object Relational {
     }),
 
     // ---- argmax/argmin aggregation (max_by with a collision-free ordinal
-    // so ties can't make the result nondeterministic across engines)
+    // so ties can't make the result nondeterministic across engines).
+    // Spacing 1e10 > any orderkey up to SF~1600; cents < 9.2e8 keeps the
+    // product inside a long. (1e8 spacing would collide at SF>=17.)
     "q35_argmax" -> ((s, dir) => {
-      val ord = (dec(col("o_totalprice")) * 100).cast("long") * 100000000L +
+      val ord = (dec(col("o_totalprice")) * 100).cast("long") * 10000000000L +
         col("o_orderkey")
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -686,8 +688,8 @@ object Relational {
 
     "q35_argmax" ->
       """SELECT o_orderpriority,
-        |max_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS priciest_order,
-        |min_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS cheapest_order,
+        |max_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS priciest_order,
+        |min_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS cheapest_order,
         |max(o_totalprice) AS max_price,
         |min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

@@ -42,13 +42,18 @@ class WinnowSpec extends SparkSpec {
 
   test("fingerprint-based near-dup detection over the fixture finds planted dups") {
     val planted = graft.queries.Extensions.plantedDocs(spark, sf)
-    val withFp = planted.select(col("doc_id"), explode(winnow(col("text"))).as("fp"))
-    // docs sharing > 80% of the smaller doc's fingerprints
-    val sizes = withFp.groupBy("doc_id").count()
+    val withFp = planted.select(col("doc_id"),
+      explode(winnow(col("text"))).as("fp")).distinct()
+    // near-dup criterion: pairs sharing >= 80% of the smaller doc's
+    // fingerprints (a single shared hash is not a near-dup signal)
+    val sizes = withFp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = withFp.as("a").join(withFp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+      .filter(col("common") >= least(col("si"), col("sj")) * 0.8)
     val exactPairs = pairs.filter(col("j") - col("i") === 200000).count()
     val expected = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") % 25 === 0).count()

@@ -477,6 +477,20 @@ object Relational {
         .orderBy(col("bucket"))
     }),
 
+    // ---- time-series analytics: month-over-month revenue change
+    // (windowed lag over a pre-aggregated series — two-level plan)
+    "q42_mom_change" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_pct",
+          round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100, 6))
+        .orderBy(col("month"))
+    }),
+
     // ---- argmax/argmin aggregation (max_by with a collision-free ordinal
     // so ties can't make the result nondeterministic across engines).
     // Spacing 1e10 > any orderkey up to SF~1600; cents < 9.2e8 keeps the
@@ -679,6 +693,18 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q42_mom_change" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue, n_orders,
+        |  lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+        |  round((revenue - lag(revenue, 1) OVER (ORDER BY month))
+        |        / lag(revenue, 1) OVER (ORDER BY month) * 100, 6) AS mom_pct
+        |FROM monthly ORDER BY month""".stripMargin,
 
     "q36_histogram" ->
       """SELECT CAST(FLOOR(l_extendedprice / 10000) AS INTEGER) AS bucket,

@@ -38,16 +38,23 @@ final class TransformStream(
     checkpointDir: String,
     preferredLocations: String,
     maxFilesPerTrigger: Int = 1,
-    frozenNow: Option[String] = None) {
+    frozenNow: Option[String] = None,
+    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None) {
 
+  /** `trigger` mirrors the reference's timer cadence (cron `0 *&#47;2 * * * *`,
+    * EtlProcess.cs:23): pass `Trigger.ProcessingTime("2 minutes")` for the
+    * production shape; tests/demos omit it and drain with
+    * `processAllAvailable()`. */
   def start(): StreamingQuery = {
     val src = spark.readStream
       .schema(Model.sampleItemSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(landingDir)
 
-    src.writeStream
+    val writer0 = src.writeStream
       .option("checkpointLocation", checkpointDir)
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    writer
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           val batchGuid = UUID.randomUUID().toString // P4: driver-side, per batch

@@ -477,6 +477,48 @@ object Relational {
         .orderBy(col("bucket"))
     }),
 
+    // ---- TPC-H Q2 shape: correlated-min subquery (cheapest supplier per part)
+    "q43_min_cost_supp" -> ((s, dir) => {
+      // raw IEEE double division (identical bits in both engines); decimal
+      // division would round at engine-specific scales and diverge
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val minCost = ps.groupBy(col("l_partkey").as("pk"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      ps.join(minCost, col("l_partkey") === col("pk") &&
+          col("unit_cost") === col("min_cost"))
+        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_suppkey"), col("unit_cost"))
+        .orderBy(col("p_partkey"), col("l_suppkey"))
+    }),
+
+    // ---- TPC-H Q11 shape: HAVING against a global scalar aggregate
+    "q44_important_stock" -> ((s, dir) => {
+      val value = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("part_value"))
+      val threshold = value.agg((sum(dec(col("part_value"))).cast(D) * 0.0002)
+        .as("thresh"))
+      value.crossJoin(broadcast(threshold))
+        .filter(col("part_value") > col("thresh"))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // ---- NOT IN with non-null key set (anti join; the classic null trap
+    // is avoided by construction and documented in the oracle)
+    "q45_not_in" -> ((s, dir) => {
+      val bigOrderParts = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49).select(col("l_partkey")).distinct()
+      t(s, dir, "part")
+        .join(bigOrderParts, col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("p_brand"))
+    }),
+
     // ---- time-series analytics: month-over-month revenue change
     // (windowed lag over a pre-aggregated series — two-level plan)
     "q42_mom_change" -> ((s, dir) => {
@@ -693,6 +735,32 @@ object Relational {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q43_min_cost_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, l_suppkey, unit_cost
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'PROMO'
+        |AND unit_cost = (SELECT min(unit_cost) FROM ps p2 WHERE p2.l_partkey = ps.l_partkey)
+        |ORDER BY p_partkey, l_suppkey""".stripMargin,
+
+    "q44_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, part_value FROM v
+        |WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) * 0.0002 FROM v)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q45_not_in" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q42_mom_change" ->
       """WITH monthly AS (

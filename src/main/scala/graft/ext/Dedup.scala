@@ -59,6 +59,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** APPLY exact dedup: the corpus with one survivor (min doc_id) per
+    * content-hash group. One window pass partitioned by the hash — at
+    * scale this is a single shuffle on a well-distributed 128-bit key. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** APPLY near-dedup from a pair set (i keeps, j drops): remove every
+    * doc that appears as the `j` of a pair — a left-anti join against the
+    * (deduplicated) drop-side ids. Pairs from any detector
+    * ([[ngramJaccardPairs]], [[minhashLshPairs]], [[simhashPairs]]). */
+  def applyPairDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("j").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** (doc_id, shingle) inverted index, distinct. */
   private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh")).distinct()

@@ -65,6 +65,11 @@ object Extensions {
       Dedup.exactGroups(plantedDocs(s, dir)).orderBy(col("h"))
     }),
 
+    "dedup_apply_exact" -> ((s, dir) => {
+      Dedup.dedupExact(plantedDocs(s, dir))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(plantedDocs(s, dir), n = 3, threshold = 0.5)
         .orderBy(col("i"), col("j"))
@@ -195,6 +200,13 @@ object Extensions {
       s"""WITH $plantedSql
          |SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n
          |FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "dedup_apply_exact" ->
+      s"""WITH $plantedSql
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM docs)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $plantedSql,

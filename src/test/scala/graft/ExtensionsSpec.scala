@@ -20,6 +20,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(groups.forall(_.getAs[Long]("n") == 2))
   }
 
+  test("applying dedup removes exactly the planted copies, keeping min ids") {
+    val planted = Extensions.plantedDocs(spark, sf)
+    val deduped = Dedup.dedupExact(planted)
+    val nPlantedExact = docs.filter(col("doc_id") % 25 === 0).count()
+    assert(deduped.count() == planted.count() - nPlantedExact)
+    // survivors are the ORIGINAL ids, not the +200000 copies
+    assert(deduped.filter(col("doc_id") >= 200000).count() == 0)
+    // pair-based apply drops the j-side of near-dup pairs
+    val pairs = Dedup.ngramJaccardPairs(planted, 3, 0.5)
+    val after = Dedup.applyPairDedup(planted, pairs)
+    assert(after.count() < planted.count())
+    assert(after.join(pairs.select(col("j").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").count() == 0, "a dropped doc survived")
+  }
+
   test("ngram jaccard finds planted near-dups with high similarity") {
     val pairs = Dedup.ngramJaccardPairs(Extensions.plantedDocs(spark, sf), 3, 0.5)
     val near = pairs.filter(col("j") - col("i") === 100000).collect()

@@ -40,7 +40,10 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       struct(
         lit("fake/v1").as("format"),
-        length(col("text")).cast("long").as("n_bytes"),
+        // byte length of the UTF-8 payload, not character count — length()
+        // on the binary cast counts bytes, agreeing with the payload column
+        // (and DuckDB's octet_length) for non-ASCII text too
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
         col("source").as("source")).as("meta"))
 
   /** STUB — deterministic fake decode (`???`-equivalent, see note above):

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * All samplers are HASH-based rather than RNG-based: membership is a
+  * pure function of the row key, so samples are (a) reproducible across
+  * runs/partitionings/cluster sizes, (b) consistent between tables (the
+  * same key always lands in the sample — joinable samples), and (c)
+  * embarrassingly parallel — a pushed-down filter, no shuffle, no state.
+  * That is the only sampling discipline that survives a 100 TB rerun;
+  * `rand()`-based `df.sample` changes membership under retries and AQE
+  * re-planning.
+  *
+  * The hash is [[Dedup.portableHash32]] (md5-derived) so every sampler is
+  * DuckDB-oracle-checkable bit-for-bit; at production scale substitute
+  * xxhash64 for md5 — same plan shape, ~10× cheaper per row.
+  */
+object Sampling {
+
+  /** Uniform `pct`% sample: keep rows whose key hashes into the first
+    * `pct` of 100 buckets. */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(pmod(Dedup.portableHash32(key.cast("string")), lit(100)) < pct)
+  }
+
+  /** Stratified sample with a per-stratum rate (percent). Rows in strata
+    * absent from `rates` are dropped. One case-expression filter — still
+    * no shuffle; rebalancing skewed strata (e.g. downsampling the 90%
+    * majority language to match minorities) costs the same as a WHERE. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int]): DataFrame = {
+    val rate = rates.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(Dedup.portableHash32(key.cast("string")), lit(100)) < rate)
+  }
+}

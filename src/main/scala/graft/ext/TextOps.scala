@@ -77,6 +77,16 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus vocabulary: per token, total occurrences and document
+    * frequency. One explode + one grouped aggregation (count-distinct on
+    * doc_id plans as a two-phase expand-agg, all partials map-side).
+    * Feeding a tokenizer-training step at 100 TB this is the whole job:
+    * a single shuffle keyed by term. */
+  def vocab(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+
   /** One-pass per-document stats table over a (doc_id, text) frame. */
   def textStats(df: DataFrame): DataFrame = {
     val txt = col("text")

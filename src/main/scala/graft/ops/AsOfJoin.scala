@@ -40,8 +40,13 @@ object AsOfJoin {
       col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
       lit(null).cast(lStructType).as("_lv"), rStruct.as("_rv"))
 
+    // `_rv` as the final sort key makes the pick deterministic when several
+    // right rows share the same (key, rightTime): the running `last` always
+    // sees them in the same order regardless of partitioning/run (struct
+    // ordering is lexicographic over the carried values). Left rows have a
+    // null `_rv` — constant, so their relative order is unaffected.
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lPrep.unionByName(rPrep)

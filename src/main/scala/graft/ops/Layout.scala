@@ -47,6 +47,12 @@ object Layout {
     * (single giant key inside one shuffle block). */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full-outer would emit each UNMATCHED small-side row once per
+    // salt replica — silently wrong; only left-preserving types are sound
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi").contains(normalized),
+      s"saltedJoin: joinType '$joinType' not supported — the small side is " +
+        "replicated ×salts, so only inner/left_outer/left_semi are sound")
     val saltedL = skewed.withColumn("_salt",
       (rand(seed = 7) * salts).cast("int"))
     val saltedR = small.withColumn("_salt",

@@ -67,7 +67,10 @@ final class ExtractLoadJob(
         val start = new Timestamp(lease.startMillis)
         def releaseAndAudit(succeeded: Boolean, msg: String): Unit = {
           val end = new Timestamp(System.currentTimeMillis())
-          lock.release()
+          if (!lock.release(lease))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"RunLock: worker $worker lost its lease before release " +
+                "(expired and stolen); leaving the new holder's lock")
           audit.append(spark, OrchestrationRun(
             id = UUID.randomUUID().toString,
             StartTime = start,

@@ -14,7 +14,12 @@ import java.util.UUID
   *  - CAS primitive: `Files.createFile` (O_CREAT|O_EXCL — atomic, exactly
   *    one winner) replaces Cosmos's `IfMatchEtag`; expired-lease takeover
   *    uses atomic rename-to-graveyard (exactly one renamer wins on POSIX).
-  *  - release deletes the lock; the caller appends the audit row.
+  *  - release is HOLDER-VERIFIED, mirroring ReleaseLeaseAsync's ETag CAS
+  *    (EtlProcess.cs:321-338): the lock content is compared to the caller's
+  *    lease before deletion, so a slow holder whose expired lease was
+  *    stolen cannot delete the new holder's lock — it just lost the lease.
+  *  - an unparseable lock file (crash between create and write) self-
+  *    expires on file mtime, like the reference lease's LeaseTimeOut.
   *
   * On a real cluster this lives on shared storage (HDFS/NFS/object store
   * with conditional put); the semantics — skip the run if another driver
@@ -43,11 +48,15 @@ final class RunLock(dir: Path, timeoutMillis: Long = 5 * 60 * 1000) {
       Some(Lease(worker, nowMillis, forced = false))
     } catch {
       case _: FileAlreadyExistsException =>
-        val expired = try {
-          val lines = new String(Files.readAllBytes(lockFile),
-            StandardCharsets.UTF_8).split("\n")
-          lines.length >= 2 && nowMillis > lines(1).trim.toLong + timeoutMillis
-        } catch { case _: Exception => false } // partial write → treat as live
+        val expired = readLock() match {
+          case Some((_, start)) => nowMillis > start + timeoutMillis
+          case None =>
+            // partial/empty write (crash between createFile and writeLock):
+            // fall back to file mtime so the stale lock self-expires instead
+            // of blocking every future run forever
+            try nowMillis > Files.getLastModifiedTime(lockFile).toMillis + timeoutMillis
+            catch { case _: Exception => false } // vanished → racing release; skip
+        }
         if (!expired) None
         else {
           // forced takeover of a timed-out lease (EtlProcess.cs:286-292):
@@ -67,8 +76,30 @@ final class RunLock(dir: Path, timeoutMillis: Long = 5 * 60 * 1000) {
     }
   }
 
-  /** Release resets the lock (EtlProcess.cs:321-338). Holder-only by contract. */
-  def release(): Unit = Files.deleteIfExists(lockFile)
+  private def readLock(): Option[(String, Long)] =
+    try {
+      val lines = new String(Files.readAllBytes(lockFile),
+        StandardCharsets.UTF_8).split("\n")
+      if (lines.length >= 2) Some((lines(0).trim, lines(1).trim.toLong)) else None
+    } catch { case _: Exception => None }
+
+  /** Holder-verified release (EtlProcess.cs:321-338): only the lease that
+    * currently OWNS the lock may delete it. A slow worker releasing after
+    * its lease expired and was stolen gets `false` ("lost lease") and must
+    * leave the new holder's lock alone — without this check, the stale
+    * release would free the lock under the new holder and a third worker
+    * could acquire while the second still runs. */
+  def release(lease: Lease): Boolean = readLock() match {
+    case Some((w, s)) if w == lease.worker && s == lease.startMillis =>
+      // atomic rename-then-delete: exactly one of {releaser, stealer} wins
+      val graveyard = dir.resolve(s".lease-released-${UUID.randomUUID()}")
+      try {
+        Files.move(lockFile, graveyard, StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(graveyard)
+        true
+      } catch { case _: NoSuchFileException => false }
+    case _ => false // lost lease: a newer holder owns (or already freed) it
+  }
 
   def isLocked: Boolean = Files.exists(lockFile)
 }

@@ -481,14 +481,17 @@ object Relational {
     "q43_min_cost_supp" -> ((s, dir) => {
       // raw IEEE double division (identical bits in both engines); decimal
       // division would round at engine-specific scales and diverge
+      // correlated min via a window over the aggregated (part, supp) rows:
+      // one lineitem scan + two shuffles. The naive self-join against a
+      // per-part min recomputes the whole aggregation subtree on both
+      // branches (Spark plans the CTE twice) and adds a third shuffle.
       val ps = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-      val minCost = ps.groupBy(col("l_partkey").as("pk"))
-        .agg(min(col("unit_cost")).as("min_cost"))
-      ps.join(minCost, col("l_partkey") === col("pk") &&
-          col("unit_cost") === col("min_cost"))
-        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+      ps.withColumn("min_cost",
+          min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("unit_cost") === col("min_cost"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("l_suppkey"), col("unit_cost"))
         .orderBy(col("p_partkey"), col("l_suppkey"))

@@ -26,10 +26,36 @@ class RunLockSpec extends SparkSpec {
 
   test("release frees the lease") {
     val l = freshLock()
-    assert(l.tryAcquire("w1").isDefined)
-    l.release()
+    val lease = l.tryAcquire("w1")
+    assert(lease.isDefined)
+    assert(l.release(lease.get))
     assert(!l.isLocked)
     assert(l.tryAcquire("w2").isDefined)
+  }
+
+  test("stale release after steal does NOT delete the new holder's lock") {
+    val l = freshLock(timeoutMs = 1000)
+    val old = l.tryAcquire("w1", nowMillis = 1000)
+    val stolen = l.tryAcquire("w2", nowMillis = 5000) // w1 long expired
+    assert(stolen.isDefined && stolen.get.forced)
+    // slow original holder finishes late: release must be refused
+    assert(!l.release(old.get), "stale holder must lose the lease, not free it")
+    assert(l.isLocked, "new holder's lock must survive the stale release")
+    assert(l.tryAcquire("w3", nowMillis = 5500).isEmpty, "no third worker may acquire")
+    assert(l.release(stolen.get))
+  }
+
+  test("unparseable (empty) lock file self-expires on mtime") {
+    val dir = Files.createTempDirectory("runlock")
+    val l = new RunLock(dir, 50)
+    // simulate a crash between createFile and writeLock
+    val lockFile = Files.createFile(dir.resolve("lease.lock"))
+    val mtime = Files.getLastModifiedTime(lockFile).toMillis
+    assert(l.tryAcquire("w1", nowMillis = mtime + 10).isEmpty,
+      "fresh empty lock is live")
+    val lease = l.tryAcquire("w1", nowMillis = mtime + 200)
+    assert(lease.isDefined && lease.get.forced,
+      "stale empty lock must expire via mtime instead of blocking forever")
   }
 
   test("expired lease is taken over with forced=true") {

@@ -27,6 +27,21 @@ object Sampling {
     df.filter(pmod(Dedup.portableHash32(key.cast("string")), lit(100)) < pct)
   }
 
+  /** Fixed-size per-stratum sample: the `n` rows of each stratum whose
+    * keys hash lowest — a deterministic stand-in for per-group reservoir
+    * sampling. One window pass partitioned by stratum; at scale each
+    * stratum's rows shuffle once to its partition and the hash order makes
+    * the pick independent of arrival order (rerun-stable, unlike a
+    * reservoir fed by a nondeterministic scan order). */
+  def hashSampleNPerStratum(df: DataFrame, key: Column, stratum: Column,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(Dedup.portableHash32(key.cast("string")), key)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
   /** Stratified sample with a per-stratum rate (percent). Rows in strata
     * absent from `rates` are dropped. One case-expression filter — still
     * no shuffle; rebalancing skewed strata (e.g. downsampling the 90%

@@ -182,6 +182,48 @@ object Similarity {
   }
   private def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
 
+  /** Per-label mean centroids of an (vec_id, label, embedding) table:
+    * (clabel, cv: array<double>, cnrm).
+    *
+    * The per-dimension mean goes through an exact DECIMAL(20,10) sum —
+    * double sums are partition-order-dependent, decimal sums are
+    * associative, so the centroid (and everything downstream) is
+    * bit-reproducible at any parallelism and matches the DuckDB oracle.
+    * Plan: one posexplode (×dim rows, map-local) → one grouped agg on
+    * (label, pos) with map-side partials → one tiny agg to reassemble the
+    * vector. Output is k rows — broadcastable at any corpus size. */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("label"), vec(col("embedding")).as("v"))
+    val cd = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(20,10)")).cast("double") /
+        count(lit(1))).as("m"))
+    cd.groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("clabel"),
+        transform(col("pm"), p => p.getField("m")).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+  }
+
+  /** k-means E-step against the label centroids: every vector is assigned
+    * to its nearest centroid by cosine (deterministic tie-break on the
+    * larger label). Centroids broadcast; the corpus is scanned once with
+    * no shuffle of the vectors themselves — the 100 TB-shaped plan for
+    * any fixed-codebook assignment (IVF cell assignment is this same op).
+    * Returns (vec_id, label, assigned, cos). */
+  def centroidAssign(emb: DataFrame): DataFrame = {
+    val cent = labelCentroids(emb)
+    val n = emb.select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val scored = n.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel").desc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("assigned"), col("cos"))
+  }
+
   /** Most-similar within-label pairs (embedding-cosine near-dup with label
     * blocking — the blocking key caps pair growth at scale). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {

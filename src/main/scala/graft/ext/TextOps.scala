@@ -87,6 +87,27 @@ object TextOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Gopher-style quality gate over a (doc_id, text) frame: per-doc
+    * length / mean-token-length / stopword / punctuation signals and a
+    * composite `keep` flag (0/1). Pure column expressions — the gate runs
+    * at scan speed and, placed before expensive stages (dedup, embedding),
+    * prunes the corpus where it is cheapest: at the source. */
+  def qualityFlags(df: DataFrame,
+      minTokens: Int = 10, maxTokens: Int = 5000,
+      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+      minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): DataFrame = {
+    val txt = col("text")
+    val nTok = tokenCount(txt)
+    val meanLen = length(regexp_replace(trim(txt), "\\s+", "")).cast("double") / nTok
+    val keep = nTok.between(minTokens, maxTokens) &&
+      meanLen.between(minMeanTokLen, maxMeanTokLen) &&
+      stopRatio(txt, defaultStopwords) >= minStopRatio &&
+      punctRatio(txt) <= maxPunctRatio
+    df.select(col("doc_id"), nTok.as("n_tokens"),
+      round(meanLen, 4).as("mean_tok_len"),
+      when(keep, 1).otherwise(0).as("keep"))
+  }
+
   /** One-pass per-document stats table over a (doc_id, text) frame. */
   def textStats(df: DataFrame): DataFrame = {
     val txt = col("text")

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.ext.{Cluster, Dedup, Sampling, Similarity, TextOps}
+
+/** Corpus-preparation queries for the training-data pipeline surface:
+  * vocabulary / n-gram statistics, deterministic sampling, transitive
+  * (clustered) dedup application, quality filtering, and centroid
+  * assignment over embeddings. Every entry is oracle-checked against
+  * DuckDB (the connected-components oracle is a recursive CTE).
+  */
+object Corpus {
+
+  /** Near-dup pair set feeding the clustering queries — the (already
+    * oracle-checked) n-gram Jaccard detector over the planted corpus. */
+  private def plantedPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Extensions.plantedDocs(s, dir), n = 3, threshold = 0.5)
+
+  // DuckDB twin of [[plantedPairs]], as a chain of CTEs ending in jp(i, j).
+  private val pairsSql =
+    s"""${Extensions.plantedSql},
+       |${Extensions.shinglesSql},
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_idx GROUP BY doc_id),
+       |cnt AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+       |  FROM sh_idx a JOIN sh_idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jp AS (
+       |  SELECT i, j FROM cnt
+       |  JOIN sizes si ON cnt.i = si.doc_id
+       |  JOIN sizes sj ON cnt.j = sj.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5)""".stripMargin
+
+  // transitive closure of jp: comps(id, comp = min reachable node)
+  private val compsSql =
+    """edges AS (SELECT i AS s, j AS d FROM jp UNION SELECT j, i FROM jp),
+      |reach(id, comp) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id),
+      |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> ((s, dir) => {
+      TextOps.vocab(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .filter(col("n_docs") >= 5)
+        .orderBy(col("term"))
+    }),
+
+    "text_bigrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("bigram"))
+    }),
+
+    "quality_filter" -> ((s, dir) => {
+      TextOps.qualityFlags(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sample_hash" -> ((s, dir) => {
+      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), pct = 10)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(t(s, dir, "customer"), col("c_custkey"),
+          col("c_mktsegment"),
+          Map("AUTOMOBILE" -> 60, "BUILDING" -> 25, "FURNITURE" -> 10))
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "sample_n_per_stratum" -> ((s, dir) => {
+      Sampling.hashSampleNPerStratum(t(s, dir, "customer"), col("c_custkey"),
+          col("c_mktsegment"), n = 10)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "dedup_cluster" -> ((s, dir) => {
+      Cluster.connectedComponents(plantedPairs(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_apply_cluster" -> ((s, dir) => {
+      Cluster.applyClusterDedup(Extensions.plantedDocs(s, dir), plantedPairs(s, dir))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "dedup_apply_pairs" -> ((s, dir) => {
+      Dedup.applyPairDedup(Extensions.plantedDocs(s, dir), plantedPairs(s, dir))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "embed_centroid_assign" -> ((s, dir) => {
+      Similarity.centroidAssign(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_vocab" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM terms GROUP BY term
+        |HAVING COUNT(DISTINCT doc_id) >= 5 ORDER BY term""".stripMargin,
+
+    "text_bigrams" ->
+      """WITH bg AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents))
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM bg GROUP BY bigram HAVING COUNT(*) >= 10 ORDER BY bigram""".stripMargin,
+
+    "quality_filter" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |  / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_tok_len,
+        |CAST(CASE WHEN
+        |  len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000
+        |  AND CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+        |  AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) >= 0.01
+        |  AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) <= 0.2
+        |THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |  < CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 60 WHEN 'BUILDING' THEN 25
+        |      WHEN 'FURNITURE' THEN 10 ELSE 0 END
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sample_n_per_stratum" ->
+      """SELECT c_custkey, c_mktsegment FROM (
+        |  SELECT c_custkey, c_mktsegment, row_number() OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT),
+        |      c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 10 ORDER BY c_custkey""".stripMargin,
+
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |$compsSql
+         |SELECT id AS doc_id, comp AS cluster_id FROM comps ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply_cluster" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |$compsSql
+         |SELECT doc_id FROM docs
+         |WHERE doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply_pairs" ->
+      s"""WITH $pairsSql
+         |SELECT doc_id FROM docs
+         |WHERE doc_id NOT IN (SELECT j FROM jp)
+         |ORDER BY doc_id""".stripMargin,
+
+    "embed_centroid_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, i,
+        |    CAST(SUM(CAST(v[i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY label, i),
+        |c AS (SELECT label AS clabel, list(m ORDER BY i) AS cv FROM cd GROUP BY label),
+        |cn AS (SELECT clabel, cv,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM c),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |scored AS (
+        |  SELECT vec_id, label, clabel,
+        |    round(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2]))
+        |      / (nrm * cnrm), 4) AS cos
+        |  FROM n CROSS JOIN cn)
+        |SELECT vec_id, label, clabel AS assigned, cos FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, clabel DESC) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  )
+}

@@ -28,7 +28,7 @@ object Extensions {
     base.unionByName(exact).unionByName(near)
   }
 
-  private val plantedSql =
+  private[queries] val plantedSql =
     """docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
@@ -38,7 +38,7 @@ object Extensions {
 
   // shared SQL fragments ----------------------------------------------------
   private val hSql = "CAST(concat('0x', substr(md5(%s), 1, 8)) AS BIGINT)"
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """sh_idx AS (
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),

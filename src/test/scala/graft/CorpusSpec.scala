@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Cluster, Sampling, Similarity, TextOps}
+
+/** Specs for the corpus-preparation ops: connected-component dedup
+  * clustering, deterministic hash sampling, quality gating, vocabulary,
+  * and centroid assignment. */
+class CorpusSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("connectedComponents merges transitive chains (A~B, B~C => one cluster)") {
+    // two chains and one isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("i", "j")
+    val comps = Cluster.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("applyClusterDedup keeps exactly one survivor per component") {
+    val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val kept = Cluster.applyClusterDedup(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    // component {1,2,3} -> 1 survives; {5,6} -> 5; 4 untouched (singleton)
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("hashSample is deterministic, key-consistent, and near the target rate") {
+    val df = spark.range(10000).toDF("doc_id")
+    val s1 = Sampling.hashSample(df, col("doc_id"), 10).as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df.repartition(13), col("doc_id"), 10)
+      .as[Long].collect().toSet
+    assert(s1 == s2, "membership must not depend on partitioning")
+    assert(math.abs(s1.size - 1000) < 150, s"rate off: ${s1.size}/10000")
+    // key-consistency: sampling a DIFFERENT table on the same key keeps
+    // exactly the same keys (joinable samples)
+    val other = spark.range(10000).toDF("doc_id").withColumn("x", col("doc_id") * 2)
+    val s3 = Sampling.hashSample(other, col("doc_id"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s3)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates and drops unknown strata") {
+    val df = spark.range(9000).toDF("k")
+      .withColumn("s", element_at(array(lit("a"), lit("b"), lit("c")),
+        (col("k") % 3 + 1).cast("int")))
+    val out = Sampling.stratifiedHashSample(df, col("k"), col("s"),
+      Map("a" -> 50, "b" -> 10)).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("c"), "unlisted stratum must be dropped")
+    assert(math.abs(out("a") - 1500) < 200, s"a: ${out("a")}/3000 at 50%")
+    assert(math.abs(out("b") - 300) < 100, s"b: ${out("b")}/3000 at 10%")
+  }
+
+  test("hashSampleNPerStratum returns exactly n per stratum, rerun-stable") {
+    val df = spark.range(1000).toDF("k")
+      .withColumn("s", (col("k") % 4).cast("string"))
+    val pick = Sampling.hashSampleNPerStratum(df, col("k"), col("s"), 7)
+    val counts = pick.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(7L))
+    val again = Sampling.hashSampleNPerStratum(df.repartition(11), col("k"), col("s"), 7)
+    assert(pick.select("k").as[Long].collect().toSet ==
+      again.select("k").as[Long].collect().toSet)
+  }
+
+  test("qualityFlags keeps normal prose and rejects degenerate docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank today"),
+      (2L, "word"), // too few tokens
+      (3L, ("a " * 50).trim), // mean token length 1 — too short
+      (4L, "the " + "...... ,,,,, !!!!! " * 20) // punctuation soup
+    ).toDF("doc_id", "text")
+    val keep = TextOps.qualityFlags(docs)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(keep(1L) == 1)
+    assert(keep(2L) == 0 && keep(3L) == 0 && keep(4L) == 0)
+  }
+
+  test("vocab counts occurrences and document frequency") {
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = TextOps.vocab(docs).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v("a") == ((3L, 2L)) && v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
+  }
+
+  test("centroidAssign assigns separated clusters back to their own centroid") {
+    // two well-separated label clusters in 4-d
+    val rows = (0 until 20).map { i =>
+      val lbl = i % 2
+      val base = if (lbl == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
+      val jit = (i / 2) * 0.01f
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        if (d == 1 || d == 3) jit else x }.toSeq, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidAssign(rows)
+      .select("label", "assigned").as[(Int, Int)].collect()
+    assert(out.forall { case (l, a) => l == a },
+      "every vector's nearest centroid must be its own label's")
+  }
+}

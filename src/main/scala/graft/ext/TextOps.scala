@@ -87,6 +87,21 @@ object TextOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
 
+  // RE2-safe patterns (no backrefs/lookahead) so the SAME regex runs in
+  // Spark (java.util.regex) and DuckDB (RE2) with identical matches
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+
+  /** PII/boilerplate redaction: emails and URLs replaced by placeholder
+    * tokens. A pure scan-speed column rewrite — the standard pre-training
+    * scrub runs in the same codegen stage as the parquet read. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+      urlPattern, "<URL>")
+
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
   /** Gopher-style quality gate over a (doc_id, text) frame: per-doc
     * length / mean-token-length / stopword / punctuation signals and a
     * composite `keep` flag (0/1). Pure column expressions — the gate runs

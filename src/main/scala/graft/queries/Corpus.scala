@@ -100,6 +100,38 @@ object Corpus {
     "embed_centroid_assign" -> ((s, dir) => {
       Similarity.centroidAssign(t(s, dir, "embeddings"))
         .orderBy(col("vec_id"))
+    }),
+
+    // fixture text has no PII, so emails/URLs are planted on doc_id%10==0
+    // (same arithmetic in the oracle) to prove the scrub actually fires
+    "text_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"),
+            lit(" contact bob@example.com see https://example.com/page")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          TextOps.countMatches(col("text"), TextOps.emailPattern).as("n_emails"),
+          TextOps.countMatches(col("text"), TextOps.urlPattern).as("n_urls"),
+          md5(TextOps.redactPii(col("text"))).as("red_h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID quality against the fixture's ground-truth lang column
+    "text_lang_confusion" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+
+    "docs_by_source" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+            .as("avg_chars"))
+        .orderBy(col("source"))
     })
   )
 
@@ -199,6 +231,41 @@ object Corpus {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY cos DESC, clabel DESC) AS rn
         |  FROM scored)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' contact bob@example.com see https://example.com/page'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g')) AS red_h
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "text_lang_confusion" ->
+      """SELECT lang,
+        |CASE
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is')))
+        |    >= len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('el','la','de','los','es')))
+        |   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is')))
+        |    >= len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('der','die','das','und','ist')))
+        |  THEN 'en'
+        |  WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('el','la','de','los','es')))
+        |    >= len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('der','die','das','und','ist')))
+        |  THEN 'es' ELSE 'de' END AS lang_guess,
+        |CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+
+    "docs_by_source" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -224,6 +224,56 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("clabel").as("assigned"), col("cos"))
   }
 
+  /** Distributed k-means (Lloyd) over the full corpus — unlike
+    * [[ivfTopK]]'s sample-trained quantizer, every E-step scans all
+    * vectors and every M-step aggregates all of them; the driver only
+    * ever holds the k×dim centroid matrix.
+    *
+    * Deterministic at any parallelism: init picks the k vectors with the
+    * lowest portable hash of vec_id (no RNG), the E-step breaks distance
+    * ties toward the lower cell index, and the M-step sums coordinates in
+    * exact DECIMAL — so reruns, repartitions, and cluster resizes all
+    * produce the identical model. Per iteration: one broadcast-free scan
+    * (centroids are literals compiled into the plan) + one grouped
+    * aggregation of k×dim partial sums — the 100 TB cost is iters × one
+    * pass over the data, with only k×dim rows ever collected. */
+  def kMeans(emb: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+    var centroids = e
+      .withColumn("h", Dedup.portableHash32(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k, s"corpus has fewer than $k vectors")
+    val dim = centroids(0).length
+    for (_ <- 0 until iters) {
+      val sums = assignCells(e, centroids)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("decimal(20,10)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(k)(c => centroids(c).clone()) // empty cell keeps its centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    assignCells(e, centroids).select(col("vec_id"), col("cell"))
+  }
+
+  /** E-step: nearest centroid by squared L2 (ties to the lower index).
+    * ||v-c||² = v·v − 2 v·c + c·c, with v·v computed once per row. */
+  private def assignCells(e: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val withVv = e.withColumn("_vv", dot(col("v"), col("v")))
+    val scores = centroids.zipWithIndex.map { case (cvec, i) =>
+      val cCol = array(cvec.map(lit(_)): _*)
+      struct((col("_vv") - lit(2.0) * dot(col("v"), cCol) +
+        lit(dotArr(cvec, cvec))).as("d"), lit(i).as("c"))
+    }
+    withVv.withColumn("cell", array_min(array(scores: _*)).getField("c"))
+      .drop("_vv")
+  }
+
   /** Most-similar within-label pairs (embedding-cosine near-dup with label
     * blocking — the blocking key caps pair growth at scale). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {

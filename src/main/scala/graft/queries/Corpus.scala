@@ -125,6 +125,14 @@ object Corpus {
         .orderBy(col("lang"), col("lang_guess"))
     }),
 
+    // NO SQL oracle (iterative model training — k Lloyd passes are not
+    // one SQL query); determinism and clustering quality are spec-gated
+    // in CorpusSpec, driver records a rows-only check.
+    "embed_kmeans" -> ((s, dir) => {
+      Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 3)
+        .orderBy(col("vec_id"))
+    }),
+
     "docs_by_source" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("source"))

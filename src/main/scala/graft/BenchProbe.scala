@@ -41,6 +41,15 @@ object BenchProbe {
     time("minhash_lsh_pairs")(Dedup.minhashLshPairs(docs).count())
     time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
+    spark.catalog.clearCache()
+    time("cc_cluster")(graft.ext.Cluster.connectedComponents(
+      Dedup.ngramJaccardPairs(docs)).count())
+    spark.catalog.clearCache()
+    time("cc_apply")(graft.ext.Cluster.applyClusterDedup(docs,
+      Dedup.ngramJaccardPairs(docs)).count())
+    spark.catalog.clearCache()
+    time("pairs_apply")(Dedup.applyPairDedup(docs,
+      Dedup.ngramJaccardPairs(docs)).count())
     spark.stop()
   }
 }

@@ -30,33 +30,47 @@ object Cluster {
     * (doc_id, cluster_id = min node id reachable). Singleton docs (no
     * pair) are by definition their own cluster and are not emitted. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+    // pin the pair set first: building the symmetric edge list reads it
+    // twice, and for detector output that would re-run the whole blocked
+    // candidate pipeline per branch
+    val p = pairs.select(col("i"), col("j"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = p.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(p.select(col("j").as("src"), col("i").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count() // materialize; the raw pairs are not needed beyond this
+    p.unpersist()
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with one propagation for free: label(v) = min(v, min neighbor)
+    // — the same aggregation the node-list distinct would cost anyway
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // neighbor minimum: one equi-join on dst + one min-agg (partial
-      // aggregation ships one row per (src) per map task)
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+      // aggregation ships one row per (src) per map task). Inner join is
+      // safe: the edge list is symmetric, so every node has a neighbor.
+      val lbl = labels.select(col("id"), col("comp"))
+      val nbrMin = sym.join(lbl, sym("dst") === lbl("id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      val stepped = lbl.join(nbrMin, Seq("id"))
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          least(col("comp"), col("nbr_comp")).as("comp"),
           col("comp").as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.filter(col("comp") =!= col("prev")).count()
+      // the ONE action per round: materializes the cache and counts moved
+      // labels in the same pass. The new generation (with its harmless
+      // `prev` rider) is pinned before the old one is dropped — otherwise
+      // the lazy lineage re-runs the whole join chain every later round.
+      val changed = stepped.filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
-      labels = next.select(col("id"), col("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.unpersist()
+      labels = stepped
       converged = changed == 0
       iter += 1
     }

@@ -76,6 +76,26 @@ object Dedup {
     docs.join(pairs.select(col("j").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word n-gram with any document of `benchmark` (the eval
+    * sets that must not leak into training data).
+    *
+    * Plan shape for 100 TB: the benchmark shingle set is tiny (eval sets
+    * are thousands of docs) and broadcast, so the corpus is one scan —
+    * shingle-explode → broadcast LEFT SEMI to find contaminated ids →
+    * left-anti against the corpus. No shuffle of the corpus at all when
+    * the benchmark side broadcasts; with a huge benchmark the same plan
+    * degrades gracefully to a shuffled semi join on the shingle key. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(shingles(col("text"), n)).as("sh")).distinct()
+    val contaminated = corpus
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** (doc_id, shingle) inverted index, distinct. */
   private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh")).distinct()

@@ -65,4 +65,19 @@ object Layout {
     * final sort. */
   def globalSortedLayout(df: DataFrame, key: Column, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+
+  /** Compact a table into ~`targetRowsPerFile`-row parquet files,
+    * range-clustered and sorted on `key` — the maintenance pass that keeps
+    * a 100 TB table healthy: small-file merge (file count = ceil(n/target),
+    * not one-per-task), plus key clustering so each file covers a narrow
+    * disjoint key range and min/max row-group pruning can skip whole files
+    * on key-predicate scans. One count + one range shuffle. */
+  def compactTo(df: DataFrame, path: String, key: Column,
+      targetRowsPerFile: Long): Unit = {
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(files, key)
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -92,6 +92,18 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // benchmark decontamination: the "eval set" is a 20-token slice of
+    // every 50th document, so the contaminated docs are exactly those
+    // sources (and provably detected via shared 8-grams, not ids)
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 7)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+      Dedup.decontaminate(docs, bench, n = 8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "dedup_apply_pairs" -> ((s, dir) => {
       Dedup.applyPairDedup(Extensions.plantedDocs(s, dir), plantedPairs(s, dir))
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -240,6 +252,22 @@ object Corpus {
         |    PARTITION BY vec_id ORDER BY cos DESC, clabel DESC) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "dedup_decontaminate" -> {
+      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH bench AS (
+         |  SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ') AS text
+         |  FROM documents WHERE doc_id % 50 = 7),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM bench)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_redact" ->
       """WITH planted AS (

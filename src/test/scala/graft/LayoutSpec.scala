@@ -64,4 +64,29 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compactTo merges to ceil(n/target) files with disjoint key ranges") {
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val n = orders.count()
+    val target = 500L
+    Layout.compactTo(orders, out, col("o_orderkey"), target)
+    val expected = ((n + target - 1) / target).toInt
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length == expected,
+      s"wanted $expected compacted files for $n rows, got ${files.length}")
+    // every file must cover a disjoint o_orderkey range (min/max pruning)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"),
+        count(lit(1)).as("rows"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"file key ranges overlap: $a $b")
+      case _ =>
+    }
+    assert(ranges.map(_._3).sum == n, "compaction lost rows")
+  }
 }

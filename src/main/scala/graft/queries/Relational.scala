@@ -522,6 +522,53 @@ object Relational {
         .orderBy(col("p_brand"))
     }),
 
+    // ---- TPC-H Q21 shape (no receiptdate in the fixture, so the "late"
+    // predicate becomes returnflag='R'): suppliers that were the ONLY
+    // flagged supplier on a multi-supplier finished order. EXISTS → left
+    // semi with an extra non-equi predicate, NOT EXISTS → left anti; all
+    // three legs shuffle once on l_orderkey and the dimension broadcasts.
+    "q46_exists_chain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val only = l1
+        .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+      only.join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+
+    // ---- TPC-H Q22 shape (no phone column, so the country-code bucket is
+    // c_mktsegment): well-funded inactive customers — scalar-average
+    // subquery (broadcast), NOT EXISTS anti join against 'P' orders.
+    "q47_inactive_rich" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "HOUSEHOLD"))
+      // exact decimal sum / count, then one double division — engine-
+      // agnostic, unlike avg(decimal) whose result type differs per engine
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      val pending = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- time-series analytics: month-over-month revenue change
     // (windowed lag over a pre-aggregated series — two-level plan)
     "q42_mom_change" -> ((s, dir) => {
@@ -764,6 +811,33 @@ object Relational {
         |WHERE p_partkey NOT IN (
         |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q46_exists_chain" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |AND EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |  AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q47_inactive_rich" ->
+      """WITH seg AS (
+        |  SELECT * FROM customer
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')),
+        |ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM seg WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM seg CROSS JOIN ab
+        |WHERE c_acctbal > avg_bal
+        |AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q42_mom_change" ->
       """WITH monthly AS (

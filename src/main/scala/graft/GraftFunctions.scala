@@ -3,38 +3,56 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{DotProduct, Winnow}
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
-  * `spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")` works
-  * alongside the Column API.
+  * `spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")` and
+  * `winnow(text[, k, window])` work alongside the Column API.
   */
 object GraftFunctions {
-  private def buildDot(exprs: Seq[Expression]): Expression = {
+  private[graft] def buildDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"dot_product expects 2 arguments, got ${exprs.length}")
     DotProduct(exprs.head, exprs(1))
   }
 
-  /** Register into an existing session (temp function). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", buildDot, "scala_udf")
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"winnow: $name must be an integer literal, got $other")
+  }
+
+  private[graft] def buildWinnow(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(text) => Winnow(text, k = 8, window = 6)
+    case Seq(text, k, w) =>
+      Winnow(text, intArg(k, "k"), intArg(w, "window"))
+    case _ => throw new IllegalArgumentException(
+      s"winnow expects (text) or (text, k, window), got ${exprs.length} arguments")
+  }
+
+  /** Register into an existing session (temp functions). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_product", buildDot, "scala_udf")
+    reg.createOrReplaceTempFunction("winnow", buildWinnow, "scala_udf")
+  }
 
   val dotProductInfo = new ExpressionInfo(
     classOf[DotProduct].getCanonicalName, "dot_product")
+  val winnowInfo = new ExpressionInfo(
+    classOf[Winnow].getCanonicalName, "winnow")
 }
 
 /** Session-creation-time injection for spark-submit users:
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       GraftFunctions.dotProductInfo,
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"dot_product expects 2 arguments, got ${exprs.length}")
-        DotProduct(exprs.head, exprs(1))
-      }))
+      (exprs: Seq[Expression]) => GraftFunctions.buildDot(exprs)))
+    ext.injectFunction((FunctionIdentifier("winnow"),
+      GraftFunctions.winnowInfo,
+      (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
+  }
 }

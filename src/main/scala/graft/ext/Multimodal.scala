@@ -16,6 +16,11 @@ final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
     header_hex: String, payload_sha: String, width: Int, height: Int,
     n_frames: Int, feature: Array[Float])
 
+/** One sampled frame of a video payload (or the single "frame" of a
+  * still image): the unit row after frame-sampling explodes media. */
+final case class MediaFrame(media_id: Long, frame_idx: Int,
+    width: Int, height: Int, frame: Array[Byte])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata (SURVEY.md north-star ops).
   *
@@ -72,6 +77,50 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
     ds.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** STUB frame extraction: a real implementation seeks the codec to every
+    * `stride`-th frame; the fake slices the payload deterministically so
+    * shape properties (row counts, sizes) are exactly testable. */
+  private def fakeFrames(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
+    val f = fakeDecode(r)
+    val picked = (0 until f.n_frames by stride).iterator
+    picked.map { i =>
+      // fake frame bytes: a rotation of the payload, unique per frame
+      val b = r.payload
+      val rot = if (b.isEmpty) b else b.drop(i % b.length) ++ b.take(i % b.length)
+      MediaFrame(r.media_id, i, f.width, f.height, rot)
+    }
+  }
+
+  /** Frame-sampling: one row per kept frame (every `stride`-th). The 1→N
+    * explode happens inside the executor task (flatMap on the typed
+    * Dataset) — frames land as ordinary rows that downstream resize /
+    * embed / dedup operators consume; nothing widens on the driver. At
+    * 100 TB follow this with a repartition on media_id only if a later
+    * stage needs co-located frames. */
+  def sampleFrames(spark: SparkSession, ds: Dataset[MediaRecord],
+      stride: Int = 4): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    ds.flatMap(fakeFrames(_, stride))
+  }
+
+  /** STUB resize: the real kernel is an image-library call per frame; the
+    * fake truncates/pads bytes to the target pixel count so output sizes
+    * are exact. The plumbing is the 100 TB-relevant part: a narrow
+    * map — no shuffle, no driver involvement, output width/height become
+    * plain filterable columns. */
+  def resizeFrames(spark: SparkSession, frames: Dataset[MediaFrame],
+      targetW: Int, targetH: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    frames.map { fr =>
+      val want = targetW * targetH
+      val b = fr.frame
+      val out = if (b.length >= want) b.take(want)
+        else b ++ Array.fill[Byte](want - b.length)(0)
+      MediaFrame(fr.media_id, fr.frame_idx, targetW, targetH, out)
+    }
   }
 
   /** Convenience: documents fixture → typed media dataset. */

@@ -63,4 +63,22 @@ class AsOfJoinSpec extends SparkSpec {
         |FROM emb a WHERE a.vec_id < 5""".stripMargin).collect()
     assert(n.length == 5 && n.forall(_.getDouble(1) > 0))
   }
+
+  test("winnow is callable from SQL, with and without explicit (k, window)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT winnow('the quick brown fox jumps over the lazy dog') AS fp," +
+        " winnow('the quick brown fox jumps over the lazy dog', 8, 6) AS fp2")
+      .collect()(0)
+    val fp = r.getSeq[Long](0)
+    assert(fp.nonEmpty, "winnow returned no fingerprints")
+    assert(fp == r.getSeq[Long](1), "default (k=8,window=6) must match explicit")
+    // matches the Column API exactly
+    val viaCol = spark.range(1).select(
+      graft.functions.Winnow.winnow(
+        org.apache.spark.sql.functions.lit(
+          "the quick brown fox jumps over the lazy dog")).as("fp"))
+      .collect()(0).getSeq[Long](0)
+    assert(fp == viaCol)
+  }
 }

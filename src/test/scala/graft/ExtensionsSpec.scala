@@ -137,4 +137,25 @@ class ExtensionsSpec extends SparkSpec {
     // partition count preserved through mapPartitions
     assert(feats.rdd.getNumPartitions == media.rdd.getNumPartitions)
   }
+
+  test("frame-sampling explodes media 1->N and resize normalizes frame shape") {
+    val media = Multimodal.mediaDataset(spark, docs)
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.media_id -> f.n_frames).toMap
+    val frames = Multimodal.sampleFrames(spark, media, stride = 4)
+    val byMedia = frames.collect().groupBy(_.media_id)
+    // every media row yields ceil(n_frames/stride) frame rows
+    byMedia.foreach { case (id, fs) =>
+      val expect = (feats(id) + 3) / 4
+      assert(fs.length == expect, s"media $id: ${fs.length} frames, want $expect")
+      assert(fs.map(_.frame_idx).toSet == (0 until feats(id) by 4).toSet)
+    }
+    // videos sample multiple frames somewhere in the fixture
+    assert(byMedia.values.exists(_.length > 1), "no multi-frame video sampled")
+    // resize: every frame becomes exactly targetW*targetH bytes
+    val rs = Multimodal.resizeFrames(spark, frames, targetW = 8, targetH = 4)
+      .collect()
+    assert(rs.nonEmpty)
+    assert(rs.forall(f => f.frame.length == 32 && f.width == 8 && f.height == 4))
+  }
 }

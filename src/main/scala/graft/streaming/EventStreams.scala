@@ -57,6 +57,27 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-STREAM interval join: pair each `trigger` row with the
+    * `response` rows of the same `key` arriving within `within` after it
+    * (click→conversion correlation). Both sides carry watermarks and the
+    * join condition bounds event time in both directions, so Spark can
+    * expire buffered state once the watermark passes `trigger.ts +
+    * within` — state is bounded by (watermark + within) horizon, never
+    * the stream length. Response columns come back `_r_`-prefixed. */
+  def correlate(trigger: DataFrame, response: DataFrame, key: String,
+      within: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = trigger.withWatermark("ts", watermark)
+    // rename BEFORE attaching the watermark so the event-time tag
+    // unambiguously rides on the renamed column
+    val r = response.select(response.columns.map(c => col(c).as(s"_r_$c")): _*)
+      .withWatermark("_r_ts", watermark)
+    l.join(r,
+      col(key) === col(s"_r_$key") &&
+        col("_r_ts") >= col("ts") &&
+        col("_r_ts") <= col("ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming exactly-once-per-key dedup: duplicates of `event_id`
     * arriving within the watermark horizon are dropped; state is bounded
     * by the horizon (dropDuplicatesWithinWatermark), not stream length —

@@ -47,6 +47,38 @@ class EventStreamsSpec extends SparkSpec {
       "closed streaming window disagrees with batch aggregation")
   }
 
+  test("stream-stream interval join pairs responses within the time bound") {
+    val dir = landTwoBatches()
+    def src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val types = fixture.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (trigT, respT) = (types(0), types(1))
+    val q = EventStreams.correlate(
+        src.filter(col("event_type") === trigT),
+        src.filter(col("event_type") === respT),
+        "user_id", within = "15 minutes", watermark = "2 hours")
+      .select(col("event_id"), col("_r_event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("correlated").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("correlated").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch ground truth: same pairing as a plain self-join
+    val a = fixture.filter(col("event_type") === trigT)
+      .select(col("event_id").as("i"), col("user_id"), col("ts"))
+    val b = fixture.filter(col("event_type") === respT)
+      .select(col("event_id").as("j"), col("user_id").as("u2"), col("ts").as("t2"))
+    val expect = a.join(b, col("user_id") === col("u2") &&
+        col("t2") >= col("ts") &&
+        col("t2") <= col("ts") + expr("INTERVAL 15 minutes"))
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty, "fixture produced no correlated pairs — bad test setup")
+    assert(got == expect,
+      s"stream join disagrees with batch: ${got.size} vs ${expect.size} pairs")
+  }
+
   test("stream-static enrichment joins every batch against the dimension") {
     val dir = landTwoBatches()
     val dim = fixture.select(col("user_id")).distinct()

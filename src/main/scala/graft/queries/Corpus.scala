@@ -145,6 +145,23 @@ object Corpus {
         .orderBy(col("vec_id"))
     }),
 
+    // SpaceSaving sketch in its exact regime (capacity >= distinct terms
+    // at every tested SF, so err = 0 and counts are exact -> DuckDB-
+    // checkable); the bounded regime's error guarantee is spec-gated
+    "text_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.SpaceSaving(1 << 20)
+      val top = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .as[String]
+        .groupByKey(_ => 0)
+        .agg(agg.toColumn.name("hh"))
+        .flatMap(_._2.take(20))
+      top.toDF()
+        .select(col("item").as("term"), col("count").as("n"))
+        .orderBy(col("n").desc, col("term"))
+    }),
+
     "docs_by_source" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -298,6 +315,13 @@ object Corpus {
         |  THEN 'es' ELSE 'de' END AS lang_guess,
         |CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH terms AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM terms GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     "docs_by_source" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

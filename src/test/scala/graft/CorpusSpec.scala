@@ -99,6 +99,42 @@ class CorpusSpec extends SparkSpec {
     assert(a1.values.toSet.size >= 5, s"degenerate model: ${a1.values.toSet}")
   }
 
+  test("SpaceSaving: exact when capacity suffices, bounded error when it doesn't") {
+    // heavily skewed stream: three items own most of the mass (their
+    // per-partition frequency must clear n_partition/capacity for the
+    // sketch's guaranteed-present bound to apply), plus 47 light items
+    val rows = Seq.fill(30000)("item_1") ++ Seq.fill(15000)("item_2") ++
+      Seq.fill(10000)("item_3") ++
+      (4 to 50).flatMap(k => Seq.fill(100)(s"item_$k"))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ds = spark.createDataset(scala.util.Random.shuffle(rows))(
+      org.apache.spark.sql.Encoders.STRING).repartition(8)
+
+    // exact regime: capacity >= 50 distinct
+    val exact = ds.groupByKey(_ => 0)
+      .agg(new graft.functions.SpaceSaving(1000).toColumn.name("hh"))
+      .collect()(0)._2
+    assert(exact.forall(h => h.err == 0L && truth(h.item) == h.count),
+      "exact regime must report true counts with zero error")
+
+    // bounded regime: capacity 16 << 50 distinct; n/capacity error bound
+    val n = rows.size.toLong
+    val bounded = ds.groupByKey(_ => 0)
+      .agg(new graft.functions.SpaceSaving(16).toColumn.name("hh"))
+      .collect()(0)._2
+    assert(bounded.size <= 16, "sketch exceeded its capacity")
+    bounded.foreach { h =>
+      val t = truth.getOrElse(h.item, 0L)
+      assert(h.count >= t, s"${h.item}: estimate ${h.count} below true $t")
+      assert(h.count - t <= h.err, s"${h.item}: err bound violated")
+    }
+    // with 8 partials merged, the guaranteed-present threshold loosens to
+    // ~numPartitions * n/capacity; the VERY heavy items must still surface
+    val top = bounded.map(_.item).toSet
+    assert((1 to 3).forall(k => top.contains(s"item_$k")),
+      s"heaviest items missing from sketch: $top")
+  }
+
   test("centroidAssign assigns separated clusters back to their own centroid") {
     // two well-separated label clusters in 4-d
     val rows = (0 until 20).map { i =>

@@ -162,6 +162,23 @@ object Corpus {
         .orderBy(col("n").desc, col("term"))
     }),
 
+    // change-log compaction: latest state per entity (MERGE INTO view)
+    "cdc_latest" -> ((s, dir) => {
+      graft.pipeline.Cdc.latestSnapshot(
+          graft.Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SCD-2 history: every change versioned [valid_from, valid_to)
+    "cdc_scd2" -> ((s, dir) => {
+      graft.pipeline.Cdc.scd2(
+          graft.Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("is_current"), col("value"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     "docs_by_source" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -322,6 +339,21 @@ object Corpus {
         |  FROM documents)
         |SELECT term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM terms GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "cdc_latest" ->
+      """SELECT user_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_scd2" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CASE WHEN lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current,
+        |  value
+        |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "docs_by_source" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -162,6 +162,14 @@ object Corpus {
         .orderBy(col("n").desc, col("term"))
     }),
 
+    // NO SQL oracle (iterative tokenizer training); merge sequence and
+    // partitioning-invariance are spec-gated; driver records rows-only.
+    "text_bpe_merges" -> ((s, dir) => {
+      graft.ext.Bpe.trainTable(s,
+          t(s, dir, "documents").select(col("doc_id"), col("text")), nMerges = 10)
+        .orderBy(col("rank"))
+    }),
+
     // change-log compaction: latest state per entity (MERGE INTO view)
     "cdc_latest" -> ((s, dir) => {
       graft.pipeline.Cdc.latestSnapshot(

@@ -135,6 +135,27 @@ class CorpusSpec extends SparkSpec {
       s"heaviest items missing from sketch: $top")
   }
 
+  test("BPE training learns the expected merges and segment() applies them") {
+    // classic toy corpus: "low" x5, "lowest" x2 -> 'l o' dominates (7),
+    // then 'lo w' (7), then 'low' is a full token for the frequent word
+    val docs = Seq((1L, ("low " * 5).trim + " " + ("lowest " * 2).trim))
+      .toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.train(docs, nMerges = 3)
+    assert(merges.map(m => (m.lhs, m.rhs)).take(2) == Seq(("l", "o"), ("lo", "w")),
+      s"unexpected merge sequence: $merges")
+    assert(merges(0).n == 7 && merges(1).n == 7)
+    // determinism under repartitioning
+    val again = graft.ext.Bpe.train(docs.repartition(5), nMerges = 3)
+    assert(merges == again, "BPE merges depend on partitioning")
+    // encode with the learned merges: frequent word collapses to one token
+    val seg = docs.select(graft.ext.Bpe.segment(col("text"), merges).as("s"))
+      .collect()(0).getString(0)
+    assert(seg.startsWith("low low low low low"),
+      s"frequent word not collapsed: $seg")
+    assert(seg.contains("low e s t") || seg.contains("low es t") ||
+      seg.contains("low est"), s"suffix should stay split: $seg")
+  }
+
   test("centroidAssign assigns separated clusters back to their own centroid") {
     // two well-separated label clusters in 4-d
     val rows = (0 until 20).map { i =>

@@ -39,7 +39,12 @@ object Bpe {
     * ordered merge table; ties broken lexicographically. */
   def train(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
     var words = wordTable(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
+    // one generation of lag before unpersisting: round k's collect is the
+    // action that materializes generation k's cache, so generation k-1
+    // (its parent in the lineage) may only be dropped AFTER that collect —
+    // this way each round costs exactly ONE job and recompute never
+    // cascades past a single cached parent
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 0
     var exhausted = false
@@ -49,22 +54,22 @@ object Bpe {
         .groupBy(col("pair")).agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
         .collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
         val c = top(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         merges += BpeMerge(rank, a, b, c)
-        val next = words.withColumn("syms",
+        prev = words
+        words = words.withColumn("syms",
             replaceLit(col("syms"), s" $a $b ", s" $a$b "))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // pin before dropping the old generation (see Cluster)
-        words.unpersist()
-        words = next
         rank += 1
       }
     }
     words.unpersist()
+    if (prev != null) prev.unpersist()
     merges.result()
   }
 

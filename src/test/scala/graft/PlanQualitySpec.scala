@@ -83,6 +83,27 @@ class PlanQualitySpec extends SparkSpec {
       s"missing map-side partial aggregation:\n$p")
   }
 
+  test("cdc_latest is one window pass — no joins, single hash shuffle on the key") {
+    val p = plan("cdc_latest")
+    assert(!p.contains("Join"), s"CDC compaction must not self-join:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).toSeq.size <= 2, // tree + detail
+      s"more than one key shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"expected a window operator:\n$p")
+  }
+
+  test("dedup_decontaminate broadcasts the eval-set shingles") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+  }
+
+  test("text_heavy_hitters aggregates the sketch with map-side partials") {
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregator plan missing:\n$p")
+    assert(p.contains("partial"), s"no partial (map-side) sketch stage:\n$p")
+  }
+
   test("quality_filter is a single scan+project over the two needed columns") {
     val p = plan("quality_filter")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

@@ -23,17 +23,29 @@ final case class BpeMerge(rank: Int, lhs: String, rhs: String, n: Long)
   *
   * Deterministic: pair argmax breaks ties on the pair string, so the
   * learned merge table is identical at any parallelism.
+  *
+  * Plan-depth bound: each round adds one `replace` to the symbol column's
+  * lineage, so at real vocabulary sizes (30k+ merges) checkpoint the word
+  * table every few hundred rounds to reset Catalyst analysis cost, and
+  * encode with a per-partition loop (the merge list is a tiny broadcast)
+  * rather than [[segment]]'s per-merge column fold — the fold is the
+  * demonstration form, fine to ~hundreds of merges.
   */
 object Bpe {
 
-  /** (word, n, syms) initial state: syms = " c1 c2 ... ck " (sentinel
-    * spaces make every adjacency, including at the edges, the same
-    * " a b " pattern). */
+  /** (word, n, syms) initial state: syms = "  c1  c2  ...  ck  " with
+    * TWO-space separators (and edge sentinels). The merge pattern
+    * " a  b " consumes one space from each boundary and the replacement
+    * " ab " restores it, so consecutive occurrences (" a  b  a  b ")
+    * each retain a full boundary for the scanner — a single literal
+    * replace pass is then exactly BPE's greedy left-to-right merge
+    * (single-space separators would share the boundary space and make
+    * the scan skip every second occurrence of a repeated pair). */
   private def wordTable(docs: DataFrame): DataFrame =
     docs.select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .withColumn("syms",
-        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")))
+        concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")))
 
   /** Learn `nMerges` merges from a (doc_id, text) corpus. Returns the
     * ordered merge table; ties broken lexicographically. */
@@ -63,7 +75,7 @@ object Bpe {
         merges += BpeMerge(rank, a, b, c)
         prev = words
         words = words.withColumn("syms",
-            replaceLit(col("syms"), s" $a $b ", s" $a$b "))
+            replaceLit(col("syms"), s" $a  $b ", s" $a$b "))
           .persist(StorageLevel.MEMORY_AND_DISK)
         rank += 1
       }
@@ -86,11 +98,12 @@ object Bpe {
   def segment(text: org.apache.spark.sql.Column,
       merges: Seq[BpeMerge]): org.apache.spark.sql.Column = {
     val words = transform(TextOps.tokens(text), w =>
-      concat(lit(" "), concat_ws(" ", split(w, "")), lit(" ")))
+      concat(lit("  "), concat_ws("  ", split(w, "")), lit("  ")))
     val merged = merges.foldLeft(words) { case (acc, m) =>
-      transform(acc, s => replaceLit(s, s" ${m.lhs} ${m.rhs} ", s" ${m.lhs}${m.rhs} "))
+      transform(acc, s => replaceLit(s, s" ${m.lhs}  ${m.rhs} ", s" ${m.lhs}${m.rhs} "))
     }
-    concat_ws(" ", transform(merged, s => trim(s)))
+    concat_ws(" ",
+      transform(merged, s => regexp_replace(trim(s), " +", " ")))
   }
 
   private def replaceLit(c: org.apache.spark.sql.Column, find: String,

@@ -75,6 +75,11 @@ object Cluster {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          "(graph diameter exceeds maxIter); labels may still be split — " +
+          "raise maxIter or switch to the large-star/small-star variant")
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 

@@ -22,6 +22,13 @@ import org.apache.spark.sql.expressions.Window
   * identical results, making every operator here oracle-checkable. At
   * production scale swap [[portableHash32]] for `xxhash64` (one line;
   * faster, same distribution properties).
+  *
+  * Cache lifetime: the pair detectors persist their blocked intermediates
+  * (shingle index / signatures) because several plan branches read them;
+  * the cache lives until the session's next `catalog.clearCache()` (what
+  * Bench does per query) or explicit unpersist — at 100 TB these
+  * intermediates are materialized checkpoint TABLES owned by the
+  * pipeline, not executor cache.
   */
 object Dedup {
 
@@ -83,15 +90,18 @@ object Dedup {
     * Plan shape for 100 TB: the benchmark shingle set is tiny (eval sets
     * are thousands of docs) and broadcast, so the corpus is one scan —
     * shingle-explode → broadcast LEFT SEMI to find contaminated ids →
-    * left-anti against the corpus. No shuffle of the corpus at all when
-    * the benchmark side broadcasts; with a huge benchmark the same plan
-    * degrades gracefully to a shuffled semi join on the shingle key. */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    * left-anti against the corpus, with no shuffle of the corpus at all.
+    * `broadcastBenchmark` is a HARD hint (Spark honors it regardless of
+    * size); pass false for an unusually large eval suite and the same
+    * plan becomes a shuffled semi join on the shingle key. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
     val bench = benchmark
       .select(explode(shingles(col("text"), n)).as("sh")).distinct()
+    val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
     val contaminated = corpus
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .join(benchSide, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }

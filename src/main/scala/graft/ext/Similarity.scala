@@ -79,8 +79,14 @@ object Similarity {
     * so the expensive dot products run once per (query, candidate). The
     * corpus never cross-products. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 4, nTables: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(dim, nBits * nTables, seed)
+      nBits: Int = 4, nTables: Int = 8, seed: Long = 42L, dim: Int = -1): DataFrame = {
+    // dim <= 0 → derive from the data; a mismatched explicit dim would
+    // silently project against truncated/zero-padded hyperplanes and
+    // quietly destroy recall (DotProduct folds to the shorter length)
+    val actualDim =
+      if (dim > 0) dim
+      else corpus.select(size(col("embedding"))).first().getInt(0)
+    val planes = hyperplanes(actualDim, nBits * nTables, seed)
     def tableKeys(v: Column): Column = array((0 until nTables).map { tbl =>
       val tp = planes.slice(tbl * nBits, (tbl + 1) * nBits)
       concat(lit(tbl.toString + ":"), bucketKey(v, tp))
@@ -120,8 +126,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       sampleSize: Int = 2000, lloydIters: Int = 5): DataFrame = {
-    // --- train quantizer on a seeded driver-side sample
-    val sample = corpus.select(col("embedding")).limit(sampleSize)
+    // --- train quantizer on a DETERMINISTIC driver-side sample: plain
+    // limit() takes whichever partitions answer first, so the centroids
+    // (and every downstream cell/result) would change with parallelism —
+    // hash-ordering the keys makes the sample a pure function of the data
+    val sample = corpus
+      .orderBy(Dedup.portableHash32(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("embedding"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val rnd = new Random(seed)
     var centroids = rnd.shuffle(sample.indices.toList).take(nCells)

@@ -51,8 +51,11 @@ final class SpaceSaving(capacity: Int)
     val min2 = if (b2.size < capacity) 0L else b2.values.map(_._1).min
     val keys = b1.keySet ++ b2.keySet
     val summed = keys.iterator.map { k =>
-      val (c1, e1) = b1.getOrElse(k, (min2, min2))
-      val (c2, e2) = b2.getOrElse(k, (min1, min1))
+      // a key absent from a sketch saw at most that SKETCH'S OWN minimum
+      // in its substream (it may have been evicted at up to that count) —
+      // inheriting the other sketch's minimum breaks the count upper bound
+      val (c1, e1) = b1.getOrElse(k, (min1, min1))
+      val (c2, e2) = b2.getOrElse(k, (min2, min2))
       k -> (c1 + c2, e1 + e2)
     }.toMap
     if (summed.size <= capacity) summed

@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
-  /** Latest row per `key` by (ts, tiebreak) — change-log compaction. */
+  /** Latest row per `key` by (ts, tiebreak) — change-log compaction.
+    * Null timestamps sort LAST explicitly (Spark's and DuckDB's defaults
+    * differ, and a null-ts change must not masquerade as newest). */
   def latestSnapshot(changes: DataFrame, key: String, ts: String,
       tiebreak: String): DataFrame = {
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).desc, col(tiebreak).desc)
+      .orderBy(col(ts).desc_nulls_last, col(tiebreak).desc_nulls_last)
     changes.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
@@ -36,7 +38,7 @@ object Cdc {
   def scd2(changes: DataFrame, key: String, ts: String,
       tiebreak: String): DataFrame = {
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col(tiebreak))
+      .orderBy(col(ts).asc_nulls_last, col(tiebreak).asc_nulls_last)
     changes
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))

@@ -18,20 +18,9 @@ object Corpus {
   private def plantedPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Extensions.plantedDocs(s, dir), n = 3, threshold = 0.5)
 
-  // DuckDB twin of [[plantedPairs]], as a chain of CTEs ending in jp(i, j).
-  private val pairsSql =
-    s"""${Extensions.plantedSql},
-       |${Extensions.shinglesSql},
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_idx GROUP BY doc_id),
-       |cnt AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
-       |  FROM sh_idx a JOIN sh_idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
-       |jp AS (
-       |  SELECT i, j FROM cnt
-       |  JOIN sizes si ON cnt.i = si.doc_id
-       |  JOIN sizes sj ON cnt.j = sj.doc_id
-       |  WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5)""".stripMargin
+  // DuckDB twin of [[plantedPairs]] — the SAME CTE chain the detector's
+  // own oracle checks, ending in jp(i, j, jaccard)
+  private val pairsSql = Extensions.jaccardPairsCtesSql
 
   // transitive closure of jp: comps(id, comp = min reachable node)
   private val compsSql =
@@ -351,14 +340,17 @@ object Corpus {
     "cdc_latest" ->
       """SELECT user_id, ts, event_type, value FROM (
         |  SELECT *, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    PARTITION BY user_id
+        |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "cdc_scd2" ->
       """SELECT user_id, event_id, ts AS valid_from,
-        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-        |  CASE WHEN lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS valid_to,
+        |  CASE WHEN lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) IS NULL
         |       THEN 1 ELSE 0 END AS is_current,
         |  value
         |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,

@@ -38,6 +38,7 @@ object Extensions {
 
   // shared SQL fragments ----------------------------------------------------
   private val hSql = "CAST(concat('0x', substr(md5(%s), 1, 8)) AS BIGINT)"
+
   private[queries] val shinglesSql =
     """sh_idx AS (
       |  SELECT DISTINCT doc_id, sh FROM (
@@ -55,6 +56,24 @@ object Extensions {
        |  FROM hashes GROUP BY doc_id)""".stripMargin
   }
 
+  /** Full CTE chain ending in `jp(i, j, jaccard)` — the DuckDB twin of
+    * [[Dedup.ngramJaccardPairs]] over the planted corpus. Shared with the
+    * clustering oracles in [[Corpus]] so the detector semantics can never
+    * drift between the pair oracle and the cluster oracles. */
+  private[queries] val jaccardPairsCtesSql: String =
+    s"""$plantedSql,
+       |$shinglesSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_idx GROUP BY doc_id),
+       |cnt AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+       |  FROM sh_idx a JOIN sh_idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jp AS (
+       |  SELECT i, j, CAST(c AS DOUBLE) / (si.sz + sj.sz - c) AS jaccard
+       |  FROM cnt
+       |  JOIN sizes si ON cnt.i = si.doc_id
+       |  JOIN sizes sj ON cnt.j = sj.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5)""".stripMargin
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => {
       TextOps.textStats(t(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -209,18 +228,8 @@ object Extensions {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $plantedSql,
-         |$shinglesSql,
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_idx GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
-         |  FROM sh_idx a JOIN sh_idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT i, j, CAST(c AS DOUBLE) / (si.sz + sj.sz - c) AS jaccard
-         |FROM pairs JOIN sizes si ON pairs.i = si.doc_id
-         |JOIN sizes sj ON pairs.j = sj.doc_id
-         |WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5
-         |ORDER BY i, j""".stripMargin,
+      s"""WITH $jaccardPairsCtesSql
+         |SELECT i, j, jaccard FROM jp ORDER BY i, j""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       val bandSql = (0 until 4).map { bnd =>

@@ -156,6 +156,46 @@ class CorpusSpec extends SparkSpec {
       seg.contains("low est"), s"suffix should stay split: $seg")
   }
 
+  test("SpaceSaving.merge keeps count upper bounds when partials disagree") {
+    // build two partial sketches by hand: b1 is saturated (evictions
+    // happened, min1 > 0), b2 is a fresh sparse sketch (min2 = 0)
+    val agg = new graft.functions.SpaceSaving(4)
+    // stream: a x5, b x4, c x3, d x2, then e arrives and evicts d
+    val b1 = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d") :+ "e").foldLeft(agg.zero)(agg.reduce)
+    assert(b1.size == 4 && b1.contains("e") && !b1.contains("d"),
+      s"setup: e should have evicted d: $b1")
+    val b2 = Seq.fill(3)("f").foldLeft(agg.zero)(agg.reduce) // sparse, min=0
+    val m = agg.merge(b1, b2)
+    // f is absent from SATURATED b1, so it may have been seen there and
+    // evicted at up to min1=3: the sound merge is count 6 with err 3
+    // (true count in [3, 6]). The pre-fix code inherited the SPARSE
+    // side's minimum (0) instead and claimed "exactly 3, err 0" — an
+    // unsound exactness claim the sketch cannot justify.
+    val f = m("f")
+    assert(f == ((6L, 3L)),
+      s"f must merge as (count 6, err 3) — absent from a saturated sketch " +
+        s"means 'up to its min', not 'zero'; got $f")
+    assert(f._1 - f._2 <= 3L && 3L <= f._1, "true count outside [count-err, count]")
+    // a is exact in b1 and absent from the SPARSE b2 (min2 = 0): its
+    // absence there genuinely means zero occurrences — stays exact
+    val a = m("a")
+    assert(a == ((5L, 0L)), s"a must stay exact (5, 0): $a")
+  }
+
+  test("BPE merges repeated adjacent pairs in one pass (no boundary skip)") {
+    // "abab": greedy BPE with merge (a,b) must produce "ab ab", and the
+    // next round must then learn (ab, ab) — a single-space sentinel
+    // scheme would leave " ab a b " and learn phantom pairs instead
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.train(docs, nMerges = 2)
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("ab", "ab")),
+      s"boundary-skip bug: $merges")
+    val seg = docs.select(graft.ext.Bpe.segment(col("text"),
+      merges.take(1)).as("s")).collect()(0).getString(0)
+    assert(seg == "ab ab ab ab", s"segment skipped a repeat: '$seg'")
+  }
+
   test("centroidAssign assigns separated clusters back to their own centroid") {
     // two well-separated label clusters in 4-d
     val rows = (0 until 20).map { i =>

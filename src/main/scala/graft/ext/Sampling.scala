@@ -42,6 +42,33 @@ object Sampling {
       .filter(col("_rn") <= n).drop("_rn")
   }
 
+  /** Per-stratum percent rates that reshape the corpus toward a target
+    * mixture (shares summing to ~1), downsampling-only: the largest
+    * feasible output keeping every stratum at or below its target share
+    * is found, then rate_s = that output's demand on stratum s. Strata
+    * absent from `targetShares` get 0. Feed the result straight into
+    * [[stratifiedHashSample]]. Driver-side math over one tiny count
+    * aggregation — the data itself is never shuffled. */
+  def mixtureRates(df: DataFrame, stratum: Column,
+      targetShares: Map[String, Double]): Map[String, Int] = {
+    val counts = df.groupBy(stratum.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scale = output total; capped so no stratum needs upsampling:
+    // n_s >= share_s * scale  =>  scale <= n_s / share_s for all s
+    val feasible = targetShares.collect {
+      case (s, share) if share > 0 && counts.contains(s) => counts(s) / share
+    }
+    if (feasible.isEmpty) Map.empty
+    else {
+      val scale = feasible.min
+      targetShares.collect {
+        case (s, share) if counts.contains(s) =>
+          val want = share * scale
+          s -> math.min(100, math.round(100.0 * want / counts(s)).toInt)
+      }
+    }
+  }
+
   /** Stratified sample with a per-stratum rate (percent). Rows in strata
     * absent from `rates` are dropped. One case-expression filter — still
     * no shuffle; rebalancing skewed strata (e.g. downsampling the 90%

@@ -123,6 +123,25 @@ object TextOps {
       when(keep, 1).otherwise(0).as("keep"))
   }
 
+  /** Greedy sequence packing: assign documents, in deterministic doc_id
+    * order, to consecutive bins of ~`tokensPerBin` tokens — the layout
+    * step that turns a curated corpus into fixed-budget training
+    * sequences. A document starts a new bin when the running total would
+    * exceed the budget (bin = floor(tokens-before-this-doc / budget)),
+    * so every bin except possibly the last holds ≥ 1 doc and ≤ budget
+    * tokens of lead-in. One window pass; at 100 TB shard first (e.g. by
+    * hashSample bucket) and pack within shards so the running sum never
+    * serializes the whole corpus through one task. */
+  def packBins(docs: DataFrame, tokensPerBin: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+      .withColumn("bin", (col("tokens_before") / tokensPerBin).cast("long"))
+  }
+
   /** One-pass per-document stats table over a (doc_id, text) frame. */
   def textStats(df: DataFrame): DataFrame = {
     val txt = col("text")

@@ -159,6 +159,16 @@ object Corpus {
         .orderBy(col("rank"))
     }),
 
+    // sequence packing: docs -> ~2000-token training bins in doc_id order
+    "corpus_pack" -> ((s, dir) => {
+      TextOps.packBins(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), 2000L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    }),
+
     // change-log compaction: latest state per entity (MERGE INTO view)
     "cdc_latest" -> ((s, dir) => {
       graft.pipeline.Cdc.latestSnapshot(
@@ -336,6 +346,23 @@ object Corpus {
         |  FROM documents)
         |SELECT term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM terms GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tokens_before
+        |  FROM toks)
+        |SELECT CAST(tokens_before // 2000 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM packed GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "cdc_latest" ->
       """SELECT user_id, ts, event_type, value FROM (

@@ -66,6 +66,35 @@ class CorpusSpec extends SparkSpec {
       again.select("k").as[Long].collect().toSet)
   }
 
+  test("packBins fills bins to the token budget in doc order") {
+    val docs = Seq(
+      (1L, "a " * 900), (2L, "b " * 900), (3L, "c " * 900), // 900 tokens each
+      (4L, "d " * 100), (5L, "e " * 2500)                   // small, oversized
+    ).map { case (id, t) => (id, t.trim) }.toDF("doc_id", "text")
+    val bins = graft.ext.TextOps.packBins(docs, 1000L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // cumsums before: 0, 900, 1800, 2700, 2800 -> bins 0,0,1,2,2
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 2L),
+      s"unexpected packing: $bins")
+  }
+
+  test("mixtureRates computes downsampling-only rates toward a target blend") {
+    val df = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 800) "en" else if (i <= 950) "de" else "fr"))
+      .toDF("k", "lang")
+    // target: 50/25/25 — fr (50 rows) is the binding stratum:
+    // scale = 50/0.25 = 200 -> want en=100/800 (13%), de=50/150 (33%), fr=100%
+    val rates = graft.ext.Sampling.mixtureRates(df, col("lang"),
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    assert(rates("fr") == 100, s"binding stratum must be kept whole: $rates")
+    assert(rates("en") == 13 && rates("de") == 33, s"rates off: $rates")
+    // applying the rates lands near the target mixture
+    val out = graft.ext.Sampling.stratifiedHashSample(df, col("k"), col("lang"), rates)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = out.values.sum.toDouble
+    assert(math.abs(out("en") / total - 0.5) < 0.12, s"blend off: $out")
+  }
+
   test("qualityFlags keeps normal prose and rejects degenerate docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog near the river bank today"),

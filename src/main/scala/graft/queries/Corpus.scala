@@ -81,6 +81,21 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // near-exact dedup on the NORMALIZED fingerprint: catches whitespace/
+    // punctuation-only reformattings that raw-hash dedup misses. Planted:
+    // doc_id%25==7 re-landed with doubled spaces and a trailing "!!"
+    "dedup_fingerprint" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reformatted = base.filter(col("doc_id") % 25 === 7)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(regexp_replace(col("text"), " ", "  "), lit(" !!")).as("text"))
+      val docs = base.unionByName(reformatted)
+      docs.groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("fp"))
+    }),
+
     // benchmark decontamination: the "eval set" is a 20-token slice of
     // every 50th document, so the contaminated docs are exactly those
     // sources (and provably detected via shared 8-grams, not ids)
@@ -293,6 +308,18 @@ object Corpus {
         |    PARTITION BY vec_id ORDER BY cos DESC, clabel DESC) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    regexp_replace(text, ' ', '  ', 'g') || ' !!' AS text
+        |  FROM documents WHERE doc_id % 25 = 7)
+        |SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM docs
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
 
     "dedup_decontaminate" -> {
       val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")

@@ -33,8 +33,11 @@ object Cdc {
   }
 
   /** SCD-2 history: every change becomes a version valid from its own
-    * timestamp until the next change of the same key (null = still
-    * current). */
+    * timestamp until the next change of the same key. `is_current` comes
+    * from the NON-NULL `tiebreak` of the successor, not from `valid_to`:
+    * a successor with an unknown (null) timestamp still supersedes, and
+    * testing `valid_to IS NULL` would wrongly mark its predecessor
+    * current too. */
   def scd2(changes: DataFrame, key: String, ts: String,
       tiebreak: String): DataFrame = {
     val w = Window.partitionBy(col(key))
@@ -42,6 +45,7 @@ object Cdc {
     changes
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
-      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+      .withColumn("is_current",
+        when(lead(col(tiebreak), 1).over(w).isNull, 1).otherwise(0))
   }
 }

@@ -225,6 +225,39 @@ class CorpusSpec extends SparkSpec {
     assert(seg == "ab ab ab ab", s"segment skipped a repeat: '$seg'")
   }
 
+  test("Cdc treats null timestamps as oldest-known, never as current") {
+    val changes = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")), 100L, "a"),
+      (1L, Some(java.sql.Timestamp.valueOf("2026-01-01 11:00:00")), 101L, "b"),
+      (1L, None, 102L, "null-ts") // unknown-time change
+    ).toDF("user_id", "ts", "event_id", "v")
+    val latest = graft.pipeline.Cdc.latestSnapshot(changes, "user_id", "ts", "event_id")
+      .select("v").as[String].collect()
+    assert(latest.toSeq == Seq("b"),
+      s"null-ts change must not win the latest snapshot: ${latest.toSeq}")
+    val hist = graft.pipeline.Cdc.scd2(changes, "user_id", "ts", "event_id")
+      .select("v", "is_current").as[(String, Int)].collect().toMap
+    assert(hist("null-ts") == 1 && hist("b") == 0,
+      s"explicit NULLS LAST: null-ts sorts last in ASC history: $hist")
+  }
+
+  test("lshTopK derives the embedding dimension from the data") {
+    // 8-dim vectors (not the 64 the old hard default assumed): two tight
+    // groups; each query's nearest neighbours must come from its own group
+    val rows = (0 until 40).map { i =>
+      val g = i % 2
+      val base = Array.fill(8)(0.05f * (i / 2))
+      base(g * 4) = 10f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val top = graft.ext.Similarity.lshTopK(rows,
+        rows.filter(col("vec_id") < 2), k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top.nonEmpty, "no candidates found — dim mismatch would cause this")
+    assert(top.forall { case (q, v) => q % 2 == v % 2 },
+      s"neighbours crossed groups — projections degenerate: ${top.toSeq}")
+  }
+
   test("centroidAssign assigns separated clusters back to their own centroid") {
     // two well-separated label clusters in 4-d
     val rows = (0 until 20).map { i =>

@@ -30,9 +30,13 @@ object CorpusDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // each stage is materialized (lineage cut) before the next builds on
+    // it — without this every count re-runs the whole upstream chain and
+    // the stacked plan eventually overflows analysis
     def stage(name: String, df: DataFrame): DataFrame = {
-      println(f"[corpus] $name%-24s ${df.count()}%6d docs")
-      df
+      val pinned = df.localCheckpoint()
+      println(f"[corpus] $name%-24s ${pinned.count()}%6d docs")
+      pinned
     }
 
     val raw = stage("raw",
@@ -63,16 +67,13 @@ object CorpusDemo {
     val mixed = stage("mixture_sample",
       Sampling.stratifiedHashSample(clean, col("doc_id"), col("lang"), rates))
 
-    // lineage cut before the iterative consumers: six stages of joins/
-    // windows/anti-joins stack up a plan deep enough that BPE's per-round
-    // withColumn chain on top overflows plan analysis — at 100 TB this is
-    // where the curated corpus lands as a TABLE anyway; locally,
-    // localCheckpoint() is that materialization
-    val curated = mixed.select(col("doc_id"), col("text")).localCheckpoint()
+    val curated = mixed.select(col("doc_id"), col("text"))
 
     // 6. sequence packing into ~2000-token bins
     val packed = TextOps.packBins(curated, 2000L)
-    println(f"[corpus] ${"pack_bins"}%-24s ${packed.agg(max(col("bin"))).head().getLong(0) + 1}%6d bins")
+    val nBins = packed.agg(coalesce(max(col("bin")) + 1, lit(0L)).as("n"))
+      .head().getLong(0)
+    println(f"[corpus] ${"pack_bins"}%-24s $nBins%6d bins")
 
     // 7. tokenizer artifacts: vocabulary + BPE merges
     val vocabN = TextOps.vocab(curated).count()

@@ -44,8 +44,15 @@ object Bpe {
   private def wordTable(docs: DataFrame): DataFrame =
     docs.select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("syms",
-        concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")))
+      .withColumn("syms", symsColumn(col("w")))
+
+  /** The load-bearing sentinel layout, shared by training and encode so
+    * they can never diverge: `split(w, "")` keeps a trailing empty
+    * element in Spark, which `array_remove` drops so the string is
+    * EXACTLY "  c1  c2  ...  ck  " — two-space separators and two-space
+    * edges. */
+  private def symsColumn(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("  "), concat_ws("  ", array_remove(split(w, ""), "")), lit("  "))
 
   /** Learn `nMerges` merges from a (doc_id, text) corpus. Returns the
     * ordered merge table; ties broken lexicographically. */
@@ -97,8 +104,7 @@ object Bpe {
     * result is one space-joined symbol string per input word sequence. */
   def segment(text: org.apache.spark.sql.Column,
       merges: Seq[BpeMerge]): org.apache.spark.sql.Column = {
-    val words = transform(TextOps.tokens(text), w =>
-      concat(lit("  "), concat_ws("  ", split(w, "")), lit("  ")))
+    val words = transform(TextOps.tokens(text), w => symsColumn(w))
     val merged = merges.foldLeft(words) { case (acc, m) =>
       transform(acc, s => replaceLit(s, s" ${m.lhs}  ${m.rhs} ", s" ${m.lhs}${m.rhs} "))
     }

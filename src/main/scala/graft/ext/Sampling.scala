@@ -32,7 +32,11 @@ object Sampling {
     * sampling. One window pass partitioned by stratum; at scale each
     * stratum's rows shuffle once to its partition and the hash order makes
     * the pick independent of arrival order (rerun-stable, unlike a
-    * reservoir fed by a nondeterministic scan order). */
+    * reservoir fed by a nondeterministic scan order).
+    *
+    * Precondition: `key` is unique within each stratum — duplicate key
+    * values tie on (hash, key) and the row_number tiebreak among them
+    * falls back to arrival order, which is not rerun-stable. */
   def hashSampleNPerStratum(df: DataFrame, key: Column, stratum: Column,
       n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -51,7 +55,7 @@ object Sampling {
     * aggregation — the data itself is never shuffled. */
   def mixtureRates(df: DataFrame, stratum: Column,
       targetShares: Map[String, Double]): Map[String, Int] = {
-    val counts = df.groupBy(stratum.as("s")).count()
+    val counts = df.groupBy(stratum.cast("string").as("s")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // scale = output total; capped so no stratum needs upsampling:
     // n_s >= share_s * scale  =>  scale <= n_s / share_s for all s
@@ -75,6 +79,9 @@ object Sampling {
     * majority language to match minorities) costs the same as a WHERE. */
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
       rates: Map[String, Int]): DataFrame = {
+    rates.foreach { case (s, p) =>
+      require(p >= 0 && p <= 100, s"rate for stratum '$s' must be in [0,100], got $p")
+    }
     val rate = rates.foldLeft(lit(0)) { case (acc, (s, p)) =>
       when(stratum === s, lit(p)).otherwise(acc)
     }

@@ -33,11 +33,11 @@ object Cdc {
   }
 
   /** SCD-2 history: every change becomes a version valid from its own
-    * timestamp until the next change of the same key. `is_current` comes
-    * from the NON-NULL `tiebreak` of the successor, not from `valid_to`:
-    * a successor with an unknown (null) timestamp still supersedes, and
-    * testing `valid_to IS NULL` would wrongly mark its predecessor
-    * current too. */
+    * timestamp until the next change of the same key. `is_current` means
+    * "no successor ROW exists" — detected via a lead over a constant, so
+    * a successor with a null timestamp (or even a null tiebreak) still
+    * supersedes its predecessor; testing any successor COLUMN for null
+    * would wrongly mark both rows current. */
   def scd2(changes: DataFrame, key: String, ts: String,
       tiebreak: String): DataFrame = {
     val w = Window.partitionBy(col(key))
@@ -46,6 +46,6 @@ object Cdc {
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current",
-        when(lead(col(tiebreak), 1).over(w).isNull, 1).otherwise(0))
+        when(lead(lit(1), 1).over(w).isNull, 1).otherwise(0))
   }
 }

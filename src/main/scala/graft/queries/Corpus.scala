@@ -403,7 +403,7 @@ object Corpus {
       """SELECT user_id, event_id, ts AS valid_from,
         |  lead(ts, 1) OVER (PARTITION BY user_id
         |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS valid_to,
-        |  CASE WHEN lead(event_id, 1) OVER (PARTITION BY user_id
+        |  CASE WHEN lead(1, 1) OVER (PARTITION BY user_id
         |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) IS NULL
         |       THEN 1 ELSE 0 END AS is_current,
         |  value

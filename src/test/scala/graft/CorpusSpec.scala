@@ -239,6 +239,16 @@ class CorpusSpec extends SparkSpec {
       .select("v", "is_current").as[(String, Int)].collect().toMap
     assert(hist("null-ts") == 1 && hist("b") == 0,
       s"explicit NULLS LAST: null-ts sorts last in ASC history: $hist")
+    // a successor with a NULL TIEBREAK must still supersede: exactly one
+    // current version per key, detected via row existence, not a column
+    val nullTie = Seq(
+      (2L, Some(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")), Some(200L), "x"),
+      (2L, Some(java.sql.Timestamp.valueOf("2026-01-01 11:00:00")), None, "y")
+    ).toDF("user_id", "ts", "event_id", "v")
+    val h2 = graft.pipeline.Cdc.scd2(nullTie, "user_id", "ts", "event_id")
+      .select("v", "is_current").as[(String, Int)].collect().toMap
+    assert(h2 == Map("x" -> 0, "y" -> 1),
+      s"null-tiebreak successor must leave exactly one current row: $h2")
   }
 
   test("lshTopK derives the embedding dimension from the data") {

@@ -18,14 +18,20 @@ object Layout {
     val spark = df.sparkSession
     // a previous JVM's in-memory catalog dies with the process but leaves
     // the managed location on disk; clear both or CREATE TABLE fails with
-    // LOCATION_ALREADY_EXISTS
+    // LOCATION_ALREADY_EXISTS. Managed locations are <warehouse>/<db>.db/
+    // <table> for qualified names and <warehouse>/<table> in the default db.
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    val leftover = new java.io.File(warehouse, table.toLowerCase)
+    val relPath = table.toLowerCase.split('.') match {
+      case Array(db, t) => s"$db.db/$t"
+      case Array(t) => t
+      case _ => sys.error(s"writeBucketed: unsupported table name '$table'")
+    }
+    val leftover = new java.io.File(warehouse, relPath)
     if (leftover.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(leftover)

@@ -65,7 +65,16 @@ final class ExtractLoadJob(
         Skipped
       case Some(lease) =>
         val start = new Timestamp(lease.startMillis)
+        // once-only: the catch-all below re-invokes this on ANY throw —
+        // including an audit-write failure AFTER a successful release. A
+        // second run would re-release (logging a bogus "lost lease") and
+        // overwrite the outcome with Succeeded=false for a run whose data
+        // landed; the guard makes the retry a no-op and lets the original
+        // exception surface.
+        var finished = false
         def releaseAndAudit(succeeded: Boolean, msg: String): Unit = {
+          if (finished) return
+          finished = true
           val end = new Timestamp(System.currentTimeMillis())
           if (!lock.release(lease))
             org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -22,6 +22,11 @@ object Generator {
     * no day-of-month, 12-hour `hh` (EtlProcess.cs:234; quirk documented
     * in SURVEY.md §7.4.4) — and the `Partition_{A,B,C}` assignment via
     * `(char)(65 + i % 3)` (EtlProcess.cs:236).
+    *
+    * The output deliberately INCLUDES the generator ordinal `i` (not part
+    * of the SampleItem schema): deterministic-mode consumers (Parity's
+    * oracle queries) order and inject by it. Pipeline callers drop it
+    * before landing (`.drop("i")`).
     */
   def sampleItems(
       spark: SparkSession,

@@ -11,9 +11,13 @@ import scala.util.control.NonFatal
   *    fields are silently dropped, missing fields become null — Spark's
   *    PERMISSIVE mode with an explicit schema reproduces the reference's
   *    Newtonsoft deserialization exactly (EtlProcess.cs:146).
-  *  - error-as-null (SURVEY.md §7.4.6): a failed fetch yields None — the
-  *    caller lands an empty-successful run with its distinct audit
-  *    message, never an exception (EtlProcess.cs:150-160).
+  *  - error-as-null (SURVEY.md §7.4.6): a fetch whose failure is
+  *    detectable up front (missing/unreadable path, no resolvable first
+  *    row) yields None — the caller lands an empty-successful run with
+  *    its distinct audit message (EtlProcess.cs:150-160). A source that
+  *    degrades AFTER this probe (e.g. a file deleted mid-read) surfaces
+  *    at execution time and takes the caller's failure-audit path — the
+  *    lazy-read analogue of the reference's post-download failures.
   *
   * In production the HTTP GET would live in a DataSource V2 TableProvider
   * planning one InputPartition per page; in this zero-egress environment

@@ -12,12 +12,20 @@ import org.apache.spark.sql.DataFrame
   */
 object ParquetSlices {
   def writeSingleFile(df: DataFrame, target: Path): Unit = {
-    val tmp = Files.createTempDirectory("slice").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no parquet part file produced in $tmp"))
-    Files.createDirectories(target.getParent)
-    Files.move(part.toPath, target)
+    val tmpDir = Files.createTempDirectory("slice")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = tmpDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part file produced in $tmpDir"))
+      Files.createDirectories(target.getParent)
+      Files.move(part.toPath, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      // the scratch dir (leftover _SUCCESS/.crc files) must not pile up
+      // in /tmp across calls
+      Option(tmpDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      Files.deleteIfExists(tmpDir)
+    }
   }
 }

@@ -26,7 +26,7 @@ final case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
   * not the stream length. Sessionization state is one small record per
   * ACTIVE user; closed sessions leave state immediately on emission.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** Event-time tumbling window with a watermark: late rows beyond
     * `watermark` are dropped, windows close (and emit, in append mode)
@@ -87,17 +87,36 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stateful sessionization with a 30-minute inactivity gap via
-    * flatMapGroupsWithState: emits each session as it CLOSES (a later
-    * event arrives past the gap); the open session per user rides in
-    * GroupState across micro-batches. Timestamps are tracked at full
-    * microsecond precision so bounds match the batch sessionizer exactly. */
+    * flatMapGroupsWithState: emits each session as it CLOSES — either a
+    * later event arrives past the gap, or the EVENT-TIME TIMEOUT fires
+    * once the watermark passes gap beyond the session's end (so a user
+    * who goes quiet still gets their final session, and their state is
+    * REMOVED — state is bounded by active users, not users ever seen).
+    * Timestamps are tracked at full microsecond precision so bounds match
+    * the batch sessionizer exactly.
+    *
+    * Late events within the open session's horizon merge with min/max
+    * bounds (a late arrival must never drag `lastMicros` backwards —
+    * that would both corrupt session_end and mis-trigger gap splits);
+    * events later than the watermark horizon are dropped by the
+    * watermark itself. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-      gapMillis: Long = 30 * 60 * 1000): Dataset[ClosedSession] = {
+      gapMillis: Long = 30 * 60 * 1000,
+      watermark: String = "2 hours"): Dataset[ClosedSession] = {
     import spark.implicits._
     val gapMicros = gapMillis * 1000L
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      // (no early `return`: a non-local return marker in a Spark closure
+      // is not serializable)
+      if (state.hasTimedOut) {
+        // watermark passed session_end + gap with no new events: final close
+        val s = state.get
+        state.remove()
+        Iterator(ClosedSession(userId, s.seq, s.n,
+          fromMicros(s.startMicros), fromMicros(s.lastMicros)))
+      } else {
       val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
       var cur = state.getOption
       val closed = Seq.newBuilder[ClosedSession]
@@ -105,7 +124,8 @@ object EventStreams {
         val t = toMicros(e.ts)
         cur match {
           case Some(s) if t - s.lastMicros <= gapMicros =>
-            cur = Some(s.copy(lastMicros = t, n = s.n + 1))
+            cur = Some(s.copy(startMicros = math.min(s.startMicros, t),
+              lastMicros = math.max(s.lastMicros, t), n = s.n + 1))
           case Some(s) =>
             closed += ClosedSession(userId, s.seq, s.n,
               fromMicros(s.startMicros), fromMicros(s.lastMicros))
@@ -114,11 +134,21 @@ object EventStreams {
             cur = Some(SessionState(1, t, t, 1))
         }
       }
-      cur.foreach(state.update)
+      cur.foreach { s =>
+        state.update(s)
+        // fire once the watermark passes the gap horizon; the timestamp
+        // must stay ahead of the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(math.max(
+          s.lastMicros / 1000L + gapMillis,
+          state.getCurrentWatermarkMs() + 1))
+      }
       closed.result().iterator
+      }
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

@@ -80,9 +80,13 @@ final class TransformStream(
   def readTransformed(): DataFrame =
     try spark.read.parquet(outDir)
     catch {
-      // zero micro-batches ever committed → empty typed result, not a crash
+      // zero micro-batches ever committed → empty typed result, not a
+      // crash. The schema must include the `batch` partition column that
+      // discovery adds on every NON-empty read, or a caller selecting it
+      // fails exactly (and only) in the empty case.
       case _: org.apache.spark.sql.AnalysisException =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          Model.transformedItemSchema)
+          Model.transformedItemSchema
+            .add("batch", org.apache.spark.sql.types.IntegerType))
     }
 }

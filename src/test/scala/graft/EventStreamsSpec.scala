@@ -157,4 +157,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(j.count() == got.count(),
       "a closed streaming session has no matching batch session")
   }
+
+  test("sessionize never emits crossed bounds under out-of-order batches") {
+    // interleave by event parity: every user's events arrive half in each
+    // micro-batch, massively out of order ACROSS batches — a late merge
+    // must extend bounds with min/max, never drag session_end backwards
+    val dir = Files.createTempDirectory("evstream-ooo")
+    graft.sources.ParquetSlices.writeSingleFile(
+      fixture.filter(col("event_id") % 2 === 0), dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(
+      fixture.filter(col("event_id") % 2 === 1), dir.resolve("b1.parquet"))
+    val ss = spark
+    import ss.implicits._
+    val src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    val q = EventStreams.sessionize(spark, src)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_ooo").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions_ooo")
+    assert(got.filter(col("session_start") > col("session_end")).count() == 0,
+      "late merge dragged session_end before session_start")
+    assert(got.filter(col("n_events") < 1).count() == 0)
+  }
 }

@@ -19,11 +19,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JIT + whole-stage-codegen compile paths + page-cache the inputs
+    // warmup: JIT + whole-stage-codegen compile paths + page-cache the
+    // inputs. Each read individually guarded — one missing fixture table
+    // must degrade that warmup, not kill the whole round before a single
+    // query is timed.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
+      .foreach(t => scala.util.Try(
+        spark.read.parquet(s"$sfDir/$t.parquet").count()))
+    SparkEntry.queries.get("q1_agg")
+      .foreach(fn => scala.util.Try(fn(spark, sfDir).count()))
 
     // noop sink forces FULL computation of every output column —
     // .count() would let Catalyst prune computed columns (a projection
@@ -38,9 +43,13 @@ object Bench {
         } catch {
           // a failure must NOT be published as a (fast-looking) time
           case _: Throwable => -1.0
+        } finally {
+          // INSIDE the run loop: a query with internal persists would
+          // otherwise serve run 2 straight from run 1's cache and
+          // min-of-2 would publish a cache-read time, not the query
+          spark.catalog.clearCache()
         }
       }
-      spark.catalog.clearCache() // drop per-query persists (Dedup internals)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -15,12 +15,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe any previous run's outputs FIRST: a failing query must leave a
+    // missing dir (which the compare reports as FAIL), never a stale
+    // parquet from an older build that would silently pass
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a partial write must not linger either
+        rm(new java.io.File(s"$outDir/$name"))
       }
       spark.catalog.clearCache() // drop per-query persists (Dedup internals)
     }

@@ -36,7 +36,10 @@ object AsOfJoin {
     val lPrep = left.select(
       col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
       lStruct.as("_lv"), lit(null).cast(rStructType).as("_rv"))
-    val rPrep = right.select(
+    // a null right time must match NOTHING (ASOF `l.t >= r.t` is never
+    // true for null) — unfiltered it would sort first (nulls-first asc)
+    // and become a universal match candidate for the whole partition
+    val rPrep = right.filter(col(rightTime).isNotNull).select(
       col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
       lit(null).cast(lStructType).as("_lv"), rStruct.as("_rv"))
 

@@ -39,6 +39,10 @@ object RangeJoin {
       .filter(pairPred &&
         abs(unix_micros(col("lt")) - unix_micros(col("rt"))) <= w * 1000000L)
       .select(col("k"), col("i"), col("j"), col("lt"), col("rt"))
-      .distinct()
+    // no trailing distinct: the three exploded buckets are pairwise
+    // distinct and the left row carries exactly one bucket, so each
+    // (left, right) pair joins at most once — a dedup here would only
+    // add a full shuffle of the widest relation and would silently
+    // collapse genuine duplicate input matches
   }
 }

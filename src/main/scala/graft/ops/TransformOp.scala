@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
 object TransformOp {
 
   /** P2: `String.IsNullOrWhiteSpace(x) ? default : x` (EtlProcess.cs:251-252). */
+  // rlike ^\s*$, not trim() === "": the reference's IsNullOrWhiteSpace
+  // treats tabs/newlines as blank and Spark's trim only strips spaces
   def blankCoalesce(c: Column, default: Column): Column =
-    when(c.isNull || trim(c) === "", default).otherwise(c)
+    when(c.isNull || c.rlike("^\\s*$"), default).otherwise(c)
 
   /** P1. `batchId` is minted once per micro-batch on the DRIVER (P4 —
     * `lit(UUID.randomUUID)`, never per-row `uuid()`); `seq` is the caller's

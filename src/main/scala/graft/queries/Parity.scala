@@ -77,10 +77,10 @@ object Parity {
          |SELECT id,
          |'2026-01-01 00:00:00' AS "SourceDate",
          |TIMESTAMP '2026-01-01 00:00:00' AS "TransformTimeStamp",
-         |CASE WHEN d IS NULL OR trim(d) = ''
+         |CASE WHEN d IS NULL OR regexp_matches(d, '^\\s*$$')
          |     THEN 'Empty Description in source for item ' || id ELSE d END AS "Description",
          |'true' AS "Done",
-         |CASE WHEN nm IS NULL OR trim(nm) = ''
+         |CASE WHEN nm IS NULL OR regexp_matches(nm, '^\\s*$$')
          |     THEN 'Empty Name in source for item ' || id ELSE nm END AS "Name",
          |'Additional field info' AS "Pr",
          |'Data added from transform function [' || i || ']' AS "AdditionalData",

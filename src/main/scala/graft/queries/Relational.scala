@@ -118,8 +118,7 @@ object Relational {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          rank().over(Window.partitionBy(col("o_custkey"))
-            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rnk"),
+          rank().over(wo).as("rnk"),
           lag(col("o_orderkey"), 1).over(wo).as("prev_orderkey"),
           sum(dec(col("o_totalprice"))).over(
             wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -485,23 +484,34 @@ object Relational {
       // one lineitem scan + two shuffles. The naive self-join against a
       // per-part min recomputes the whole aggregation subtree on both
       // branches (Spark plans the CTE twice) and adds a third shuffle.
+      // the PROMO part filter goes BEFORE the aggregation: the per-part
+      // minimum is unchanged by dropping other parts, and the broadcast
+      // semi-reduction means the two shuffles only ever carry the ~1/5 of
+      // lineitem that can reach the output
+      val promoParts = broadcast(
+        t(s, dir, "part").filter(col("p_type") === "PROMO"))
       val ps = t(s, dir, "lineitem")
+        .join(promoParts, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
       ps.withColumn("min_cost",
           min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
         .filter(col("unit_cost") === col("min_cost"))
-        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("p_partkey"), col("l_suppkey"), col("unit_cost"))
+        .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+          col("unit_cost"))
         .orderBy(col("p_partkey"), col("l_suppkey"))
     }),
 
     // ---- TPC-H Q11 shape: HAVING against a global scalar aggregate
     "q44_important_stock" -> ((s, dir) => {
+      // persist: the per-part aggregate feeds BOTH the output branch and
+      // the scalar threshold — unpersisted, Spark plans the full lineitem
+      // scan + shuffle on each side of the crossJoin (at 100 TB this is a
+      // materialized intermediate table)
       val value = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(dsum(col("l_extendedprice")).as("part_value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val threshold = value.agg((sum(dec(col("part_value"))).cast(D) * 0.0002)
         .as("thresh"))
       value.crossJoin(broadcast(threshold))

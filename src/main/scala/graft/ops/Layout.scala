@@ -72,6 +72,31 @@ object Layout {
   def globalSortedLayout(df: DataFrame, key: Column, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, key).sortWithinPartitions(key)
 
+  /** Export a curated corpus as JSONL shards — the interchange format
+    * training stacks consume — plus a `_MANIFEST.json` sidecar recording
+    * shard count, row count, and a content checksum so downstream
+    * loaders can verify completeness without re-scanning. Sharding
+    * mirrors [[compactTo]]: ceil(n/target) files, range-clustered on
+    * `key` so shard boundaries are stable, resumable ranges. The
+    * checksum is an order-independent XOR-fold of per-row hashes —
+    * computable distributed, identical at any parallelism. */
+  def exportJsonlShards(df: DataFrame, path: String, key: Column,
+      targetRowsPerFile: Long): Unit = {
+    val n = df.count()
+    val shards = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(shards, key)
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").json(path)
+    val checksum = df.select(
+        xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
+      .agg(bit_xor(col("h")).as("s")) // XOR fold: order-independent, no overflow
+      .head().getLong(0)
+    val manifest =
+      s"""{"rows": $n, "shards": $shards, "checksum": "${java.lang.Long.toHexString(checksum)}"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_MANIFEST.json"), manifest)
+  }
+
   /** Compact a table into ~`targetRowsPerFile`-row parquet files,
     * range-clustered and sorted on `key` — the maintenance pass that keeps
     * a 100 TB table healthy: small-file merge (file count = ceil(n/target),

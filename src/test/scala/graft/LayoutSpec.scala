@@ -65,6 +65,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("exportJsonlShards writes verifiable shards with a manifest") {
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    Layout.exportJsonlShards(docs, out, col("doc_id"), 100L)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "_MANIFEST.json"))
+    assert(manifest.contains(s""""rows": $n"""), manifest)
+    // the JSONL round-trips losslessly
+    val back = spark.read.json(out)
+    assert(back.count() == n)
+    assert(back.select(sum(col("doc_id"))).head().getLong(0) ==
+      docs.select(sum(col("doc_id"))).head().getLong(0))
+    // checksum is partitioning-invariant: recompute from the reread data
+    val expected = manifest.split("\"checksum\": \"")(1).split("\"")(0)
+    val re = docs.repartition(7)
+      .select(xxhash64(to_json(struct(col("doc_id"), col("text")))).as("h"))
+      .agg(bit_xor(col("h"))).head().getLong(0)
+    assert(java.lang.Long.toHexString(re) == expected,
+      "checksum must not depend on partitioning")
+  }
+
   test("compactTo merges to ceil(n/target) files with disjoint key ranges") {
     val out = java.nio.file.Files.createTempDirectory("compact").toString
     val orders = spark.read.parquet(s"$sf/orders.parquet")

@@ -579,6 +579,40 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- TPC-H Q20 shape: nested semi chain — suppliers whose shipped
+    // volume of ECONOMY parts clears a fixed threshold. part-filter
+    // broadcast-semi-reduces lineitem BEFORE the aggregation; the
+    // qualifying-supplier set then left-semi's the dimension.
+    "q48_excess_stock" -> ((s, dir) => {
+      val econParts = t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val bigSupp = t(s, dir, "lineitem")
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("econ_qty"))
+        .filter(col("econ_qty") > 500)
+      t(s, dir, "supplier")
+        .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- RANGE window frame (value-based, not row-based): rolling
+    // 30-day revenue per customer over an integer day axis — the frame
+    // covers a DATE RANGE, so gaps and same-day multi-orders are handled
+    // correctly where a rows-frame would not be.
+    "q49_rolling_30d" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate"), lit("1992-01-01"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
+            .as("rev_30d"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
     // ---- time-series analytics: month-over-month revenue change
     // (windowed lag over a pre-aggregated series — two-level plan)
     "q42_mom_change" -> ((s, dir) => {
@@ -821,6 +855,24 @@ object Relational {
         |WHERE p_partkey NOT IN (
         |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q48_excess_stock" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 500)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q49_rolling_30d" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q46_exists_chain" ->
       """SELECT s_name, COUNT(*) AS numwait

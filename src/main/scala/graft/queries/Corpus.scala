@@ -201,6 +201,23 @@ object Corpus {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
 
+    // per-GROUP sketching: one bounded SpaceSaving buffer per source,
+    // map-side combined — "top terms per domain" at corpus scale without
+    // shuffling the raw term stream
+    "text_topterms_by_source" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.SpaceSaving(1 << 20)
+      t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        .as[(String, String)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.toColumn.name("hh"))
+        .flatMap { case (src, hh) => hh.take(5).map(h => (src, h.item, h.count)) }
+        .toDF("source", "term", "n")
+        .orderBy(col("source"), col("n").desc, col("term"))
+    }),
+
     "docs_by_source" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("source"))
@@ -408,6 +425,17 @@ object Corpus {
         |       THEN 1 ELSE 0 END AS is_current,
         |  value
         |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "text_topterms_by_source" ->
+      """WITH terms AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM terms GROUP BY source, term),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY n DESC, term) AS rk FROM c)
+        |SELECT source, term, n FROM r WHERE rk <= 5
+        |ORDER BY source, n DESC, term""".stripMargin,
 
     "docs_by_source" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

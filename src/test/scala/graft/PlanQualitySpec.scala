@@ -104,6 +104,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial"), s"no partial (map-side) sketch stage:\n$p")
   }
 
+  test("q48_excess_stock semi-reduces lineitem via broadcast before aggregating") {
+    val p = plan("q48_excess_stock")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"part filter must broadcast-semi-reduce the fact table:\n$p")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      s"part filter not pushed to its scan:\n$p")
+  }
+
+  test("q49_rolling_30d is one window pass with no join") {
+    val p = plan("q49_rolling_30d")
+    assert(!p.contains("Join"), s"RANGE frame must not self-join:\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderkey:bigint") ||
+      !p.contains("o_orderpriority"),
+      s"scan not pruned:\n$p")
+  }
+
   test("quality_filter is a single scan+project over the two needed columns") {
     val p = plan("quality_filter")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

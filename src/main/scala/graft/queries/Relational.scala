@@ -135,6 +135,38 @@ object Relational {
     }),
 
     // ---- set ops: intersect + except + union, tagged
+    // ---- MULTISET set ops: EXCEPT ALL / INTERSECT ALL keep per-row
+    // multiplicities (a customer with 3 'F' and 1 'O' order survives
+    // except-all twice) — semantics DISTINCT set ops cannot express
+    "q50_set_ops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      a.exceptAll(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_excess"))
+        .unionByName(
+          a.intersectAll(b).groupBy(col("o_custkey"))
+            .agg((count(lit(1)) * -1).as("n_excess")))
+        .orderBy(col("o_custkey"), col("n_excess"))
+    }),
+
+    // ---- unpivot (inverse of q23's pivot): wide per-status totals back
+    // to (priority, status, total) rows via stack — the melt operation
+    "q51_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(D).as("total_f"),
+          sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(D).as("total_o"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("total_f"), col("total_o")),
+          "status", "total")
+        .withColumn("status", upper(substring(col("status"), -1, 1)))
+        .orderBy(col("o_orderpriority"), col("status"))
+    }),
+
     "q9_set_ops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
@@ -771,6 +803,27 @@ object Relational {
     "q8_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q50_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_excess
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY o_custkey
+        |UNION ALL
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) * -1 AS n_excess
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY o_custkey
+        |ORDER BY o_custkey, n_excess""".stripMargin,
+
+    "q51_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'F' AS status, total_f AS total FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'O' AS status, total_o AS total FROM wide
+        |ORDER BY o_orderpriority, status""".stripMargin,
 
     "q9_set_ops" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),

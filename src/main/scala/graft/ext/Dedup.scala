@@ -226,4 +226,33 @@ object Dedup {
       .filter(col("hd") <= maxHamming)
       .select(col("i"), col("j"), col("hd"))
   }
+
+  /** Blocked fuzzy record linkage: candidate pairs must share a blocking
+    * key, so the quadratic edit-distance comparison only runs within
+    * blocks — an equi-join on the block columns, never a cross product.
+    *
+    * Uses Spark's bounded `levenshtein(l, r, threshold)`, which abandons
+    * a pair as soon as the running distance exceeds `maxDist` — per-pair
+    * cost O(len·maxDist) instead of O(len²). At 100 TB the blocking key
+    * IS the algorithm: a natural composite key here; sorted-neighborhood
+    * windows or phonetic keys for free text. Skewed blocks (one huge
+    * blocking value) should be length-bucketed before pairing.
+    *
+    * Output: blockCols ++ (k1, k2, dist) with k1 < k2, dist <= maxDist.
+    */
+  def editDistancePairs(df: DataFrame, keyCol: String, strCol: String,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val a = df.select((blockCols :+ keyCol :+ strCol).map(col): _*)
+    val b = blockCols.foldLeft(
+        a.withColumnRenamed(keyCol, "_k2").withColumnRenamed(strCol, "_s2")) {
+      (d, bc) => d.withColumnRenamed(bc, s"_b_$bc")
+    }
+    val cond = blockCols.map(bc => col(bc) === col(s"_b_$bc"))
+      .reduce(_ && _) && col(keyCol) < col("_k2")
+    a.join(b, cond)
+      .withColumn("dist", levenshtein(col(strCol), col("_s2"), maxDist))
+      .filter(col("dist") >= 0) // bounded levenshtein returns -1 past maxDist
+      .select(blockCols.map(col) ++
+        Seq(col(keyCol).as("k1"), col("_k2").as("k2"), col("dist")): _*)
+  }
 }

@@ -190,10 +190,27 @@ object Extensions {
           hex(substring(col("payload"), 1, 4)).as("header_hex"),
           sha2(col("payload"), 256).as("payload_sha"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- blocked fuzzy record linkage: within-(brand,size) part-name
+    // pairs at edit distance <= 8 — the equi-join on the blocking key
+    // bounds the quadratic comparison to block-local pairs
+    "dedup_fuzzy_pairs" -> ((s, dir) => {
+      Dedup.editDistancePairs(t(s, dir, "part"),
+          "p_partkey", "p_name", Seq("p_brand", "p_size"), maxDist = 8)
+        .orderBy(col("p_brand"), col("p_size"), col("k1"), col("k2"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_fuzzy_pairs" ->
+      """SELECT a.p_brand, a.p_size, a.p_partkey AS k1, b.p_partkey AS k2,
+        |CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 8
+        |ORDER BY a.p_brand, a.p_size, k1, k2""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,

@@ -645,6 +645,33 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // ---- statistical moments from EXACT decimal sums: var/stddev/corr
+    // derived as double arithmetic over decimal partial aggregates, so
+    // the result is partition-order-independent (Spark's stddev/corr
+    // stream doubles and drift with partitioning). One map-side-combinable
+    // pass collects all six sums.
+    "q52_stats_moments" -> ((s, dir) => {
+      val q = dec(col("l_quantity"))
+      val p = dec(col("l_extendedprice"))
+      val d28 = DecimalType(28, 4)
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sx"), sum((q * q).cast(d28)).as("sxx"),
+          sum(p).as("sy"), sum((p * p).cast(d28)).as("syy"),
+          sum((q * p).cast(d28)).as("sxy"))
+      val n = col("n").cast(D)
+      base.select(col("l_returnflag"), col("n"),
+          round((col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D) / n) / n, 6).as("var_qty"),
+          round(sqrt((col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D) / n) / n), 6).as("std_qty"),
+          round((n * col("sxy").cast(D) - col("sx").cast(D) * col("sy").cast(D)) /
+            sqrt((n * col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D)) *
+              (n * col("syy").cast(D) - col("sy").cast(D) * col("sy").cast(D))), 6)
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- time-series analytics: month-over-month revenue change
     // (windowed lag over a pre-aggregated series — two-level plan)
     "q42_mom_change" -> ((s, dir) => {
@@ -813,6 +840,23 @@ object Relational {
         |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) * -1 AS n_excess
         |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY o_custkey
         |ORDER BY o_custkey, n_excess""".stripMargin,
+
+    "q52_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS syy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS var_qty,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS std_qty,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q51_unpivot" ->
       """WITH wide AS (

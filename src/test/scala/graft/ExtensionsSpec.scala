@@ -158,4 +158,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(rs.nonEmpty)
     assert(rs.forall(f => f.frame.length == 32 && f.width == 8 && f.height == 4))
   }
+
+  test("editDistancePairs respects blocks, threshold, and k1<k2 ordering") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "A", 1, "kitten"),  // block (A,1)
+      (2L, "A", 1, "sitten"),  // dist 1 from kitten
+      (3L, "A", 1, "sitting"), // dist 3 from kitten, 2 from sitten
+      (4L, "A", 2, "kitten"),  // same string, DIFFERENT block — no pair
+      (5L, "B", 1, "zzzzzzzzzz") // dist > 2 from everything, same-block none
+    ).toDF("id", "blk", "sz", "name")
+    val pairs = Dedup.editDistancePairs(df, "id", "name", Seq("blk", "sz"), maxDist = 2)
+      .collect()
+    val got = pairs.map(r => (r.getAs[Long]("k1"), r.getAs[Long]("k2"),
+      r.getAs[Int]("dist"))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 2)), s"got $got")
+    // cross-block identical strings must NOT pair
+    assert(!pairs.exists(r => r.getAs[Long]("k2") == 4L))
+  }
 }

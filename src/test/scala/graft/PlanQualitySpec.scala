@@ -121,6 +121,23 @@ class PlanQualitySpec extends SparkSpec {
       s"scan not pruned:\n$p")
   }
 
+  test("dedup_fuzzy_pairs is an equi-join on the block key, never a cross product") {
+    val p = plan("dedup_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), s"fuzzy join degenerated to a cross product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join lost its equi-join block keys:\n$p")
+    assert(p.contains("Join"), s"expected a join:\n$p")
+  }
+
+  test("q52_stats_moments collects all six sums in ONE map-side-combinable pass") {
+    val p = plan("q52_stats_moments")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+    assert(p.contains("partial"), s"missing map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"moments must not join:\n$p")
+    // one grouping shuffle + the output sort only
+    assert("hashpartitioning".r.findAllIn(p).toSeq.size <= 2, s"extra shuffle:\n$p")
+  }
+
   test("quality_filter is a single scan+project over the two needed columns") {
     val p = plan("quality_filter")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

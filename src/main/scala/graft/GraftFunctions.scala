@@ -30,11 +30,15 @@ object GraftFunctions {
       s"winnow expects (text) or (text, k, window), got ${exprs.length} arguments")
   }
 
-  /** Register into an existing session (temp functions). */
+  /** Register into an existing session (temp functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dot_product", buildDot, "scala_udf")
     reg.createOrReplaceTempFunction("winnow", buildWinnow, "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
+    }
   }
 
   val dotProductInfo = new ExpressionInfo(
@@ -54,5 +58,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow"),
       GraftFunctions.winnowInfo,
       (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
+    ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
   }
 }

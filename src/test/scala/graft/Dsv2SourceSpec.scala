@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Generator
+
+/** DataSource V2 generator table (SURVEY.md §2.1 S1/S8 production
+  * mapping): row parity with the expression-based Generator, slice
+  * parallelism, and filter/column/limit pushdown reaching the source.
+  */
+class Dsv2SourceSpec extends SparkSpec {
+  private val frozen = "2024-03-05 14:30:00"
+
+  private def dsv2(count: Long, slices: Int = 8) =
+    spark.read.format("sample-items")
+      .option("count", count)
+      .option("slices", slices)
+      .option("frozenNow", frozen)
+      .option("deterministicIds", true)
+      .load()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("DSv2 source matches the Generator expression source row-for-row") {
+    val got = dsv2(300).orderBy("i").collect().toSeq
+    val want = Generator.sampleItems(spark, 300, Some(frozen),
+      deterministicIds = true).orderBy("i").collect().toSeq
+    assert(got.size == 300)
+    assert(got == want)
+  }
+
+  test("planInputPartitions splits the range into `slices` partitions") {
+    assert(dsv2(1000, slices = 7).rdd.getNumPartitions == 7)
+    // degenerate: fewer rows than slices → one partition per row, not empty splits
+    assert(dsv2(3, slices = 8).rdd.getNumPartitions == 3)
+  }
+
+  test("LogicalPartition equality pushes down as a residue test") {
+    val df = dsv2(300).filter(col("LogicalPartition") === "Partition_B")
+    assert(df.count() == 100) // i % 3 == 1 in 1..300
+    assert(planOf(df).contains("residues={1}"), planOf(df))
+  }
+
+  test("IN-list and range predicates narrow the generated span at the source") {
+    val df = dsv2(300).filter(
+      col("LogicalPartition").isin("Partition_A", "Partition_C") &&
+      col("i") > 250 && col("i") <= 290)
+    // i in 251..290 with i%3 != 1 → 40 - 13 = 27 rows
+    assert(df.count() == 27)
+    val p = planOf(df)
+    assert(p.contains("range=[251,290]"), p)
+    assert(p.contains("residues={0,2}"), p)
+  }
+
+  test("unknown partition value yields an empty scan, not a full generate") {
+    val df = dsv2(300).filter(col("LogicalPartition") === "Partition_Z")
+    assert(df.count() == 0)
+    assert(planOf(df).contains("residues={}"), planOf(df))
+  }
+
+  test("column pruning reaches the source") {
+    val df = dsv2(100).select("Desc")
+    assert(planOf(df).contains("columns=[Desc]"), planOf(df))
+    assert(df.distinct().count() == 100)
+  }
+
+  test("limit is partially pushed (slice cap) and globally exact") {
+    val df = dsv2(1000).limit(5)
+    assert(df.count() == 5)
+    assert(planOf(df).contains("limit=5"), planOf(df))
+  }
+
+  test("production mode (no frozenNow, random ids) yields unique UUIDs") {
+    val df = spark.read.format("sample-items").option("count", 50).load()
+    val ids = df.select("id").collect().map(_.getString(0))
+    assert(ids.distinct.length == 50)
+    assert(ids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+  }
+}

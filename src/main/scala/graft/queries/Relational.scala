@@ -672,6 +672,76 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- calendar gap-fill: a generated date axis LEFT JOIN a sparse
+    // daily aggregate, missing days zero-filled. The axis is a tiny
+    // `sequence()` explode (366 rows) — at 100 TB the fact side shuffles
+    // once into the daily aggregate and the join is broadcast.
+    "q53_gapfill" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 7 &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      val axis = s.range(1).select(explode(sequence(
+        to_date(lit("1996-01-01")), to_date(lit("1996-12-31")),
+        expr("interval 1 day"))).as("day"))
+      axis.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- ordered string aggregation: collect_list is unordered by
+    // contract, so sort INSIDE the array before joining — deterministic
+    // at any parallelism (DuckDB: string_agg ... ORDER BY)
+    "q54_listagg" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), "|").as("names"),
+          count(lit(1)).as("n_supp"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // ---- distribution window functions: ntile / percent_rank / cume_dist
+    // (total order inside each partition via the custkey tiebreak)
+    "q55_dist_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    // ---- explicit frame bounds: first/last/nth over the FULL partition
+    // (last_value without UNBOUNDED FOLLOWING is the classic silent bug)
+    "q56_frame_bounds" -> ((s, dir) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "supplier").select(
+          col("s_suppkey"), col("s_nationkey"),
+          first(col("s_name")).over(w).as("poorest"),
+          last(col("s_name")).over(w).as("richest"),
+          nth_value(col("s_name"), 2).over(w).as("second_poorest"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- bitwise aggregates (order-independent, map-side combinable)
+    "q57_bit_aggs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bit_and(col("l_orderkey")).as("k_and"),
+          bit_or(col("l_orderkey")).as("k_or"),
+          bit_xor(col("l_orderkey")).as("k_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- time-series analytics: month-over-month revenue change
     // (windowed lag over a pre-aggregated series — two-level plan)
     "q42_mom_change" -> ((s, dir) => {
@@ -857,6 +927,54 @@ object Relational {
         |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q53_gapfill" ->
+      """WITH axis AS (
+        |  SELECT CAST(gs AS DATE) AS day
+        |  FROM generate_series(DATE '1996-01-01', DATE '1996-12-31', INTERVAL 1 DAY) t(gs)),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  WHERE o_custkey % 100 = 7
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT a.day, COALESCE(d.n_orders, 0) AS n_orders,
+        |  COALESCE(d.revenue, 0.0) AS revenue
+        |FROM axis a LEFT JOIN daily d ON a.day = d.day ORDER BY a.day""".stripMargin,
+
+    "q54_listagg" ->
+      """SELECT s_nationkey, string_agg(s_name, '|' ORDER BY s_name) AS names,
+        |COUNT(*) AS n_supp
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q55_dist_windows" ->
+      """SELECT c_custkey, c_mktsegment,
+        |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q56_frame_bounds" ->
+      """SELECT s_suppkey, s_nationkey,
+        |first_value(s_name) OVER w AS poorest,
+        |last_value(s_name) OVER w AS richest,
+        |nth_value(s_name, 2) OVER w AS second_poorest
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q57_bit_aggs" ->
+      """SELECT l_returnflag,
+        |CAST(bit_and(l_orderkey) AS BIGINT) AS k_and,
+        |CAST(bit_or(l_orderkey) AS BIGINT) AS k_or,
+        |CAST(bit_xor(l_orderkey) AS BIGINT) AS k_xor,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q51_unpivot" ->
       """WITH wide AS (

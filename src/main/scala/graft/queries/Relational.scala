@@ -296,6 +296,20 @@ object Relational {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // ---- built-in session_window grouping (the declarative form of q20's
+    // gaps-and-islands; identical sessions, streaming-ready — the same
+    // expression works under a watermark in Structured Streaming).
+    // Verified boundary semantics: an event exactly `gap` after the
+    // previous MERGES (break requires diff > gap), mirrored in the oracle.
+    "q58_session_window" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("w_start"),
+          col("w.end").as("w_end"), col("n_events"))
+        .orderBy(col("user_id"), col("w_start"))
+    }),
+
     // ---- LIKE / string-predicate pushdown (StringContains/StartsWith to scan)
     "q21_like" -> ((s, dir) => {
       t(s, dir, "part")
@@ -1340,6 +1354,25 @@ object Relational {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q58_session_window" ->
+      """WITH gapped AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS brk
+        |  FROM gapped),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS w_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
 
     "q17_above_avg" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c

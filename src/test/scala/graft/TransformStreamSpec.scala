@@ -53,6 +53,29 @@ class TransformStreamSpec extends SparkSpec {
       col("Name").isNull || trim(col("Name")) === "").count() == 0)
   }
 
+  test("Trigger.AvailableNow backfill drains everything, honors backpressure, then stops itself") {
+    val base = Files.createTempDirectory("stream3")
+    val landing = base.resolve("landing").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+
+    // 4 landing files; maxFilesPerTrigger=1 → the backfill must take
+    // FOUR bounded micro-batches, not one giant catch-up batch
+    (1 to 4).foreach(k => land(landing, 3, s"f$k"))
+    val ts = new TransformStream(spark, landing, out, cp, "East US",
+      maxFilesPerTrigger = 1,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    val q = ts.start()
+    // AvailableNow terminates on its own once the backlog is drained
+    assert(q.awaitTermination(120000L), "AvailableNow query did not self-terminate")
+    val got = ts.readTransformed()
+    assert(got.count() == 12)
+    assert(got.select("batch").distinct().count() == 4,
+      "backpressure ignored during backfill")
+    // each micro-batch carried its own lineage guid
+    assert(got.select("TransformBatch").distinct().count() == 4)
+  }
+
   test("restart from checkpoint does not reprocess or duplicate ids") {
     val base = Files.createTempDirectory("stream2")
     val landing = base.resolve("landing").toString

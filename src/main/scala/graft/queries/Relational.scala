@@ -686,6 +686,71 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- TPC-H Q8 shape: market share of one supplier-nation inside a
+    // region, per year — two nation roles (customer-side for the region
+    // gate, supplier-side for the share), conditional/total exact-decimal
+    // sums in ONE aggregation pass. Dimensions broadcast; the fact chain
+    // shuffles on its join keys only.
+    "q59_market_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      val p = t(s, dir, "part")
+      val zero = lit(0).cast(DecimalType(18, 4))
+      l.join(broadcast(p.filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.as("n1")), col("c_nationkey") === col("n1.n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n1.n_regionkey") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.as("n2")), col("s_nationkey") === col("n2.n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("n2.n_name") === "NATION_7", revTerm).otherwise(zero))
+            .cast(D) / sum(revTerm).cast(D), 6).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ---- TPC-H Q9 shape: per-nation per-year product profit over a
+    // 5-table chain (supplycost proxied by retailprice — the fixture has
+    // no partsupp). Exact decimal profit keeps partial aggregation exact.
+    "q60_product_profit" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val su = t(s, dir, "supplier"); val n = t(s, dir, "nation")
+      val p = t(s, dir, "part")
+      val profit = revTerm -
+        (dec(col("l_quantity")) * dec(col("p_retailprice"))).cast(DecimalType(18, 4))
+      l.join(broadcast(p.filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).cast(D).as("sum_profit"), count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- TPC-H Q10 shape: top-20 customers by returned-item revenue in
+    // one quarter; total order (revenue desc, custkey) makes the LIMIT
+    // cut deterministic — plans as TakeOrderedAndProject, not a full sort
+    "q61_returned_items" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      l.filter(col("l_returnflag") === "R")
+        .join(o.filter(col("o_orderdate") >= lit("1996-04-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(revTerm).cast(D).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ---- calendar gap-fill: a generated date axis LEFT JOIN a sparse
     // daily aggregate, missing days zero-filled. The axis is a tiny
     // `sequence()` explode (366 rows) — at 100 TB the fact side shuffles
@@ -941,6 +1006,50 @@ object Relational {
         |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q59_market_share" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         |round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7' THEN $revSql
+         |                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |  / CAST(SUM($revSql) AS DOUBLE), 6) AS mkt_share,
+         |COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q60_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         |CAST(SUM($revSql - CAST(CAST(l_quantity AS DECIMAL(18,2))
+         |  * CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit,
+         |COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_type = 'ECONOMY'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q61_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-04-01'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q53_gapfill" ->
       """WITH axis AS (

@@ -138,6 +138,21 @@ class PlanQualitySpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).toSeq.size <= 2, s"extra shuffle:\n$p")
   }
 
+  test("q61_returned_items plans top-k, and its dimension joins broadcast") {
+    val p = plan("q61_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT after sort must be top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation join should broadcast:\n$p")
+  }
+
+  test("q59_market_share aggregates share and total in ONE pass (no self-join)") {
+    val p = plan("q59_market_share")
+    // conditional + total sums together: exactly one aggregation, the
+    // fact table is scanned once
+    assert("Scan parquet[\\s\\S]*?lineitem".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dimensions should broadcast:\n$p")
+  }
+
   test("quality_filter is a single scan+project over the two needed columns") {
     val p = plan("quality_filter")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

@@ -242,6 +242,9 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, keyCol: String, strCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty,
+      "editDistancePairs requires at least one blocking column — without " +
+        "blocks the pairing is an unbounded cross product")
     val a = df.select((blockCols :+ keyCol :+ strCol).map(col): _*)
     val b = blockCols.foldLeft(
         a.withColumnRenamed(keyCol, "_k2").withColumnRenamed(strCol, "_s2")) {

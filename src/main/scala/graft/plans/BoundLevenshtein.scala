@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: rewrite threshold comparisons over the UNBOUNDED
   * `levenshtein(l, r)` into the early-exit bounded form
@@ -31,24 +31,48 @@ import org.apache.spark.sql.types.IntegerType
   */
 object BoundLevenshtein extends Rule[LogicalPlan] {
 
+  /** An unbounded levenshtein, possibly under the integral-widening Cast
+    * the analyzer inserts when the comparison literal is a long
+    * (`lev(a,b) <= 3L` analyzes to `Cast(lev, LongType) <= 3L`) — without
+    * unwrapping, exactly the queries this rule targets silently keep the
+    * O(n²) path. Dropping the cast is safe: the rewritten comparison is
+    * int-vs-int with identical semantics. */
+  private object UnboundedLev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(l, r, None) => Some((l, r))
+      case Cast(Levenshtein(l, r, None), LongType, _, _) => Some((l, r))
+      case _ => None
+    }
+  }
+
+  /** Int-valued literal threshold (int or exactly-representable long). */
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(k: Int, IntegerType) => Some(k)
+      case Literal(k: Long, LongType)
+          if k >= Int.MinValue && k <= Int.MaxValue => Some(k.toInt)
+      case _ => None
+    }
+  }
+
   private def bounded(l: Expression, r: Expression, k: Int): Expression =
     GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     // lev <= k  /  k >= lev
-    case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+    case LessThanOrEqual(UnboundedLev(l, r), IntLit(k)) if k >= 0 =>
       bounded(l, r, k)
-    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 0 =>
+    case GreaterThanOrEqual(IntLit(k), UnboundedLev(l, r)) if k >= 0 =>
       bounded(l, r, k)
     // lev < k  /  k > lev
-    case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 1 =>
+    case LessThan(UnboundedLev(l, r), IntLit(k)) if k >= 1 =>
       bounded(l, r, k - 1)
-    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 1 =>
+    case GreaterThan(IntLit(k), UnboundedLev(l, r)) if k >= 1 =>
       bounded(l, r, k - 1)
     // lev == k — bounded form returns the true distance iff it is <= k
-    case EqualTo(lev @ Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+    case EqualTo(UnboundedLev(l, r), IntLit(k)) if k >= 0 =>
       EqualTo(Levenshtein(l, r, Some(Literal(k))), Literal(k))
-    case EqualTo(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 0 =>
+    case EqualTo(IntLit(k), UnboundedLev(l, r)) if k >= 0 =>
       EqualTo(Levenshtein(l, r, Some(Literal(k))), Literal(k))
   }
 }

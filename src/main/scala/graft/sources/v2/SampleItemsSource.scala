@@ -155,14 +155,21 @@ private[v2] class SampleItemsScanBuilder(options: CaseInsensitiveStringMap)
       count, slices, required, residues, lo, hi, limit,
       now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")),
       "Item_" + now.format(DateTimeFormatter.ofPattern("yyyyMMhhmm")),
-      options.getBoolean("deterministicIds", false))
+      options.getBoolean("deterministicIds", false),
+      // minted ONCE per scan on the driver: production ids are random
+      // across queries but a pure function of (seed, i) within one, so a
+      // recomputed partition (executor loss, cache eviction, second
+      // action) reproduces identical ids — java.util.UUID.randomUUID in
+      // the reader would silently break that, which is why Spark's own
+      // uuid() expression is seeded per query
+      idSeed = new java.security.SecureRandom().nextLong())
   }
 }
 
 private[v2] class SampleItemsScan(
     count: Long, slices: Int, required: StructType, residues: Set[Int],
     lo: Long, hi: Long, limit: Int, dateStr: String, namePrefix: String,
-    deterministicIds: Boolean) extends Scan with Batch {
+    deterministicIds: Boolean, idSeed: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -183,7 +190,7 @@ private[v2] class SampleItemsScan(
       val len = per + (if (s < extra) 1 else 0)
       val p = SampleItemsSlice(start, start + len - 1, residues.toArray.sorted,
         dateStr, namePrefix, count, deterministicIds, limit,
-        required.fieldNames)
+        required.fieldNames, idSeed)
       start += len
       p: InputPartition
     }.toArray
@@ -199,7 +206,25 @@ private[v2] class SampleItemsScan(
 private[v2] case class SampleItemsSlice(
     lo: Long, hi: Long, residues: Array[Int], dateStr: String,
     namePrefix: String, count: Long, deterministicIds: Boolean, limit: Int,
-    fields: Array[String]) extends InputPartition
+    fields: Array[String], idSeed: Long) extends InputPartition
+
+private[v2] object SampleItemsReader {
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Retry-stable pseudo-random v4-shaped UUID: pure in (seed, i). */
+  private[v2] def rowUuid(seed: Long, i: Long): UUID = {
+    val m = splitmix64(seed ^ i)
+    val l = splitmix64(m)
+    new UUID(
+      (m & 0xFFFFFFFFFFFF0FFFL) | 0x0000000000004000L, // version 4
+      (l & 0x3FFFFFFFFFFFFFFFL) | 0x8000000000000000L) // IETF variant
+  }
+}
 
 private[v2] class SampleItemsReader(slice: SampleItemsSlice)
     extends PartitionReader[InternalRow] {
@@ -214,6 +239,25 @@ private[v2] class SampleItemsReader(slice: SampleItemsSlice)
   private val partU = Array("Partition_A", "Partition_B", "Partition_C")
     .map(UTF8String.fromString)
 
+  // per-field generators compiled ONCE per reader — no string dispatch in
+  // the per-row hot path
+  private val fieldGen: Array[Long => Any] = slice.fields.map {
+    case "id" if slice.deterministicIds =>
+      (i: Long) => UTF8String.fromString(i.toString)
+    case "id" =>
+      (i: Long) => UTF8String.fromString(
+        SampleItemsReader.rowUuid(slice.idSeed, i).toString)
+    case "Date" => (_: Long) => dateU
+    case "Desc" => (i: Long) => UTF8String.fromString(
+      s"Sample item #$i of ${slice.count} generated")
+    case "Done" => (_: Long) => doneU
+    case "Name" => (i: Long) => UTF8String.fromString(s"${slice.namePrefix}_$i")
+    case "Pr" => (_: Long) => prU
+    case "LogicalPartition" => (i: Long) => partU((i % 3).toInt)
+    case "i" => (i: Long) => i
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
   private var i: Long = slice.lo - 1
   private var emitted: Int = 0
 
@@ -227,20 +271,9 @@ private[v2] class SampleItemsReader(slice: SampleItemsSlice)
   }
 
   override def get(): InternalRow = {
-    val values: Array[Any] = slice.fields.map {
-      case "id" => UTF8String.fromString(
-        if (slice.deterministicIds) i.toString else UUID.randomUUID().toString)
-      case "Date" => dateU
-      case "Desc" => UTF8String.fromString(
-        s"Sample item #$i of ${slice.count} generated")
-      case "Done" => doneU
-      case "Name" => UTF8String.fromString(s"${slice.namePrefix}_$i")
-      case "Pr" => prU
-      case "LogicalPartition" => partU((i % 3).toInt)
-      case "i" => i
-      case other => throw new IllegalArgumentException(s"unknown column $other")
-    }
-    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+    val row = i
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      fieldGen.map(_(row))))
   }
 
   override def close(): Unit = ()

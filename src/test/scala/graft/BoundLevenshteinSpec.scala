@@ -37,7 +37,11 @@ class BoundLevenshteinSpec extends SparkSpec {
         levenshtein(col("a"), col("b")) < 4,
         lit(3) >= levenshtein(col("a"), col("b")),
         lit(4) > levenshtein(col("a"), col("b")),
-        levenshtein(col("a"), col("b")) === 3)) {
+        levenshtein(col("a"), col("b")) === 3,
+        // long literal: analyzer wraps lev in Cast(..., LongType) — the
+        // rule must see through it or exactly these queries keep O(n²)
+        levenshtein(col("a"), col("b")) <= lit(3L),
+        lit(3L) >= levenshtein(col("a"), col("b")))) {
       val q = df.filter(pred)
       assert(boundedCount(q) == 1, s"$pred not rewritten")
     }

@@ -74,6 +74,20 @@ class Dsv2SourceSpec extends SparkSpec {
     val df = spark.read.format("sample-items").option("count", 50).load()
     val ids = df.select("id").collect().map(_.getString(0))
     assert(ids.distinct.length == 50)
-    assert(ids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    assert(ids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}")))
+  }
+
+  test("production ids are stable across recomputation of the same scan, fresh across scans") {
+    // same DataFrame → same scan (same per-scan seed): a recomputed
+    // partition must reproduce identical ids (task-retry stability)
+    val df = spark.read.format("sample-items").option("count", 40).load()
+      .orderBy("i").select("id")
+    val first = df.collect().map(_.getString(0)).toSeq
+    val second = df.collect().map(_.getString(0)).toSeq
+    assert(first == second, "ids changed across re-execution of one scan")
+    // a NEW scan mints a new seed: production ids differ across queries
+    val other = spark.read.format("sample-items").option("count", 40).load()
+      .orderBy("i").select("id").collect().map(_.getString(0)).toSeq
+    assert(first != other, "ids unexpectedly constant across scans")
   }
 }

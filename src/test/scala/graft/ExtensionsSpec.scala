@@ -176,5 +176,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1), (2L, 3L, 2)), s"got $got")
     // cross-block identical strings must NOT pair
     assert(!pairs.exists(r => r.getAs[Long]("k2") == 4L))
+    // no blocking columns = unbounded cross product: refused loudly
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "id", "name", Seq.empty, maxDist = 2)
+    }
   }
 }

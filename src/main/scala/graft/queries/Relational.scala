@@ -329,6 +329,40 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- SQL LATERAL correlated subquery: per nation, its top-2
+    // suppliers by balance — the lateral form of a grouped top-k.
+    // Catalyst decorrelates this into a join + window, so it scales like
+    // q6_window_topn rather than re-executing the subquery per outer row.
+    "q62_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql(
+        """SELECT n.n_name, top.s_name, top.s_acctbal
+          |FROM v_nation n,
+          |LATERAL (
+          |  SELECT s_name, s_acctbal FROM v_supplier s
+          |  WHERE s.s_nationkey = n.n_nationkey
+          |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2
+          |) top
+          |ORDER BY n.n_name, top.s_acctbal DESC, top.s_name""".stripMargin)
+    }),
+
+    // ---- error-safe scalar functions: try_divide / try_cast / try_add
+    // yield NULL instead of failing the job under ANSI semantics — at
+    // 100 TB one malformed row must not kill a 6-hour pipeline
+    "q63_try_fns" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          try_divide(dec(col("c_acctbal")),
+            (col("c_custkey") % 7).cast("int")).cast(D).as("per_bucket"),
+          try_to_number(
+            when(col("c_custkey") % 5 === 0, lit("not-a-number"))
+              .otherwise(col("c_custkey").cast("string")),
+            lit("999999")).cast("long").as("parsed"),
+          try_element_at(split(col("c_name"), "#"), lit(2)).as("name_suffix"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- pivot-shape conditional aggregation (one pass, no shuffle per column)
     "q23_pivot_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")

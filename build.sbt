@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `runMain graft.Bench` stdout for the one-line JSON
+// result. With the default LoggedOutput strategy sbt prefixes every
+// forked-process line with "[info] ", which breaks the driver's JSON
+// parse (BENCH_r01/r02 both recorded parsed:null). StdoutOutput passes
+// the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -173,12 +173,15 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
-    // NO SQL oracle (custom Expression): winnowing fingerprints summarized
-    // to scalars; algorithmic guarantees are spec-gated (WinnowSpec).
+    // Winnowing fingerprints summarized to scalars. Oracle-checked: the
+    // Rabin-Karp k-gram hash (base 257 mod 1e9+7 over char codes) and the
+    // rightmost-min window selection are both replayed in DuckDB list
+    // lambdas (fixture text is pure ASCII, so UTF-16 code units == ord()).
+    // Algorithmic guarantees are additionally spec-gated (WinnowSpec).
     "text_winnow" -> ((s, dir) => {
       val fp = graft.functions.Winnow.winnow(col("text"))
       t(s, dir, "documents")
-        .select(col("doc_id"), size(fp).as("n_fp"),
+        .select(col("doc_id"), size(fp).cast("long").as("n_fp"),
           element_at(fp, 1).as("min_fp"))
         .orderBy(col("doc_id"))
     }),
@@ -311,6 +314,32 @@ object Extensions {
       """SELECT c_mktsegment,
         |array_to_string(list(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC)[1:5], ',') AS top_ids_csv
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Replays Winnow's Rabin-Karp rolling hash (base 257 mod 1e9+7,
+    // k=8 char-grams) and the per-window minimum selection in DuckDB
+    // list lambdas. min_fp = global min of all k-gram hashes (the global
+    // min is always a selected fingerprint); n_fp = distinct window
+    // minima. Safe because fixture text is pure ASCII (ord == UTF-16
+    // code unit) — see Winnow.scala for the Spark-side Expression.
+    "text_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(text) < 8 THEN [] ELSE
+        |      list_transform(range(1, len(text)-8+2), i ->
+        |        list_reduce(list_transform(range(i, i+8), j -> ord(text[j])::BIGINT),
+        |                    (acc, c) -> (acc*257 + c) % 1000000007))
+        |    END AS hs
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, hs,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 6 THEN [list_min(hs)]
+        |         ELSE list_distinct(list_transform(range(1, len(hs)-6+2), w ->
+        |                list_min(hs[w:w+5])))
+        |    END AS minima
+        |  FROM h)
+        |SELECT doc_id, len(minima) AS n_fp, list_min(hs) AS min_fp
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_tfidf_top" ->
       """WITH terms AS (

@@ -349,12 +349,19 @@ object Relational {
 
     // ---- error-safe scalar functions: try_divide / try_cast / try_add
     // yield NULL instead of failing the job under ANSI semantics — at
-    // 100 TB one malformed row must not kill a 6-hour pipeline
+    // 100 TB one malformed row must not kill a 6-hour pipeline.
+    // per_bucket lands as DECIMAL(18,4): acctbal has scale 2 and the
+    // divisor is 1..6, so the exact quotient terminates at scale <= 4
+    // or repeats in 3s/6s — no value sits on a 4-dp rounding boundary,
+    // which makes the HALF_UP cast here and DuckDB's ROUND(double, 4)
+    // in the oracle agree exactly (a double-typed quotient would differ
+    // from DuckDB in the last ulp).
     "q63_try_fns" -> ((s, dir) => {
       t(s, dir, "customer")
         .select(col("c_custkey"),
           try_divide(dec(col("c_acctbal")),
-            (col("c_custkey") % 7).cast("int")).cast(D).as("per_bucket"),
+            (col("c_custkey") % 7).cast("int"))
+            .cast(DecimalType(18, 4)).as("per_bucket"),
           try_to_number(
             when(col("c_custkey") % 5 === 0, lit("not-a-number"))
               .otherwise(col("c_custkey").cast("string")),
@@ -1084,6 +1091,27 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '1996-07-01'
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q62_lateral_topn" ->
+      """SELECT n.n_name, top.s_name, top.s_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2
+        |) top
+        |ORDER BY n.n_name, top.s_acctbal DESC, top.s_name""".stripMargin,
+
+    // ROUND(double, 4) here matches Spark's DECIMAL(18,4) HALF_UP cast
+    // because no quotient acctbal/k (k in 1..6) sits on a 4-dp boundary
+    // (terminating expansions stop at scale 4; the rest repeat in 3s/6s).
+    "q63_try_fns" ->
+      """SELECT c_custkey,
+        |ROUND(c_acctbal / NULLIF(c_custkey % 7, 0), 4)::DECIMAL(18,4) AS per_bucket,
+        |TRY_CAST(CASE WHEN c_custkey % 5 = 0 THEN 'not-a-number'
+        |              ELSE c_custkey::VARCHAR END AS BIGINT) AS parsed,
+        |str_split(c_name, '#')[2] AS name_suffix
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q53_gapfill" ->
       """WITH axis AS (

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
   * quality scoring, language ID, fingerprinting. All pure column
@@ -140,6 +141,52 @@ object TextOps {
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
       .withColumn("bin", (col("tokens_before") / tokensPerBin).cast("long"))
+  }
+
+  /** Bigram language-model scoring: train add-one-smoothed bigram
+    * probabilities on the corpus itself, then score every document by its
+    * mean negative log-likelihood — the classic cheap perplexity proxy
+    * for quality filtering (low avg_nll = predictable/common phrasing,
+    * high = rare or garbled text). Two grouped counts + two joins keyed
+    * by token — at 100 TB the count tables are vocabulary-sized (AQE
+    * broadcasts them when small) and the bigram explode is scan-local
+    * array slicing, no per-doc window shuffle.
+    *
+    * Determinism contract: each bigram's nll term is rounded to 6 dp and
+    * summed as DECIMAL(18,6) — so the per-document mean is independent of
+    * partition/summation order, and DuckDB reproduces it exactly (one
+    * ln() per term; both engines round the same value). avg_nll =
+    * round(double(sum)/n, 6); the decimal sum is exactly representable
+    * in double at document scale.
+    *
+    * Returns (doc_id, n_bigrams, avg_nll) for documents with >= 1 bigram.
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val bi = toks
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // vocabulary size = the unigram table's row count — reuses `uni`
+    // instead of a second explode over the corpus
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    val scored = bi
+      .join(big, Seq("w1", "w2"))
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll",
+        round(-log((col("c12") + lit(1.0)) /
+          (col("c1") + col("vocab")).cast("double")), 6)
+          .cast(DecimalType(18, 6)))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
   }
 
   /** One-pass per-document stats table over a (doc_id, text) frame. */

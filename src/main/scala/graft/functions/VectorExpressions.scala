@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Codegen'd dot product over two `array<float>` / `array<double>` columns.
   *
@@ -84,6 +84,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd EXACT dot product over two `array<int>` columns, returning
+  * `long`. This is the scoring kernel of int8-quantized similarity
+  * search: products of values in [-127, 127] summed over any realistic
+  * dimensionality stay far below 2^63, so the result is exact integer
+  * arithmetic — no float summation order to worry about, and the oracle
+  * compares it bit-for-bit. On real hardware this loop is what SIMD
+  * int8 dot instructions accelerate; at 100 TB the quantized corpus is
+  * 4x smaller at rest and in shuffle than float32.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int_dot_product expects array<int>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge
 
@@ -91,4 +147,9 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for [[IntDotProduct]]. */
+  def intDotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      IntDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextOps}
 
 /** LLM-pipeline extension queries (dedup / similarity / text / multimodal),
   * each oracle-checked against DuckDB.
@@ -80,6 +80,14 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram-LM perplexity proxy: add-one-smoothed bigram NLL, trained on
+    // and scored over the corpus itself (see TextOps.bigramNll for the
+    // order-independent decimal-sum determinism contract)
+    "text_bigram_nll" -> ((s, dir) => {
+      TextOps.bigramNll(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(plantedDocs(s, dir)).orderBy(col("h"))
     }),
@@ -114,6 +122,16 @@ object Extensions {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), topN = 20)
     }),
 
+    // int8-quantized brute-force top-k: exact integer dot products over
+    // absmax-quantized vectors (4x smaller than float32 at rest and in
+    // shuffle). Bit-for-bit oracle-checkable — see Quantize's determinism
+    // contract; int_dot is exact integer arithmetic on both engines.
+    "ann_int8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // NO SQL oracle (approximate/seeded paths — driver records rows-only):
     // LSH ANN is recall-gated against brute force in ExtensionsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
@@ -130,16 +148,36 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // NO SQL oracle (HLL sketch values are engine-specific).
+    // Tolerance-gated oracle: HLL/KLL sketch VALUES are engine-specific
+    // (DuckDB could never reproduce Spark's estimates bit-for-bit), but
+    // the sketches are deterministic over fixed data — so the query emits
+    // the EXACT counts (oracle-verified against DuckDB) plus booleans
+    // asserting each estimate sits within its published error bound
+    // (3*rsd for HLL++, 1% for percentile_approx at accuracy=10000). The
+    // oracle expects TRUE: a broken estimator flips the flag and fails
+    // the hash gate, while the exact columns anchor the data itself.
     "approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("median_price"),
+          .as("mp"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("mx"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
-          .as("p99_price"),
-        count(lit(1)).as("n_rows"))
+          .as("pp"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("px"))
+        .select(col("n_rows"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.06).as("parts_within_tol"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.06).as("orders_within_tol"),
+          (abs(col("mp") - col("mx")) <= abs(col("mx")) * 0.01)
+            .as("median_within_tol"),
+          (abs(col("pp") - col("px")) <= abs(col("px")) * 0.01)
+            .as("p99_within_tol"))
     }),
 
     // Typed Aggregator: space-bounded top-5 customers per segment (the
@@ -302,6 +340,31 @@ object Extensions {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
         |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
+    // Mirrors Quantize.int8 + IntDotProduct: absmax scaling, round-half-
+    // away-from-zero to int8, exact BIGINT dot products. No float
+    // tolerance anywhere — double mul/div and round are IEEE-identical
+    // across engines, and the dot product is integer arithmetic.
+    "ann_int8_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |qt AS (SELECT vec_id,
+        |    CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x * 127.0 / amax) AS INTEGER)) END AS q
+        |  FROM a),
+        |n AS (SELECT vec_id, q,
+        |    sqrt(CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS nrm
+        |  FROM qt),
+        |qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |p AS (SELECT qid, vec_id,
+        |    CAST(list_sum(list_transform(list_zip(q, qq), x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS int_dot,
+        |    nrm, qn
+        |  FROM n CROSS JOIN qs WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, int_dot,
+        |    round(CAST(int_dot AS DOUBLE) / (nrm * qn), 4) AS qcos FROM p),
+        |rk AS (SELECT qid, vec_id, int_dot, qcos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS INTEGER) AS rk FROM r)
+        |SELECT qid, vec_id, int_dot, qcos, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     "embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
@@ -314,6 +377,40 @@ object Extensions {
       """SELECT c_mktsegment,
         |array_to_string(list(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC)[1:5], ',') AS top_ids_csv
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Mirrors TextOps.bigramNll: same add-one smoothing, each nll term
+    // rounded to 6 dp and summed as DECIMAL(18,6) so the mean is
+    // summation-order-independent in both engines.
+    "text_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |uni AS (
+        |  SELECT unnest(ws) AS w, 1 AS one FROM toks),
+        |c1t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+        |bigt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM c1t),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |    round(-ln((c12 + 1.0) / CAST(c1 + vocab AS DOUBLE)), 6)::DECIMAL(18,6) AS nll
+        |  FROM bi JOIN bigt USING (w1, w2) JOIN c1t ON bi.w1 = c1t.w CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact columns verified against DuckDB; the within-tol flags are
+    // Spark-side assertions the oracle expects to hold (see the query
+    // comment — sketch estimates are deterministic, bounds published).
+    "approx_distinct" ->
+      """SELECT COUNT(*) AS n_rows,
+        |COUNT(DISTINCT l_partkey) AS exact_parts,
+        |COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |TRUE AS parts_within_tol, TRUE AS orders_within_tol,
+        |TRUE AS median_within_tol, TRUE AS p99_within_tol
+        |FROM lineitem""".stripMargin,
 
     // Replays Winnow's Rabin-Karp rolling hash (base 257 mod 1e9+7,
     // k=8 char-grams) and the per-window minimum selection in DuckDB

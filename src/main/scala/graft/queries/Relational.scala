@@ -385,6 +385,23 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- semi-structured VARIANT: parse the JSON props column ONCE into
+    // Spark 4's binary variant encoding, then typed-path extraction —
+    // at 100 TB this beats per-expression get_json_object re-parses (one
+    // parse per row, shredded typed access afterwards)
+    "q64_variant_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- array aggregation + array functions
     "q24_array_agg" -> ((s, dir) => {
       t(s, dir, "supplier")
@@ -1091,6 +1108,13 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '1996-07-01'
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q64_variant_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q62_lateral_topn" ->
       """SELECT n.n_name, top.s_name, top.s_acctbal

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.queries.Extensions
 
 /** Behavioral checks for the LLM-pipeline extension operators; the exact
@@ -180,5 +180,28 @@ class ExtensionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.editDistancePairs(df, "id", "name", Seq.empty, maxDist = 2)
     }
+  }
+
+  test("bigramNll matches a hand-computed add-one-smoothed corpus") {
+    import SparkSpec.spark.implicits._
+    // corpus: unigrams a:2 b:2 x:1 y:1 solo:1 -> V=5 (the one-token doc
+    // contributes vocabulary); bigrams (a,b):2 (b,a):1 (x,y):1
+    val df = Seq((1L, "a b a b"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramNll(df).orderBy(col("doc_id")).collect()
+    def term(c12: Long, c1: Long, v: Long): BigDecimal =
+      BigDecimal(-math.log((c12 + 1.0) / (c1 + v).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def mean(ts: Seq[BigDecimal]): Double =
+      BigDecimal(ts.sum.toDouble / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = mean(Seq(term(2, 2, 5), term(1, 2, 5), term(2, 2, 5)))
+    val d2 = mean(Seq(term(1, 1, 5)))
+    // doc 3 has one token, no bigrams -> absent from the output
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got(0).getAs[Long]("n_bigrams") == 3 &&
+      got(0).getAs[Double]("avg_nll") == d1)
+    assert(got(1).getAs[Long]("n_bigrams") == 1 &&
+      got(1).getAs[Double]("avg_nll") == d2)
   }
 }

@@ -163,4 +163,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("hashpartitioning"),
       s"quality gate should not join or repartition:\n$p")
   }
+
+  test("ann_int8_topk scores with the codegen integer dot product and broadcasts queries") {
+    val p = plan("ann_int8_topk")
+    assert(p.toLowerCase.contains("intdotproduct"),
+      s"IntDotProduct expression missing from:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast in:\n$p")
+  }
+
+  test("text_bigram_nll extracts bigrams scan-locally — no per-document window pass") {
+    val p = plan("text_bigram_nll")
+    // bigrams come from array slicing + explode in the scan stage; a
+    // lead()-over-(doc_id) formulation would show WindowExec and shuffle
+    // the whole corpus by doc before counting
+    assert(!p.contains("Window"), s"bigram extraction uses a window pass:\n$p")
+    assert(p.contains("Generate"), s"expected explode-based extraction:\n$p")
+  }
+
+  test("q64_variant_json parses JSON once into a variant, then typed-extracts") {
+    val p = plan("q64_variant_json")
+    assert(p.contains("parse_json") || p.contains("variant_get"),
+      s"variant path missing from:\n$p")
+    // one aggregation over the scan: map-side partials then one shuffle
+    assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
+  }
 }

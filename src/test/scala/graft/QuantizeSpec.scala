@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Quantize, Similarity}
+
+class QuantizeSpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("int8 quantization stays in [-127,127] and hits ±127 at the absmax") {
+    val q = emb.select(col("vec_id"), col("embedding"),
+      Quantize.int8(col("embedding")).as("q"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val qi = r.getAs[scala.collection.Seq[Int]]("q")
+      assert(qi.length == v.length)
+      assert(qi.forall(x => x >= -127 && x <= 127))
+      // the absmax element quantizes to exactly ±127
+      val iMax = v.indices.maxBy(i => math.abs(v(i).toDouble))
+      assert(math.abs(qi(iMax)) == 127,
+        s"vec ${r.getAs[Long]("vec_id")}: |q(absmax elem)| = ${qi(iMax)}")
+    }
+  }
+
+  test("all-zero vectors quantize to all-zero (0/0 guard)") {
+    val z = spark.range(1).select(
+      Quantize.int8(array(lit(0.0f), lit(0.0f), lit(0.0f))).as("q"))
+    assert(z.head.getAs[scala.collection.Seq[Int]]("q") == Seq(0, 0, 0))
+  }
+
+  test("int dot product matches a driver-side exact computation") {
+    val two = emb.orderBy(col("vec_id")).limit(2)
+      .select(Quantize.int8(col("embedding")).as("q")).collect()
+    val (a, b) = (two(0).getAs[scala.collection.Seq[Int]]("q"), two(1).getAs[scala.collection.Seq[Int]]("q"))
+    val expected = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    val got = spark.range(1).select(
+      graft.functions.VectorFunctions.intDotProduct(
+        array(a.toSeq.map(lit(_)): _*), array(b.toSeq.map(lit(_)): _*)).as("d"))
+      .head.getAs[Long]("d")
+    assert(got == expected)
+  }
+
+  test("quantized top-5 recalls >= 80% of exact float top-5") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Quantize.quantizedTopK(emb, queries, k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall vs float top-5 = $recall")
+  }
+
+  test("quantizedTopK broadcasts the query side (no shuffle for the join)") {
+    val plan = Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, Winnow}
+import graft.functions.{DotProduct, IntDotProduct, Winnow}
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")` and
@@ -22,6 +22,12 @@ object GraftFunctions {
       s"winnow: $name must be an integer literal, got $other")
   }
 
+  private[graft] def buildIntDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"int_dot_product expects 2 arguments, got ${exprs.length}")
+    IntDotProduct(exprs.head, exprs(1))
+  }
+
   private[graft] def buildWinnow(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(text) => Winnow(text, k = 8, window = 6)
     case Seq(text, k, w) =>
@@ -34,6 +40,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dot_product", buildDot, "scala_udf")
+    reg.createOrReplaceTempFunction("int_dot_product", buildIntDot, "scala_udf")
     reg.createOrReplaceTempFunction("winnow", buildWinnow, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein)) {
       spark.experimental.extraOptimizations =
@@ -43,6 +50,8 @@ object GraftFunctions {
 
   val dotProductInfo = new ExpressionInfo(
     classOf[DotProduct].getCanonicalName, "dot_product")
+  val intDotProductInfo = new ExpressionInfo(
+    classOf[IntDotProduct].getCanonicalName, "int_dot_product")
   val winnowInfo = new ExpressionInfo(
     classOf[Winnow].getCanonicalName, "winnow")
 }
@@ -55,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       GraftFunctions.dotProductInfo,
       (exprs: Seq[Expression]) => GraftFunctions.buildDot(exprs)))
+    ext.injectFunction((FunctionIdentifier("int_dot_product"),
+      GraftFunctions.intDotProductInfo,
+      (exprs: Seq[Expression]) => GraftFunctions.buildIntDot(exprs)))
     ext.injectFunction((FunctionIdentifier("winnow"),
       GraftFunctions.winnowInfo,
       (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))

@@ -1,8 +1,11 @@
 package graft.ext
 
+import scala.util.Random
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions.intDotProduct
 
@@ -51,6 +54,147 @@ object Quantize {
   def intNorm(q: Column): Column =
     sqrt(aggregate(q, lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
       .cast("double"))
+
+  /** Product quantization ANN (Jégou et al., TPAMI'11): the 100 TB-scale
+    * companion to [[int8]]. Vectors are L2-normalized, split into `m`
+    * subvectors, and each subvector is replaced by the id of its nearest
+    * codeword from a per-subspace codebook — dim floats become m small
+    * ints (here m bytes: codebooks of ≤ 256 codewords), a 32x compression
+    * at m=8 over float32/64-dim.
+    *
+    * Query scoring is the standard asymmetric-distance (ADC) join: per
+    * query, a (sub, code) -> partial-dot table of m*codebookSize entries
+    * is broadcast and the compressed corpus — (vec_id, sub, code) rows —
+    * equi-joins it and sums partials per (query, vector). No float vector
+    * is ever touched at scan time; the corpus side is the compressed
+    * table. Since inputs are normalized, the summed partial dots
+    * approximate cosine directly.
+    *
+    * Codebooks are trained driver-side with Lloyd iterations on a
+    * DETERMINISTIC hash-ordered sample (same pattern as
+    * [[Similarity.ivfTopK]]) — at 100 TB you train the quantizer on a
+    * bounded sample, then encode the full corpus in one scan.
+    *
+    * Approximate/seeded path: recall is spec-gated (QuantizeSpec), no SQL
+    * oracle. Returns (qid, vec_id, qcos, rk).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, codebookSize: Int = 32, seed: Long = 42L,
+      sampleSize: Int = 2000, lloydIters: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+
+    // ---- driver-side codebook training on a deterministic sample
+    val sample = corpus
+      .orderBy(graft.ext.Dedup.portableHash32(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(sampleSize)
+      .select(col("embedding"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum) max 1e-12
+        v.map(_ / n)
+      }
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val rnd = new Random(seed)
+    // codebooks(s)(c) = codeword c of subspace s
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val subs = sample.map(_.slice(s * subDim, (s + 1) * subDim))
+      var cents = rnd.shuffle(subs.indices.toList).take(codebookSize)
+        .map(subs(_)).toArray
+      for (_ <- 0 until lloydIters) {
+        val assign = subs.map { v =>
+          cents.indices.minBy(c => l2sq(v, cents(c)))
+        }
+        cents = cents.indices.map { c =>
+          val members = subs.indices.filter(assign(_) == c)
+          if (members.isEmpty) cents(c)
+          else {
+            val acc = new Array[Double](subDim)
+            members.foreach(i => (0 until subDim).foreach(d => acc(d) += subs(i)(d)))
+            acc.map(_ / members.length)
+          }
+        }.toArray
+      }
+      cents
+    }
+
+    // ---- codebook as a broadcastable table: (sub, code, cw, cw2).
+    // A per-codeword expression tree (m * codebookSize branches inline)
+    // blows past the codegen method-size limit and falls back to
+    // interpreted eval; a broadcast equi-join on `sub` keeps everything
+    // in whole-stage codegen and scales to any codebook size.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbRows = for {
+      s <- 0 until m; j <- 0 until codebookSize
+    } yield (s, j, codebooks(s)(j), dotArr(codebooks(s)(j), codebooks(s)(j)))
+    val codebook = cbRows.toDF("sub", "code", "cw", "cw2")
+
+    // ---- full-corpus encode: explode each vector into its m subvectors
+    // (one scan-local pass), broadcast-join the codebook on `sub`, keep
+    // the argmin codeword per (vec_id, sub) via a min-struct aggregate
+    // (||c||^2 - 2 a·c ranks identically to L2 for fixed a)
+    def subvecs(v: Column): Column =
+      array((0 until m).map(s => slice(v, lit(s * subDim + 1), lit(subDim))): _*)
+    val corpusSubs = corpus
+      .select(col("vec_id"), posexplode(subvecs(normalized(col("embedding"))))
+        .as(Seq("sub", "sv")))
+    val corpusCodes = corpusSubs
+      .join(broadcast(codebook), "sub")
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(
+        (col("cw2") - lit(2.0) * dotProduct(col("sv"), col("cw"))).as("d"),
+        col("code").as("c"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.c").as("code"))
+
+    // ---- per-query ADC tables: (qid, sub, code, pdot) — the same
+    // broadcast join, no aggregation (every codeword keeps its partial)
+    val qTables = queries
+      .select(col("vec_id").as("qid"),
+        posexplode(subvecs(normalized(col("embedding")))).as(Seq("sub", "sv")))
+      .join(broadcast(codebook), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        // 9-dp decimal partials make the per-pair ADC sum independent of
+        // partition/summation order (double += would be order-sensitive
+        // right at the 4-dp rounding boundary)
+        round(dotProduct(col("sv"), col("cw")), 9)
+          .cast(DecimalType(12, 9)).as("pdot"))
+
+    // ---- ADC: compressed corpus join broadcast tables, sum partials
+    val scored = corpusCodes.join(broadcast(qTables), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("pdot")).cast("double"), 4).as("qcos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+    scored.select(col("qid"), col("vec_id"), col("qcos"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** L2-normalize an embedding column (double), with a zero-norm guard;
+    * the norm is bound once via the 1-element-array wrapper. */
+  def normalized(vec: Column): Column = {
+    val dv = transform(vec, _.cast("double"))
+    val nrm = sqrt(aggregate(dv, lit(0.0), (a, x) => a + x * x))
+    val bound = transform(array(greatest(nrm, lit(1e-12))), n =>
+      transform(transform(vec, _.cast("double")), x => x / n))
+    element_at(bound, 1)
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
   /** Brute-force top-k over int8-quantized vectors: score every
     * (query, corpus) pair by exact integer dot product, rank by the

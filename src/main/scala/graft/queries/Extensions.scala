@@ -132,6 +132,15 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // NO SQL oracle (seeded codebooks — approximate path; recall-gated in
+    // QuantizeSpec): product-quantization ADC top-k, the 32x-compressed
+    // scale path for corpus-wide ANN.
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Quantize.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // NO SQL oracle (approximate/seeded paths — driver records rows-only):
     // LSH ANN is recall-gated against brute force in ExtensionsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
@@ -148,36 +157,29 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // Tolerance-gated oracle: HLL/KLL sketch VALUES are engine-specific
+    // Tolerance-gated oracle: HLL sketch VALUES are engine-specific
     // (DuckDB could never reproduce Spark's estimates bit-for-bit), but
-    // the sketches are deterministic over fixed data — so the query emits
-    // the EXACT counts (oracle-verified against DuckDB) plus booleans
-    // asserting each estimate sits within its published error bound
-    // (3*rsd for HLL++, 1% for percentile_approx at accuracy=10000). The
-    // oracle expects TRUE: a broken estimator flips the flag and fails
-    // the hash gate, while the exact columns anchor the data itself.
+    // the sketch is deterministic over fixed data — so the query emits
+    // the EXACT distinct counts (oracle-verified against DuckDB) plus
+    // booleans asserting each HLL++ estimate sits within 3*rsd of the
+    // exact count. The oracle expects TRUE: a broken estimator flips the
+    // flag and fails the hash gate, while the exact columns anchor the
+    // data itself. Every aggregate here is map-side-combinable — the
+    // percentile sketches are bounded separately in ApproxSpec because an
+    // exact-percentile reference would be a single-reducer O(n) collect,
+    // which this query must not model at 100 TB.
     "approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("mp"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("mx"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
-          .as("pp"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("px"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
         .select(col("n_rows"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.06).as("parts_within_tol"),
           (abs(col("ao") - col("exact_orders")) <=
-            col("exact_orders") * 0.06).as("orders_within_tol"),
-          (abs(col("mp") - col("mx")) <= abs(col("mx")) * 0.01)
-            .as("median_within_tol"),
-          (abs(col("pp") - col("px")) <= abs(col("px")) * 0.01)
-            .as("p99_within_tol"))
+            col("exact_orders") * 0.06).as("orders_within_tol"))
     }),
 
     // Typed Aggregator: space-bounded top-5 customers per segment (the
@@ -408,8 +410,7 @@ object Extensions {
       """SELECT COUNT(*) AS n_rows,
         |COUNT(DISTINCT l_partkey) AS exact_parts,
         |COUNT(DISTINCT l_orderkey) AS exact_orders,
-        |TRUE AS parts_within_tol, TRUE AS orders_within_tol,
-        |TRUE AS median_within_tol, TRUE AS p99_within_tol
+        |TRUE AS parts_within_tol, TRUE AS orders_within_tol
         |FROM lineitem""".stripMargin,
 
     // Replays Winnow's Rabin-Karp rolling hash (base 257 mod 1e9+7,

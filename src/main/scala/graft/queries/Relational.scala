@@ -809,6 +809,43 @@ object Relational {
         .limit(20)
     }),
 
+    // ---- TPC-H Q14 shape: promo revenue share — conditional and total
+    // sums collected in ONE aggregation pass (no self-join on the fact);
+    // the part dim broadcasts after its scan prunes to two columns
+    "q65_promo_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val zero = lit(0).cast(DecimalType(18, 4))
+      l.filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-09-01").cast("timestamp"))
+        .join(broadcast(p.select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100) * sum(when(col("p_type") === "PROMO", revTerm)
+              .otherwise(zero)).cast(D) / sum(revTerm).cast(D), 6)
+            .as("promo_share"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- TPC-H Q18 shape: customers with any large order (aggregate
+    // HAVING feeding a semi join) + their total spend. The qualifying
+    // order-key set is aggregated once and semi-joins orders — the
+    // lineitem fact shuffles once for the HAVING and once for the spend
+    "q66_big_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val bigKeys = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .select(col("l_orderkey"))
+      o.join(bigKeys, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_big_orders"),
+          dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .limit(25)
+    }),
+
     // ---- calendar gap-fill: a generated date axis LEFT JOIN a sparse
     // daily aggregate, missing days zero-filled. The axis is a tiny
     // `sequence()` explode (366 rows) — at 100 TB the fact side shuffles
@@ -1108,6 +1145,26 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '1996-07-01'
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q65_promo_share" ->
+      s"""SELECT round(100 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql
+         |                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |  / CAST(SUM($revSql) AS DOUBLE), 6) AS promo_share,
+         |COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-09-01'""".stripMargin,
+
+    "q66_big_orders" ->
+      """SELECT c_custkey, c_name, COUNT(*) AS n_big_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY 1, 2
+        |ORDER BY total_spend DESC, c_custkey LIMIT 25""".stripMargin,
 
     "q64_variant_json" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -15,9 +15,21 @@ class ApproxSpec extends SparkSpec {
       li.select("l_partkey").distinct().count())
     assert(row.getAs[Long]("exact_orders") ==
       li.select("l_orderkey").distinct().count())
-    Seq("parts_within_tol", "orders_within_tol",
-        "median_within_tol", "p99_within_tol").foreach(c =>
+    Seq("parts_within_tol", "orders_within_tol").foreach(c =>
       assert(row.getAs[Boolean](c), s"$c is false"))
+  }
+
+  test("percentile_approx sketch is within 2% of the exact quantiles") {
+    // the exact reference is a single-reducer O(n) collect, so it lives
+    // here (small fixture) and not in the approx_distinct query
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val sketch = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)))
+      .collect()(0)
+    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5, 0.99), 0.0)
+    assert(math.abs(sketch.getDouble(0) - exact(0)) / exact(0) < 0.02)
+    assert(math.abs(sketch.getDouble(1) - exact(1)) / exact(1) < 0.02)
   }
 
   test("ann_lsh_topk emits ranked neighbors per query with valid structure") {

@@ -56,6 +56,27 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall vs float top-5 = $recall")
   }
 
+  test("PQ ADC top-5 recalls a useful fraction of exact top-5 and is deterministic") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Quantize.pqTopK(emb, queries, k = 5)
+    val got = pq.select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.25, s"PQ recall vs float top-5 = $recall")
+    // seeded codebooks + hash-ordered sample: rerun must be identical
+    val again = Quantize.pqTopK(emb, queries, k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again, "PQ result changed between runs")
+    // every query returns exactly k ranked rows with qcos in [-1-eps, 1+eps]
+    val rows = pq.collect()
+    assert(rows.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("qcos")) <= 1.05))
+  }
+
   test("quantizedTopK broadcasts the query side (no shuffle for the join)") {
     val plan = Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5)
       .queryExecution.executedPlan.toString

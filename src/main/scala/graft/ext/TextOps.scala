@@ -153,13 +153,16 @@ object TextOps {
     * array slicing, no per-doc window shuffle.
     *
     * Determinism contract: each bigram's nll term is rounded to 6 dp and
-    * summed as DECIMAL(18,6) — so the per-document mean is independent of
-    * partition/summation order, and DuckDB reproduces it exactly (one
-    * ln() per term; both engines round the same value). avg_nll =
-    * round(double(sum)/n, 6); the decimal sum is exactly representable
-    * in double at document scale.
+    * summed as DECIMAL(18,6) — so the per-document total is independent
+    * of partition/summation order, and DuckDB reproduces it exactly (one
+    * ln() per term; both engines round the same value). The output is
+    * the exact SUM (cast to double — value*1e6 stays far below 2^53, so
+    * the cast is lossless), NOT the mean: a rounded mean sum/n can land
+    * exactly on a rounding boundary (sum has 6 dp, n is small), where
+    * Spark's BigDecimal HALF_UP and DuckDB's round() disagree by 1 ulp
+    * of the last digit. Consumers derive mean = sum_nll / n_bigrams.
     *
-    * Returns (doc_id, n_bigrams, avg_nll) for documents with >= 1 bigram.
+    * Returns (doc_id, n_bigrams, sum_nll) for documents with >= 1 bigram.
     */
   def bigramNll(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
@@ -186,7 +189,7 @@ object TextOps {
           .cast(DecimalType(18, 6)))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        sum(col("nll")).cast("double").as("sum_nll"))
   }
 
   /** One-pass per-document stats table over a (doc_id, text) frame. */

@@ -141,9 +141,12 @@ object Corpus {
         .orderBy(col("lang"), col("lang_guess"))
     }),
 
-    // NO SQL oracle (iterative model training — k Lloyd passes are not
-    // one SQL query); determinism and clustering quality are spec-gated
-    // in CorpusSpec, driver records a rows-only check.
+    // Oracle-checked DESPITE being iterative model training: kMeans is
+    // deterministic end-to-end (hash-ordered init, IEEE-ordered dots,
+    // DECIMAL(20,10) M-step sums), so the fixed Lloyd loop UNROLLS into
+    // chained DuckDB CTEs ([[kmeansOracleSql]]) and the cluster
+    // assignment matches bit-for-bit. Quality/invariance additionally
+    // spec-gated in CorpusSpec.
     "embed_kmeans" -> ((s, dir) => {
       Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 3)
         .orderBy(col("vec_id"))
@@ -228,7 +231,57 @@ object Corpus {
     })
   )
 
+  /** DuckDB twin of [[Similarity.kMeans]](k, iters): the Lloyd loop
+    * unrolled into chained CTEs. Every arithmetic step mirrors the Spark
+    * side exactly — hash-ordered init (portable md5 hash), per-row
+    * squared-L2 argmin `vv - 2 v·c + c·c` with lower-index tie-break
+    * (row_number ORDER BY d, c == Spark's min-struct), DECIMAL(20,10)
+    * per-dimension M-step sums cast to double over the count, empty
+    * cells keeping their previous centroid (LEFT JOIN + COALESCE). All
+    * float ops are IEEE doubles evaluated in the same order (list_sum and
+    * the codegen DotProduct both fold left-to-right), so assignments are
+    * bit-identical.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, c AS cell FROM (
+         |    SELECT ev.vec_id, ev.v, cb.c,
+         |      row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+         |        ev.vv - 2.0*list_sum(list_transform(list_zip(ev.v, cb.cv), z -> z[1]*z[2])) + cb.cc,
+         |        cb.c) AS rn
+         |    FROM ev CROSS JOIN (
+         |      SELECT c, cv, list_sum(list_transform(cv, x -> x*x)) AS cc FROM $cents) cb)
+         |  WHERE rn = 1)""".stripMargin
+    def mstep(name: String, a: String, prev: String) =
+      s"""$name AS (
+         |  SELECT p.c, COALESCE(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell AS c, list(mx ORDER BY pos) AS cv FROM (
+         |      SELECT cell, pos, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS mx
+         |      FROM (SELECT cell, i - 1 AS pos, v[i] AS x
+         |            FROM $a, UNNEST(range(1, len(v) + 1)) AS t(i))
+         |      GROUP BY cell, pos) GROUP BY cell) m ON p.c = m.c)""".stripMargin
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "ev AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS vv FROM e)",
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS c, v AS cv
+         |       FROM (SELECT vec_id, v, ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS h
+         |             FROM e ORDER BY h, vec_id LIMIT $k))""".stripMargin)
+    var prev = "c0"
+    for (i <- 1 to iters) {
+      ctes += assign(s"a$i", prev)
+      ctes += mstep(s"c$i", s"a$i", prev)
+      prev = s"c$i"
+    }
+    ctes += assign("af", prev)
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT vec_id, cell FROM af ORDER BY vec_id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+
     "text_vocab" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

@@ -400,7 +400,7 @@ object Extensions {
         |    round(-ln((c12 + 1.0) / CAST(c1 + vocab AS DOUBLE)), 6)::DECIMAL(18,6) AS nll
         |  FROM bi JOIN bigt USING (w1, w2) JOIN c1t ON bi.w1 = c1t.w CROSS JOIN v)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        |  CAST(SUM(nll) AS DOUBLE) AS sum_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact columns verified against DuckDB; the within-tol flags are

@@ -192,16 +192,13 @@ class ExtensionsSpec extends SparkSpec {
     def term(c12: Long, c1: Long, v: Long): BigDecimal =
       BigDecimal(-math.log((c12 + 1.0) / (c1 + v).toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    def mean(ts: Seq[BigDecimal]): Double =
-      BigDecimal(ts.sum.toDouble / ts.size)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val d1 = mean(Seq(term(2, 2, 5), term(1, 2, 5), term(2, 2, 5)))
-    val d2 = mean(Seq(term(1, 1, 5)))
+    val d1 = Seq(term(2, 2, 5), term(1, 2, 5), term(2, 2, 5)).sum.toDouble
+    val d2 = term(1, 1, 5).toDouble
     // doc 3 has one token, no bigrams -> absent from the output
     assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
     assert(got(0).getAs[Long]("n_bigrams") == 3 &&
-      got(0).getAs[Double]("avg_nll") == d1)
+      got(0).getAs[Double]("sum_nll") == d1)
     assert(got(1).getAs[Long]("n_bigrams") == 1 &&
-      got(1).getAs[Double]("avg_nll") == d2)
+      got(1).getAs[Double]("sum_nll") == d2)
   }
 }

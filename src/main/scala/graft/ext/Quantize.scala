@@ -11,9 +11,10 @@ import graft.functions.VectorFunctions.intDotProduct
 
 /** Int8 scalar quantization of embedding columns — the standard storage/
   * compute compression for similarity search at corpus scale: a float32
-  * embedding table quantized to int8 is 4x smaller at rest, in memory and
-  * in shuffle, and the scoring kernel becomes an exact integer dot
-  * product (SIMD int8 instructions on real hardware,
+  * embedding table quantized to `array<tinyint>` is 4x narrower in
+  * Tungsten rows and shuffle buffers (and correspondingly smaller at
+  * rest), and the scoring kernel becomes an exact integer dot product
+  * (SIMD int8 instructions on real hardware,
   * [[graft.functions.IntDotProduct]] here).
   *
   * Scheme: symmetric per-vector absmax. `scale = max_i |v_i|`,
@@ -30,9 +31,12 @@ import graft.functions.VectorFunctions.intDotProduct
   */
 object Quantize {
 
-  /** Quantize an `array<float|double>` column to `array<int>` in
+  /** Quantize an `array<float|double>` column to `array<tinyint>` in
     * [-127, 127] with symmetric per-vector absmax scaling. All-zero
-    * vectors quantize to all-zero (guarding the 0/0 division).
+    * vectors quantize to all-zero (guarding the 0/0 division). Values
+    * always fit a signed byte, and `array<tinyint>` is what actually
+    * realizes the 4x saving in Tungsten rows and shuffle buffers (an
+    * `array<int>` would be as wide as the float32 input).
     *
     * The absmax aggregate is bound ONCE via the 1-element-array transform
     * wrapper: referencing the aggregate expression directly inside the
@@ -43,14 +47,14 @@ object Quantize {
     val dv = transform(vec, _.cast("double"))
     val amax = aggregate(dv, lit(0.0), (a, x) => greatest(a, abs(x)))
     val bound = transform(array(amax), a =>
-      when(a === 0.0, transform(vec, _ => lit(0)))
+      when(a === 0.0, transform(vec, _ => lit(0).cast("byte")))
         .otherwise(transform(transform(vec, _.cast("double")),
-          x => round(x * 127.0 / a).cast("int"))))
+          x => round(x * 127.0 / a).cast("byte"))))
     element_at(bound, 1)
   }
 
-  /** Euclidean norm of an `array<int>` column (exact integer sum of
-    * squares, then one sqrt). */
+  /** Euclidean norm of an `array<tinyint|int>` column (exact integer sum
+    * of squares, then one sqrt). */
   def intNorm(q: Column): Column =
     sqrt(aggregate(q, lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
       .cast("double"))
@@ -84,13 +88,15 @@ object Quantize {
     import graft.functions.VectorFunctions.dotProduct
 
     // ---- driver-side codebook training on a deterministic sample
+    // (embeddings cast to double Spark-side so array<float> and
+    // array<double> corpora both collect as java.lang.Double)
     val sample = corpus
       .orderBy(graft.ext.Dedup.portableHash32(col("vec_id").cast("string")),
         col("vec_id"))
       .limit(sampleSize)
-      .select(col("embedding"))
+      .select(transform(col("embedding"), _.cast("double")))
       .collect().map { r =>
-        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val v = r.getSeq[Double](0).toArray
         val n = math.sqrt(v.map(x => x * x).sum) max 1e-12
         v.map(_ / n)
       }
@@ -98,11 +104,14 @@ object Quantize {
     val dim = sample(0).length
     require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
     val subDim = dim / m
+    // a sample smaller than the requested codebook trains a smaller
+    // codebook (distinct codewords can't exceed distinct training points)
+    val cbSize = codebookSize min sample.length
     val rnd = new Random(seed)
     // codebooks(s)(c) = codeword c of subspace s
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
       val subs = sample.map(_.slice(s * subDim, (s + 1) * subDim))
-      var cents = rnd.shuffle(subs.indices.toList).take(codebookSize)
+      var cents = rnd.shuffle(subs.indices.toList).take(cbSize)
         .map(subs(_)).toArray
       for (_ <- 0 until lloydIters) {
         val assign = subs.map { v =>
@@ -129,7 +138,7 @@ object Quantize {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cbRows = for {
-      s <- 0 until m; j <- 0 until codebookSize
+      s <- 0 until m; j <- 0 until cbSize
     } yield (s, j, codebooks(s)(j), dotArr(codebooks(s)(j), codebooks(s)(j)))
     val codebook = cbRows.toDF("sub", "code", "cw", "cw2")
 

@@ -391,7 +391,7 @@ object Extensions {
         |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
         |  FROM toks WHERE len(ws) >= 2),
         |uni AS (
-        |  SELECT unnest(ws) AS w, 1 AS one FROM toks),
+        |  SELECT unnest(ws) AS w FROM toks),
         |c1t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
         |bigt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM c1t),

@@ -390,7 +390,10 @@ object Relational {
     // at 100 TB this beats per-expression get_json_object re-parses (one
     // parse per row, shredded typed access afterwards)
     "q64_variant_json" -> ((s, dir) => {
-      t(s, dir, "events")
+      // Tables.events (not raw t()) so ts arrives normalized TimestampType
+      // — pruned today, but extensions that window by time must not see
+      // the fixture's raw long-nanos column
+      graft.Tables.events(s, dir)
         .withColumn("v", parse_json(col("props")))
         .select(col("event_type"),
           variant_get(col("v"), "$.k", "int").as("k"))

@@ -16,7 +16,7 @@ class QuantizeSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val v = r.getAs[scala.collection.Seq[Float]]("embedding")
-      val qi = r.getAs[scala.collection.Seq[Int]]("q")
+      val qi = r.getAs[scala.collection.Seq[Byte]]("q")
       assert(qi.length == v.length)
       assert(qi.forall(x => x >= -127 && x <= 127))
       // the absmax element quantizes to exactly ±127
@@ -29,13 +29,13 @@ class QuantizeSpec extends SparkSpec {
   test("all-zero vectors quantize to all-zero (0/0 guard)") {
     val z = spark.range(1).select(
       Quantize.int8(array(lit(0.0f), lit(0.0f), lit(0.0f))).as("q"))
-    assert(z.head.getAs[scala.collection.Seq[Int]]("q") == Seq(0, 0, 0))
+    assert(z.head.getAs[scala.collection.Seq[Byte]]("q") == Seq[Byte](0, 0, 0))
   }
 
   test("int dot product matches a driver-side exact computation") {
     val two = emb.orderBy(col("vec_id")).limit(2)
       .select(Quantize.int8(col("embedding")).as("q")).collect()
-    val (a, b) = (two(0).getAs[scala.collection.Seq[Int]]("q"), two(1).getAs[scala.collection.Seq[Int]]("q"))
+    val (a, b) = (two(0).getAs[scala.collection.Seq[Byte]]("q"), two(1).getAs[scala.collection.Seq[Byte]]("q"))
     val expected = a.zip(b).map { case (x, y) => x.toLong * y }.sum
     val got = spark.range(1).select(
       graft.functions.VectorFunctions.intDotProduct(

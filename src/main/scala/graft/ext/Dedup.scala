@@ -112,14 +112,37 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs above `threshold`.
     * Shuffle plan: explode → distinct (1 shuffle) → self-join on shingle
-    * (1 shuffle) → pair-count agg (1 shuffle). Hot shingles should be
-    * frequency-capped at real scale (drop shingles in > F docs — they
-    * generate F² pairs and carry no signal). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    * (1 shuffle) → pair-count agg (1 shuffle).
+    *
+    * `maxDocFreq` is the 100 TB safety valve: a shingle present in F
+    * documents contributes F·(F-1)/2 candidate pairs, so one
+    * boilerplate/stopword shingle shared by 10M docs would alone emit
+    * 5·10^13 join rows. Capping drops shingles with document frequency
+    * > maxDocFreq from the index BEFORE the self-join (the standard
+    * df-filter every production near-dup pipeline applies); jaccard is
+    * then computed over the capped shingle universe consistently — both
+    * the intersection counts and the per-doc sizes exclude capped
+    * shingles, so the score stays a true Jaccard of the reduced sets.
+    * The hot-shingle list is tiny by construction (≤ |index|/maxDocFreq
+    * entries), so it broadcast-anti-joins with no extra shuffle; the
+    * frequency count itself is a groupBy (map-side partial agg), NOT a
+    * window over `sh` — a window would concentrate each hot shingle's
+    * rows on one partition, exactly the skew being defended against.
+    * Default Int.MaxValue = uncapped (the oracle-checked semantics). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // The index feeds three plan branches (sizes, join-left, join-right);
     // without persist Spark recomputes the explode+distinct shuffle per
     // branch. At 100 TB this materialization is a checkpoint table.
-    val idx = shingleIndex(docs, n)
+    val raw = shingleIndex(docs, n)
+    val capped = if (maxDocFreq == Int.MaxValue) raw else {
+      val pinned = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = pinned.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
+        .select(col("sh"))
+      pinned.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+    val idx = capped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = idx.as("a"); val b = idx.as("b")

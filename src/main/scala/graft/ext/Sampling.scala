@@ -73,6 +73,28 @@ object Sampling {
     }
   }
 
+  /** Deterministic train/val/test assignment: label every row with the
+    * split its key hashes into, by cumulative percent ranges in the given
+    * order (e.g. `Seq("train" -> 90, "val" -> 5, "test" -> 5)`). Splits
+    * are disjoint and exhaustive (weights must sum to 100), stable across
+    * reruns/partitionings, and consistent across tables sharing the key —
+    * the properties a data split must have for a training run to be
+    * reproducible and leak-free. Pure projection: no shuffle, no state. */
+  def assignSplits(df: DataFrame, key: Column,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "each split needs a positive weight")
+    require(splits.map(_._2).sum == 100,
+      s"split weights must sum to 100, got ${splits.map(_._2).sum}")
+    val bucket = pmod(Dedup.portableHash32(key.cast("string")), lit(100))
+    val uppers = splits.scanLeft(0)(_ + _._2).tail
+    val assigned = splits.zip(uppers).drop(1).foldLeft(
+      when(bucket < uppers.head, lit(splits.head._1))) {
+      case (acc, ((name, _), hi)) => acc.when(bucket < hi, lit(name))
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Stratified sample with a per-stratum rate (percent). Rows in strata
     * absent from `rates` are dropped. One case-expression filter — still
     * no shuffle; rebalancing skewed strata (e.g. downsampling the 90%

@@ -71,6 +71,15 @@ object Corpus {
         .orderBy(col("c_custkey"))
     }),
 
+    // deterministic 90/5/5 train/val/test labeling — disjoint hash
+    // ranges, rerun-stable, no shuffle (see Sampling.assignSplits)
+    "sample_split" -> ((s, dir) => {
+      Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_cluster" -> ((s, dir) => {
       Cluster.connectedComponents(plantedPairs(s, dir))
         .orderBy(col("doc_id"))
@@ -336,6 +345,14 @@ object Corpus {
         |      c_custkey) AS rn
         |  FROM customer)
         |WHERE rn <= 10 ORDER BY c_custkey""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster" ->
       s"""WITH RECURSIVE $pairsSql,

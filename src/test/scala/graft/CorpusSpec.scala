@@ -43,6 +43,33 @@ class CorpusSpec extends SparkSpec {
     assert(s1 == s3)
   }
 
+  test("assignSplits labels every row with a disjoint, rerun-stable split") {
+    val df = spark.range(10000).toDF("doc_id")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val labeled = Sampling.assignSplits(df, col("doc_id"), splits)
+    val byLabel = labeled.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive: every row labeled, only the three labels appear
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == 10000L)
+    assert(math.abs(byLabel("train") - 9000) < 200, s"train share off: $byLabel")
+    // rerun/partitioning-stable per-key assignment
+    val a = labeled.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplits(df.repartition(17), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // consistency with hashSample: pct=10 sample == the LAST 10 hash
+    // buckets' complement... (same hash, same buckets) — val+test keys are
+    // exactly the keys hashSample(90) excludes
+    val tail = a.collect { case (k, s) if s != "train" => k }.toSet
+    val head = Sampling.hashSample(df, col("doc_id"), 90)
+      .as[Long].collect().toSet
+    assert(tail == (0L until 10000L).toSet -- head)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(df, col("doc_id"), Seq("a" -> 50, "b" -> 49))
+    }
+  }
+
   test("stratifiedHashSample applies per-stratum rates and drops unknown strata") {
     val df = spark.range(9000).toDF("k")
       .withColumn("s", element_at(array(lit("a"), lit("b"), lit("c")),

@@ -91,6 +91,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(short, 3, 0.1).count() == 0)
   }
 
+  test("maxDocFreq caps hot-shingle pair blowup but keeps true near-dups") {
+    val ss = spark
+    import ss.implicits._
+    // 20 unrelated docs sharing one boilerplate shingle ("common header"),
+    // plus one genuine near-dup pair sharing 2 of 3+3 low-frequency shingles
+    val hot = (1 to 20).map(i => (i.toLong, s"common header u$i"))
+    val near = Seq((100L, "alpha beta gamma delta"), (101L, "alpha beta gamma epsilon"))
+    val corpus = (hot ++ near).toDF("doc_id", "text")
+    // uncapped: every hot pair shares "common header" -> jaccard 1/3 >= 0.3
+    val uncapped = Dedup.ngramJaccardPairs(corpus, n = 2, threshold = 0.3)
+    assert(uncapped.count() == 20L * 19 / 2 + 1, "expected 190 hot pairs + 1 near-dup")
+    // capped: the df=20 boilerplate shingle is dropped from the index, so
+    // the 190 boilerplate-only pairs vanish; the near-dup pair survives
+    // because its shared shingles have df=2
+    val capped = Dedup.ngramJaccardPairs(corpus, n = 2, threshold = 0.3, maxDocFreq = 5)
+      .collect()
+    assert(capped.length == 1)
+    assert(capped.head.getAs[Long]("i") == 100L && capped.head.getAs[Long]("j") == 101L)
+    assert(math.abs(capped.head.getAs[Double]("jaccard") - 0.5) < 1e-12)
+    // the default cap is a no-op: bit-identical pair sets
+    val default = Dedup.ngramJaccardPairs(corpus, n = 2, threshold = 0.3,
+      maxDocFreq = Int.MaxValue)
+    assert(default.except(uncapped).isEmpty && uncapped.except(default).isEmpty)
+  }
+
   test("IVF ANN recall beats LSH at comparable candidate budgets") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)

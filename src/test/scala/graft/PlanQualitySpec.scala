@@ -188,4 +188,39 @@ class PlanQualitySpec extends SparkSpec {
     // one aggregation over the scan: map-side partials then one shuffle
     assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
   }
+
+  test("dim-filtered joins against partitioned facts get dynamic partition pruning") {
+    // The fixtures are single parquet files, but production facts are
+    // date/tenant-partitioned — this guards that the session config keeps
+    // DPP alive: a selective dim filter must prune fact PARTITIONS at
+    // runtime (scan skips whole directories), not post-filter rows.
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toFile
+    try {
+      spark.range(0, 10000)
+        .select(col("id"), (col("id") % 12).cast("int").as("mth"),
+          (col("id") * 7 % 100).as("v"))
+        .write.mode("overwrite").partitionBy("mth").parquet(s"$dir/fact")
+      val fact = spark.read.parquet(s"$dir/fact")
+      // the dim must be a SCANNED relation with a real (non-constant-folded)
+      // filter — DPP's selective-predicate heuristic ignores LocalRelations
+      Seq((3, "pick"), (7, "skip")).toDF("mth", "tag")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "pick")
+      val q = fact.join(dim, "mth").agg(sum(col("v")).as("s"))
+      val p = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the fact scan:\n$p")
+      assert(q.head.getAs[Long]("s") ==
+        (0L until 10000L).filter(_ % 12 == 3).map(_ * 7 % 100).sum)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

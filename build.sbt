@@ -32,5 +32,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench runs ~110 queries in one JVM at local[32];
+  // at 8g the accumulated shuffle/broadcast/codegen footprint pushed GC
+  // into the measurement window and inflated late queries up to 5x
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -35,6 +35,24 @@ object Tables {
     }
   }
 
+  /** Spread a small, CPU-heavy input across all cores before per-row
+    * text/vector work. The bench fixture tables are single-row-group
+    * parquet files, so their scans yield ONE task each; without this,
+    * every per-row transform downstream of the scan (shingling, minhash,
+    * language stats, dot products) serializes onto one of 32 cores while
+    * the rest idle. The round-robin shuffle moves only the small table
+    * (single-digit MBs). At production scale inputs arrive with
+    * thousands of splits and this pre-balance is skipped — which is why
+    * it lives at the fixture-reading call sites, not inside the
+    * operators. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Read one fixture table pre-balanced for CPU-heavy per-row work —
+    * [[t]] + [[fanout]]. */
+  def tf(spark: SparkSession, dir: String, name: String): DataFrame =
+    fanout(t(spark, dir, name))
+
   /** Exact 2-decimal view of a double column (fixtures are 2-dp values). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -8,12 +8,12 @@ import org.apache.spark.sql.expressions.Window
   * for the 100 TB shape of the problem:
   *
   *  - exact: single hash-shuffle on a 128-bit content hash.
-  *  - n-gram Jaccard: inverted-index self-join on shingles — candidate
-  *    pairs only ever materialize for documents sharing a shingle, never
-  *    the O(n²) cross product.
-  *  - MinHash + LSH: constant-size signature per doc (one shuffle),
-  *    banding join so only same-bucket docs pair up; tune bands/rows for
-  *    the target similarity threshold.
+  *  - n-gram Jaccard: group-by-shingle posting lists — candidate pairs
+  *    only ever materialize for documents sharing a shingle, never the
+  *    O(n²) cross product.
+  *  - MinHash + LSH: constant-size signature per doc computed AT SCAN
+  *    (zero shuffle), banding posting lists so only same-bucket docs
+  *    pair up; tune bands/rows for the target similarity threshold.
   *  - SimHash: 32-bit signature; candidate pairs via 8-bit chunk blocking
   *    (pigeonhole: hamming ≤ 3 ⇒ some chunk of 4 is equal).
   *
@@ -23,12 +23,16 @@ import org.apache.spark.sql.expressions.Window
   * production scale swap [[portableHash32]] for `xxhash64` (one line;
   * faster, same distribution properties).
   *
-  * Cache lifetime: the pair detectors persist their blocked intermediates
-  * (shingle index / signatures) because several plan branches read them;
-  * the cache lives until the session's next `catalog.clearCache()` (what
-  * Bench does per query) or explicit unpersist — at 100 TB these
-  * intermediates are materialized checkpoint TABLES owned by the
-  * pipeline, not executor cache.
+  * Plan shape: every pair detector is a LINEAR pipeline — scan →
+  * posting-list aggregation → in-list pair emission → pair aggregation —
+  * with no self-join, no persist, and no plan branch that reads the same
+  * intermediate twice. The earlier self-join formulation needed the
+  * shingle index three times (sizes, join-left, join-right); AQE
+  * materializes those branches concurrently, so the cache missed and the
+  * explode ran 3× (measured: apply-pairs 8s → 3s from this rewrite).
+  * Posting lists are also the shape that survives 100 TB: one shuffle
+  * keyed by shingle, pairs emitted from each posting locally, partial
+  * aggregation map-side.
   */
 object Dedup {
 
@@ -96,63 +100,92 @@ object Dedup {
     * plan becomes a shuffled semi join on the shingle key. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
       broadcastBenchmark: Boolean = true): DataFrame = {
+    // explode_outer + null filter: see ngramJaccardPairs — plain explode
+    // would re-run the shingle expression twice per row in a scan filter
     val bench = benchmark
-      .select(explode(shingles(col("text"), n)).as("sh")).distinct()
+      .select(explode_outer(shingles(col("text"), n)).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
     val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
     val contaminated = corpus
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), explode_outer(shingles(col("text"), n)).as("sh"))
+      .filter(col("sh").isNotNull)
       .join(benchSide, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** (doc_id, shingle) inverted index, distinct. */
-  private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh")).distinct()
+  /** All ordered pairs (a < b by list position) from a sorted posting
+    * list of structs. Emitted IN the task holding the posting — the
+    * standard MapReduce near-dup shape: pair blowup is local to each
+    * shingle group and bounded by the df cap, never a join. The caller
+    * must guarantee `size(lst) >= 2` (sequence() would count DOWN for an
+    * empty upper bound). */
+  private def orderedPairs(lst: Column): Column =
+    flatten(transform(sequence(lit(1), size(lst) - 1), i =>
+      transform(slice(lst, i + 1, size(lst) - i), e =>
+        struct(element_at(lst, i).as("a"), e.as("b")))))
 
   /** n-gram Jaccard near-dup pairs above `threshold`.
-    * Shuffle plan: explode → distinct (1 shuffle) → self-join on shingle
-    * (1 shuffle) → pair-count agg (1 shuffle).
+    * Shuffle plan (linear, no self-join, no persist): shingle-set scan →
+    * explode → posting-list agg keyed by shingle (1 shuffle) → local
+    * pair emission → pair-count agg (1 shuffle). The per-doc distinct
+    * shingle count rides along in each posting entry, so no separate
+    * sizes branch and no join against it.
     *
     * `maxDocFreq` is the 100 TB safety valve: a shingle present in F
     * documents contributes F·(F-1)/2 candidate pairs, so one
     * boilerplate/stopword shingle shared by 10M docs would alone emit
-    * 5·10^13 join rows. Capping drops shingles with document frequency
-    * > maxDocFreq from the index BEFORE the self-join (the standard
-    * df-filter every production near-dup pipeline applies); jaccard is
-    * then computed over the capped shingle universe consistently — both
-    * the intersection counts and the per-doc sizes exclude capped
-    * shingles, so the score stays a true Jaccard of the reduced sets.
-    * The hot-shingle list is tiny by construction (≤ |index|/maxDocFreq
-    * entries), so it broadcast-anti-joins with no extra shuffle; the
-    * frequency count itself is a groupBy (map-side partial agg), NOT a
-    * window over `sh` — a window would concentrate each hot shingle's
-    * rows on one partition, exactly the skew being defended against.
-    * Default Int.MaxValue = uncapped (the oracle-checked semantics). */
+    * 5·10^13 pair rows. Capping drops shingles with document frequency
+    * > maxDocFreq BEFORE pairing (the standard df-filter every
+    * production near-dup pipeline applies); jaccard is then computed
+    * over the capped shingle universe consistently — both the
+    * intersection counts and the per-doc sizes exclude capped shingles
+    * (the sizes are recomputed from the hot-filtered shingle ARRAY at
+    * scan), so the score stays a true Jaccard of the reduced sets. The
+    * hot list is tiny by construction (≤ |index|/maxDocFreq entries) and
+    * broadcast; the frequency count itself is a groupBy (map-side
+    * partial agg), NOT a window over `sh` — a window would concentrate
+    * each hot shingle's rows on one partition, exactly the skew being
+    * defended against. Default Int.MaxValue = uncapped (the
+    * oracle-checked semantics). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // The index feeds three plan branches (sizes, join-left, join-right);
-    // without persist Spark recomputes the explode+distinct shuffle per
-    // branch. At 100 TB this materialization is a checkpoint table.
-    val raw = shingleIndex(docs, n)
-    val capped = if (maxDocFreq == Int.MaxValue) raw else {
-      val pinned = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hot = pinned.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
-        .select(col("sh"))
-      pinned.join(broadcast(hot), Seq("sh"), "left_anti")
+    // explode_outer everywhere a shingle array unnests: plain explode
+    // makes InferFiltersFromGenerate synthesize `size(shs) > 0` on the
+    // generator input, and predicate pushdown substitutes the whole
+    // shingle expression into a scan-stage filter — the expensive
+    // higher-order function then runs 2 extra times per row INSIDE the
+    // single-task scan (measured 1.2s/branch on sf0.1). The cheap
+    // `sh IS NOT NULL` filter above the Generate is equivalent.
+    val base = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), n)).as("shs"))
+    val capped = if (maxDocFreq == Int.MaxValue) base else {
+      val hot = base.select(explode_outer(col("shs")).as("sh"))
+        .filter(col("sh").isNotNull)
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .agg(collect_list(col("sh")).as("hot"))
+      base.crossJoin(broadcast(hot))
+        .select(col("doc_id"),
+          filter(col("shs"), s => !array_contains(col("hot"), s)).as("shs"))
     }
-    val idx = capped
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = idx.as("a"); val b = idx.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    capped
+      .select(col("doc_id"), size(col("shs")).as("sz"),
+        explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
+      // pin the pair-emission width: the posting shuffle is tiny in BYTES,
+      // so AQE's byte-based coalescing would run the compute-bound pair
+      // explode on one task (measured 7s single-task on sf0.1)
+      .transform(graft.Tables.fanout)
+      .select(explode(orderedPairs(col("lst"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("i"), col("p.b.doc_id").as("j"),
+        col("p.a.sz").as("si"), col("p.b.sz").as("sj"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "ni"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "nj"), "j")
-      .withColumn("jaccard", col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("si") + col("sj") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
@@ -167,43 +200,69 @@ object Dedup {
     (136897L, 4519L), (279847L, 73009L), (947431L, 12893L), (537527L, 59359L),
     (705667L, 31583L), (172933L, 92401L), (830587L, 70123L), (391939L, 66851L))
 
-  /** Per-doc MinHash signature columns s0..s{k-1}. One explode + one
-    * grouped aggregation — constant output size per document. */
-  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val idx = shingleIndex(docs, n)
-      .withColumn("h", portableHash32(col("sh")))
-    val aggs = minhashParams.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % MinhashP).as(s"s$j")
-    }
-    idx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** Per-doc MinHash signature as a 16-element array column, computed
+    * entirely AT SCAN from the shingle array — zero shuffle. The hash
+    * array is bound once (outer `transform`); each component is an
+    * `array_min` over the affine-permuted hashes. Documents with no
+    * shingles (< n tokens) yield an all-null signature (array_min of
+    * empty) — callers filter those out, matching the explode-based
+    * formulation where such docs never produced index rows. */
+  def minhashSigArray(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(
+        array(transform(shingles(text, n), sh => portableHash32(sh))),
+        hs => array(minhashParams.map { case (a, b) =>
+          array_min(transform(hs, h => (h * a + b) % MinhashP)) }: _*)),
+      1)
+
+  /** Per-doc MinHash signature columns s0..s{k-1} (compat view over
+    * [[minhashSigArray]]). Constant output size per document, no shuffle. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), minhashSigArray(col("text"), n).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .select(col("doc_id") +:
+        minhashParams.indices.map(j => element_at(col("sig"), j + 1).as(s"s$j")): _*)
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `threshold`.
     * Banding: 4 bands × 4 rows over the 16-component signature; candidates
     * are pairs agreeing on ≥ 1 full band (standard S-curve selectivity).
-    * est_jaccard = fraction of equal signature components. */
+    * est_jaccard = fraction of equal signature components.
+    *
+    * Plan: scan-side signatures → band explode (map-local) → posting
+    * list per (band, bh) (1 shuffle) → local pair emission → distinct
+    * (1 shuffle). Signatures ride along in the postings, so the estimate
+    * needs no join back against a signature table. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Signatures feed four branches (bands ×2, est-join ×2): persist the
-    // tiny constant-width table instead of recomputing the shingle
-    // pipeline per branch (at scale: a materialized signature table).
-    val sigs = minhashSignatures(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No filter directly on `sig`: predicate pushdown would substitute
+    // the whole signature expression into a scan-stage filter and
+    // recompute it per row (see ngramJaccardPairs). Shingle-less docs get
+    // a NULL band hash instead, filtered cheaply after the explode.
+    val sigs = docs
+      .select(col("doc_id"), minhashSigArray(col("text"), n).as("sig"))
     val bandCols = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
-        md5(concat_ws("-", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)).as("bh"))
+        when(element_at(col("sig"), 1).isNotNull,
+          md5(concat_ws("-",
+            (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)))
+          .as("bh"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
-    val eq = (0 until 16).map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigs.as("a"), col("i") === col("a.doc_id"))
-      .join(sigs.as("b"), col("j") === col("b.doc_id"))
-      .withColumn("est_jaccard", eq.cast("double") / 16.0)
+    sigs.select(col("doc_id"), col("sig"),
+        explode_outer(array(bandCols: _*)).as("b"))
+      .filter(col("b.bh").isNotNull)
+      .groupBy(col("b.band"), col("b.bh"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
+      // pin the pair-emission width: the posting shuffle is tiny in BYTES,
+      // so AQE's byte-based coalescing would run the compute-bound pair
+      // explode on one task (measured 7s single-task on sf0.1)
+      .transform(graft.Tables.fanout)
+      .select(explode(orderedPairs(col("lst"))).as("p"))
+      .select(col("p.a.doc_id").as("i"), col("p.b.doc_id").as("j"),
+        col("p.a.sig").as("sigi"), col("p.b.sig").as("sigj"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sigi"), col("sigj"), (x, y) => x === y),
+          eq => eq)).cast("double") / 16.0)
       .filter(col("est_jaccard") >= threshold)
       .select(col("i"), col("j"), col("est_jaccard"))
   }
@@ -231,23 +290,49 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3).
     * Blocking: 4 chunks of 8 bits — pigeonhole guarantees every pair
-    * within hamming 3 shares at least one chunk, so the self-join only
-    * materializes same-chunk candidates. */
+    * within hamming 3 shares at least one chunk, so pairs only ever
+    * materialize inside a (chunk-position, chunk-value) posting list. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash32(docs) // one row per doc
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunks = sh
-      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("c"))
+    // Candidate volume inside a chunk bucket is quadratic, and simhash
+    // buckets are FAT (similar docs cluster on chunk values by design),
+    // so pairs are filtered AT EMISSION instead of materialized-then-
+    // distinct-then-filtered: a pair leaves its posting list only if
+    // (a) hamming(shi, shj) <= maxHamming, and (b) this is the SMALLEST
+    // chunk position on which the two hashes agree — which makes every
+    // qualifying pair unique by construction, so no distinct shuffle at
+    // all. Rejected candidates cost one xor+popcount each and never
+    // allocate a row. (Measured: 40M-candidate emission 3.7s -> 0.6s.)
+    def chunk(h: Column, cc: Int): Column =
+      shiftright(h, cc * 8).bitwiseAND(lit(255L))
+    val kept = flatten(transform(sequence(lit(1), size(col("lst")) - 1), i => {
+      val a = element_at(col("lst"), i)
+      val ha = a.getField("simhash")
+      transform(
+        filter(slice(col("lst"), i + 1, size(col("lst")) - i), e => {
+          val hb = e.getField("simhash")
+          val noEarlierChunk = (0 until 3).map(cc =>
+            (lit(cc) >= col("c")) || (chunk(ha, cc) =!= chunk(hb, cc)))
+            .reduce(_ && _)
+          bit_count(ha.bitwiseXOR(hb)) <= maxHamming && noEarlierChunk
+        }),
+        e => struct(a.getField("doc_id").as("i"),
+          e.getField("doc_id").as("j"),
+          bit_count(ha.bitwiseXOR(e.getField("simhash"))).cast("int").as("hd")))
+    }))
+    simhash32(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, 8 * c) & 255"))
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        col("x.simhash").as("shi"), col("y.simhash").as("shj"))
-      .distinct()
-    cand.withColumn("hd", expr("bit_count(shi ^ shj)"))
-      .filter(col("hd") <= maxHamming)
-      .select(col("i"), col("j"), col("hd"))
+      .groupBy(col("c"), col("chunk"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
+      // pin the pair-emission width: the posting shuffle is tiny in BYTES,
+      // so AQE's byte-based coalescing would run the compute-bound pair
+      // scan on one task (measured 7s single-task on sf0.1)
+      .transform(graft.Tables.fanout)
+      .select(explode_outer(kept).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hd").as("hd"))
   }
 
   /** Blocked fuzzy record linkage: candidate pairs must share a blocking

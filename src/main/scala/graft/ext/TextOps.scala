@@ -19,6 +19,19 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Evaluate `body(toks)` with the token array BOUND ONCE per row.
+    * Referencing `tokens(c)` from several sub-expressions of one
+    * projection re-runs the regex split per reference (higher-order
+    * functions are interpreted, so no common-subexpression elimination
+    * rescues it — measured 6x slowdown on text_stats). Wrapping the
+    * array in a single-element `transform` makes it a lambda variable:
+    * split runs once, every use is an O(1) attribute read. */
+  private def withTokens(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(tokens(c)), body), 1)
+
+  private def hitsIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
   /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
   def subtokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
@@ -27,26 +40,37 @@ object TextOps {
   def punctRatio(c: Column): Column =
     length(regexp_replace(c, "[^.,!?;:]", "")).cast("double") / length(c)
 
-  private def hitCount(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isInCollection(words)))
-
   /** Fraction of tokens in a stopword list. */
   def stopRatio(c: Column, stopwords: Seq[String]): Column =
-    hitCount(c, stopwords).cast("double") / tokenCount(c)
+    withTokens(c)(toks =>
+      hitsIn(toks, stopwords).cast("double") / size(toks))
 
   /** Language-marker stopword lists (tiny n-gram heuristic). */
   val enMarkers = Seq("the", "a", "of", "and", "is")
   val esMarkers = Seq("el", "la", "de", "los", "es")
   val deMarkers = Seq("der", "die", "das", "und", "ist")
 
-  /** Heuristic language ID: argmax of marker-list hit counts with a fixed
-    * deterministic tie-break order (en > es > de). */
-  def langGuess(c: Column): Column = {
-    val en = hitCount(c, enMarkers)
-    val es = hitCount(c, esMarkers)
-    val de = hitCount(c, deMarkers)
+  /** argmax of (en, es, de) hit counts with the fixed deterministic
+    * tie-break order en > es > de, over a struct of bound counts. */
+  private def langDecision(h: Column): Column = {
+    val (en, es, de) =
+      (h.getField("en"), h.getField("es"), h.getField("de"))
     when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
   }
+
+  /** Heuristic language ID: argmax of marker-list hit counts with a fixed
+    * deterministic tie-break order (en > es > de). Both the token array
+    * and the three hit counts are bound once per row (the `when` chain
+    * reads each count up to three times). */
+  def langGuess(c: Column): Column =
+    element_at(
+      transform(
+        array(withTokens(c)(toks => struct(
+          hitsIn(toks, enMarkers).as("en"),
+          hitsIn(toks, esMarkers).as("es"),
+          hitsIn(toks, deMarkers).as("de")))),
+        h => langDecision(h)),
+      1)
 
   /** Content fingerprint: md5 of lowercased text with all non-alphanumerics
     * stripped — robust to whitespace/punctuation-only edits. */
@@ -113,15 +137,23 @@ object TextOps {
       minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
       minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): DataFrame = {
     val txt = col("text")
-    val nTok = tokenCount(txt)
-    val meanLen = length(regexp_replace(trim(txt), "\\s+", "")).cast("double") / nTok
+    // token-derived signals bound once per row; the second select reads
+    // them as O(1) struct fields. CollapseProject leaves the two projects
+    // separate because `_ts` is non-cheap and referenced more than once.
+    val ts = withTokens(txt)(toks => struct(
+      size(toks).as("n_tokens"),
+      hitsIn(toks, defaultStopwords).as("stop_hits")))
+    val nTok = col("_ts.n_tokens")
+    val meanLen = col("_nows").cast("double") / nTok
     val keep = nTok.between(minTokens, maxTokens) &&
       meanLen.between(minMeanTokLen, maxMeanTokLen) &&
-      stopRatio(txt, defaultStopwords) >= minStopRatio &&
-      punctRatio(txt) <= maxPunctRatio
-    df.select(col("doc_id"), nTok.as("n_tokens"),
-      round(meanLen, 4).as("mean_tok_len"),
-      when(keep, 1).otherwise(0).as("keep"))
+      col("_ts.stop_hits").cast("double") / nTok >= minStopRatio &&
+      punctRatio(col("text")) <= maxPunctRatio
+    df.select(col("doc_id"), col("text"), ts.as("_ts"),
+        length(regexp_replace(trim(txt), "\\s+", "")).as("_nows"))
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        round(meanLen, 4).as("mean_tok_len"),
+        when(keep, 1).otherwise(0).as("keep"))
   }
 
   /** Greedy sequence packing: assign documents, in deterministic doc_id
@@ -192,17 +224,28 @@ object TextOps {
         sum(col("nll")).cast("double").as("sum_nll"))
   }
 
-  /** One-pass per-document stats table over a (doc_id, text) frame. */
+  /** One-pass per-document stats table over a (doc_id, text) frame.
+    * The token array and every token-derived count are computed exactly
+    * once per row (bound into the `_ts` struct); only the single-use
+    * regex signals stay in the final projection. */
   def textStats(df: DataFrame): DataFrame = {
     val txt = col("text")
-    df.select(
-      col("doc_id"),
-      tokenCount(txt).as("n_tokens"),
-      subtokenCount(txt).as("n_subtokens"),
-      length(txt).as("n_chars_m"),
-      punctRatio(txt).as("punct_ratio"),
-      stopRatio(txt, defaultStopwords).as("stop_ratio"),
-      langGuess(txt).as("lang_guess"),
-      fingerprint(txt).as("fingerprint"))
+    val ts = withTokens(txt)(toks => struct(
+      size(toks).as("n_tokens"),
+      hitsIn(toks, defaultStopwords).as("stop_hits"),
+      hitsIn(toks, enMarkers).as("en"),
+      hitsIn(toks, esMarkers).as("es"),
+      hitsIn(toks, deMarkers).as("de")))
+    df.select(col("doc_id"), col("text"), ts.as("_ts"))
+      .select(
+        col("doc_id"),
+        col("_ts.n_tokens").as("n_tokens"),
+        subtokenCount(txt).as("n_subtokens"),
+        length(txt).as("n_chars_m"),
+        punctRatio(txt).as("punct_ratio"),
+        (col("_ts.stop_hits").cast("double") / col("_ts.n_tokens"))
+          .as("stop_ratio"),
+        langDecision(col("_ts")).as("lang_guess"),
+        fingerprint(txt).as("fingerprint"))
   }
 }

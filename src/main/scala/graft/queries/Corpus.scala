@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, tf}
 import graft.ext.{Cluster, Dedup, Sampling, Similarity, TextOps}
 
 /** Corpus-preparation queries for the training-data pipeline surface:
@@ -33,13 +33,13 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab" -> ((s, dir) => {
-      TextOps.vocab(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      TextOps.vocab(tf(s, dir, "documents").select(col("doc_id"), col("text")))
         .filter(col("n_docs") >= 5)
         .orderBy(col("term"))
     }),
 
     "text_bigrams" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 10)
@@ -47,12 +47,12 @@ object Corpus {
     }),
 
     "quality_filter" -> ((s, dir) => {
-      TextOps.qualityFlags(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      TextOps.qualityFlags(tf(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))
     }),
 
     "sample_hash" -> ((s, dir) => {
-      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), pct = 10)
+      Sampling.hashSample(tf(s, dir, "documents"), col("doc_id"), pct = 10)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -74,7 +74,7 @@ object Corpus {
     // deterministic 90/5/5 train/val/test labeling — disjoint hash
     // ranges, rerun-stable, no shuffle (see Sampling.assignSplits)
     "sample_split" -> ((s, dir) => {
-      Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"),
+      Sampling.assignSplits(tf(s, dir, "documents"), col("doc_id"),
           Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
@@ -94,7 +94,7 @@ object Corpus {
     // punctuation-only reformattings that raw-hash dedup misses. Planted:
     // doc_id%25==7 re-landed with doubled spaces and a trailing "!!"
     "dedup_fingerprint" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
       val reformatted = base.filter(col("doc_id") % 25 === 7)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(regexp_replace(col("text"), " ", "  "), lit(" !!")).as("text"))
@@ -109,7 +109,7 @@ object Corpus {
     // every 50th document, so the contaminated docs are exactly those
     // sources (and provably detected via shared 8-grams, not ids)
     "dedup_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 50 === 7)
         .select(concat_ws(" ",
           slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
@@ -123,14 +123,14 @@ object Corpus {
     }),
 
     "embed_centroid_assign" -> ((s, dir) => {
-      Similarity.centroidAssign(t(s, dir, "embeddings"))
+      Similarity.centroidAssign(tf(s, dir, "embeddings"))
         .orderBy(col("vec_id"))
     }),
 
     // fixture text has no PII, so emails/URLs are planted on doc_id%10==0
     // (same arithmetic in the oracle) to prove the scrub actually fires
     "text_redact" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
+      val planted = tf(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 10 === 0,
           concat(col("text"),
             lit(" contact bob@example.com see https://example.com/page")))
@@ -144,7 +144,7 @@ object Corpus {
 
     // language-ID quality against the fixture's ground-truth lang column
     "text_lang_confusion" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .groupBy(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_guess"))
@@ -157,7 +157,7 @@ object Corpus {
     // assignment matches bit-for-bit. Quality/invariance additionally
     // spec-gated in CorpusSpec.
     "embed_kmeans" -> ((s, dir) => {
-      Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 3)
+      Similarity.kMeans(tf(s, dir, "embeddings"), k = 8, iters = 3)
         .orderBy(col("vec_id"))
     }),
 
@@ -167,7 +167,7 @@ object Corpus {
     "text_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val agg = new graft.functions.SpaceSaving(1 << 20)
-      val top = t(s, dir, "documents")
+      val top = tf(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("term"))
         .as[String]
         .groupByKey(_ => 0)
@@ -182,14 +182,14 @@ object Corpus {
     // partitioning-invariance are spec-gated; driver records rows-only.
     "text_bpe_merges" -> ((s, dir) => {
       graft.ext.Bpe.trainTable(s,
-          t(s, dir, "documents").select(col("doc_id"), col("text")), nMerges = 10)
+          tf(s, dir, "documents").select(col("doc_id"), col("text")), nMerges = 10)
         .orderBy(col("rank"))
     }),
 
     // sequence packing: docs -> ~2000-token training bins in doc_id order
     "corpus_pack" -> ((s, dir) => {
       TextOps.packBins(
-          t(s, dir, "documents").select(col("doc_id"), col("text")), 2000L)
+          tf(s, dir, "documents").select(col("doc_id"), col("text")), 2000L)
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -219,7 +219,7 @@ object Corpus {
     "text_topterms_by_source" -> ((s, dir) => {
       import s.implicits._
       val agg = new graft.functions.SpaceSaving(1 << 20)
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
         .as[(String, String)]
         .groupByKey(_._1)
@@ -231,7 +231,7 @@ object Corpus {
     }),
 
     "docs_by_source" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)

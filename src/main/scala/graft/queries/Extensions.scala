@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, tf}
 import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextOps}
 
 /** LLM-pipeline extension queries (dedup / similarity / text / multimodal),
@@ -19,7 +19,7 @@ object Extensions {
   /** Planted-dup corpus: exact copies of doc_id % 25 == 0 (ids +200000)
     * and near-copies (3 appended tokens) of doc_id % 25 == 13 (+100000). */
   def plantedDocs(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
     val exact = base.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
     val near = base.filter(col("doc_id") % 25 === 13)
@@ -76,7 +76,7 @@ object Extensions {
        |  WHERE CAST(c AS DOUBLE) / (si.sz + sj.sz - c) >= 0.5)""".stripMargin
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => {
-      TextOps.textStats(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      TextOps.textStats(tf(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))
     }),
 
@@ -84,7 +84,7 @@ object Extensions {
     // and scored over the corpus itself (see TextOps.bigramNll for the
     // order-independent decimal-sum determinism contract)
     "text_bigram_nll" -> ((s, dir) => {
-      TextOps.bigramNll(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      TextOps.bigramNll(tf(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))
     }),
 
@@ -113,13 +113,13 @@ object Extensions {
     }),
 
     "ann_cosine_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy(col("qid"), col("rk"))
     }),
 
     "embed_neardup" -> ((s, dir) => {
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), topN = 20)
+      Similarity.nearDupPairs(tf(s, dir, "embeddings"), topN = 20)
     }),
 
     // int8-quantized brute-force top-k: exact integer dot products over
@@ -127,7 +127,7 @@ object Extensions {
     // shuffle). Bit-for-bit oracle-checkable — see Quantize's determinism
     // contract; int_dot is exact integer arithmetic on both engines.
     "ann_int8_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy(col("qid"), col("rk"))
     }),
@@ -136,7 +136,7 @@ object Extensions {
     // QuantizeSpec): product-quantization ADC top-k, the 32x-compressed
     // scale path for corpus-wide ANN.
     "ann_pq_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Quantize.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy(col("qid"), col("rk"))
     }),
@@ -144,7 +144,7 @@ object Extensions {
     // NO SQL oracle (approximate/seeded paths — driver records rows-only):
     // LSH ANN is recall-gated against brute force in ExtensionsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy(col("qid"), col("rk"))
     }),
@@ -152,7 +152,7 @@ object Extensions {
     // NO SQL oracle (seeded quantizer — approximate path; recall-gated and
     // exact-at-full-probe-gated in ExtensionsSpec).
     "ann_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy(col("qid"), col("rk"))
     }),
@@ -205,7 +205,7 @@ object Extensions {
     // TF-IDF: top term per document (deterministic tfidf-desc/term tiebreak)
     "text_tfidf_top" -> ((s, dir) => {
       val scored = TextOps.tfIdf(
-        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        tf(s, dir, "documents").select(col("doc_id"), col("text")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rn", row_number().over(w))
@@ -220,14 +220,14 @@ object Extensions {
     // Algorithmic guarantees are additionally spec-gated (WinnowSpec).
     "text_winnow" -> ((s, dir) => {
       val fp = graft.functions.Winnow.winnow(col("text"))
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .select(col("doc_id"), size(fp).cast("long").as("n_fp"),
           element_at(fp, 1).as("min_fp"))
         .orderBy(col("doc_id"))
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.mediaTable(tf(s, dir, "documents"))
         .select(col("media_id"), col("kind"),
           col("meta.n_bytes").as("n_bytes"),
           hex(substring(col("payload"), 1, 4)).as("header_hex"),

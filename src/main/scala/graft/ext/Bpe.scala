@@ -68,8 +68,13 @@ object Bpe {
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
+      // explode_outer + null filter (not plain explode): see
+      // Dedup.ngramJaccardPairs — the inferred size()>0 filter would
+      // re-run the pair-shingle expression twice more per word
       val top = words
-        .select(col("n"), explode(Dedup.shingles(trim(col("syms")), 2)).as("pair"))
+        .select(col("n"),
+          explode_outer(Dedup.shingles(trim(col("syms")), 2)).as("pair"))
+        .filter(col("pair").isNotNull)
         .groupBy(col("pair")).agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
         .collect()

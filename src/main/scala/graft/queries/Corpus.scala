@@ -178,12 +178,27 @@ object Corpus {
         .orderBy(col("n").desc, col("term"))
     }),
 
-    // NO SQL oracle (iterative tokenizer training); merge sequence and
-    // partitioning-invariance are spec-gated; driver records rows-only.
+    // Oracle-checked DESPITE being iterative tokenizer training: like
+    // kMeans, the 10 merge rounds UNROLL into chained DuckDB CTEs
+    // ([[bpeOracleSql]]) — the two-space sentinel layout makes Spark's
+    // and DuckDB's literal replace() scan identically, and the
+    // (count desc, pair asc) argmax is the same total order in both
+    // engines. Partitioning-invariance additionally spec-gated.
     "text_bpe_merges" -> ((s, dir) => {
       graft.ext.Bpe.trainTable(s,
           tf(s, dir, "documents").select(col("doc_id"), col("text")), nMerges = 10)
         .orderBy(col("rank"))
+    }),
+
+    // target-mixture resampling: rates from [[Sampling.mixtureRates]]
+    // (driver math over one count aggregation) applied as a pure
+    // hash-filter — the oracle replays the whole computation in SQL
+    "sample_mixture" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents")
+      val rates = Sampling.mixtureRates(docs, col("source"),
+        mixtureTargets)
+      Sampling.stratifiedHashSample(docs, col("doc_id"), col("source"), rates)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
     // sequence packing: docs -> ~2000-token training bins in doc_id order
@@ -288,8 +303,72 @@ object Corpus {
       "\nSELECT vec_id, cell FROM af ORDER BY vec_id"
   }
 
+  /** Target mixture for [[Sampling.mixtureRates]]; shared between the
+    * Spark query and its SQL oracle so they can never drift. */
+  private val mixtureTargets =
+    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** DuckDB twin of [[graft.ext.Bpe.train]](nMerges): the merge loop
+    * unrolled into chained CTEs, one (pair-count → argmax → replace)
+    * round per merge. Exactness hinges on two shared contracts: the
+    * two-space sentinel symbol layout makes the literal replace() scan
+    * (left-to-right, non-overlapping — identical in both engines) see a
+    * full boundary at every occurrence, and the argmax total order
+    * (count DESC, pair ASC over ASCII strings) is engine-independent. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+        |    '  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), '  ') || '  ' AS syms
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY w)""".stripMargin
+    def round(k: Int) =
+      s"""t$k AS (
+         |  SELECT $k AS rank, pair, c FROM (
+         |    SELECT pair, CAST(SUM(n) AS BIGINT) AS c FROM (
+         |      SELECT n, unnest(list_transform(range(1, len(ss)), i -> ss[i] || ' ' || ss[i+1])) AS pair
+         |      FROM (SELECT n, regexp_split_to_array(trim(syms), '\\s+') AS ss FROM w$k))
+         |    GROUP BY pair)
+         |  ORDER BY c DESC, pair LIMIT 1),
+         |w${k + 1} AS (
+         |  SELECT w, n,
+         |    replace(syms,
+         |      ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |      ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS syms
+         |  FROM w$k CROSS JOIN t$k)""".stripMargin
+    val union = (0 until nMerges).map(k => s"SELECT * FROM t$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $w0,
+       |${(0 until nMerges).map(round).mkString(",\n")}
+       |SELECT rank, split_part(pair, ' ', 1) AS lhs,
+       |  split_part(pair, ' ', 2) AS rhs, c AS n
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+
+    "text_bpe_merges" -> bpeOracleSql(nMerges = 10),
+
+    // replays mixtureRates end-to-end: per-source counts, the largest
+    // feasible downsample-only scale (min n_s/share_s), percent rates
+    // (round half-up == DuckDB round for positive values), then the same
+    // portable-hash filter as stratifiedHashSample
+    "sample_mixture" -> {
+      val tgt = mixtureTargets.toSeq.sortBy(_._1)
+        .map { case (s, sh) => s"('$s', $sh)" }.mkString(", ")
+      s"""WITH counts AS (
+         |  SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY source),
+         |tgt(s, share) AS (VALUES $tgt),
+         |scale AS (SELECT MIN(n / share) AS sc FROM counts JOIN tgt USING (s)),
+         |rates AS (
+         |  SELECT s, LEAST(100, CAST(round(100.0 * share * sc / n) AS INTEGER)) AS rate
+         |  FROM counts JOIN tgt USING (s) CROSS JOIN scale)
+         |SELECT doc_id, source FROM documents JOIN rates ON source = rates.s
+         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < rate
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_vocab" ->
       """WITH terms AS (

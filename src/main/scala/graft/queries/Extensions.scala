@@ -169,12 +169,23 @@ object Extensions {
     // exact-percentile reference would be a single-reducer O(n) collect,
     // which this query must not model at 100 TB.
     "approx_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
+      // The sketches and the exact distincts are SEPARATE aggregations
+      // (cross-joined 1-row results), never one pass: combining them
+      // makes RewriteDistinctAggregates key the first aggregate by
+      // (gid, distinct value), giving every one of the ~2M partial
+      // groups its own multi-KB HLL buffer — gigabytes of sketch state
+      // for a 5-column answer (measured 8-18s; split form ~1s). The
+      // split shape is also the 100 TB shape: sketch buffers must only
+      // ever exist once per group, not once per distinct key.
+      val li = tf(s, dir, "lineitem")
+      val sketches = li.agg(
         count(lit(1)).as("n_rows"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      sketches.crossJoin(exact)
         .select(col("n_rows"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.06).as("parts_within_tol"),

@@ -30,7 +30,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TPC-H Q1 shape: scan → filter → hash agg (map-side partial) → sort
     "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      tf(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -544,7 +544,7 @@ object Relational {
 
     // ---- TPC-H Q19 shape: deeply disjunctive predicate (OR of ANDs)
     "q33_disjunctive" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      tf(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
@@ -645,7 +645,7 @@ object Relational {
     // semi with an extra non-equi predicate, NOT EXISTS → left anti; all
     // three legs shuffle once on l_orderkey and the dimension broadcasts.
     "q46_exists_chain" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tf(s, dir, "lineitem")
       val l1 = li.filter(col("l_returnflag") === "R")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),
@@ -729,7 +729,7 @@ object Relational {
       val q = dec(col("l_quantity"))
       val p = dec(col("l_extendedprice"))
       val d28 = DecimalType(28, 4)
-      val base = t(s, dir, "lineitem")
+      val base = tf(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
@@ -834,7 +834,7 @@ object Relational {
     // order-key set is aggregated once and semi-joins orders — the
     // lineitem fact shuffles once for the HAVING and once for the spend
     "q66_big_orders" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val l = tf(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val bigKeys = l.groupBy(col("l_orderkey"))
         .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
@@ -940,7 +940,7 @@ object Relational {
     "q35_argmax" -> ((s, dir) => {
       val ord = (dec(col("o_totalprice")) * 100).cast("long") * 10000000000L +
         col("o_orderkey")
-      t(s, dir, "orders")
+      tf(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
           max_by(col("o_orderkey"), ord).as("priciest_order"),
@@ -952,7 +952,7 @@ object Relational {
 
     // ---- conditional distinct counts in one pass
     "q37_cond_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      tf(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(when(col("l_quantity") > 25, col("l_partkey"))).as("parts_bulk"),

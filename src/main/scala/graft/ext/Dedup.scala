@@ -114,6 +114,35 @@ object Dedup {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-document contamination SCORE against a benchmark set: the
+    * fraction of the document's distinct word n-grams that appear in any
+    * benchmark document. [[decontaminate]]'s binary gate, graded — the
+    * form used to set eval-leak thresholds instead of hard-dropping.
+    *
+    * Plan shape: benchmark shingle set broadcast (tiny), corpus scanned
+    * once — shingle explode → broadcast LEFT join to mark hits → one
+    * grouped count per doc. No corpus shuffle beyond the per-doc agg.
+    * Returns (doc_id, n_shingles, n_shared, score) for docs with >= 1
+    * shingle. */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val bench = broadcast(benchmark
+      .select(explode_outer(shingles(col("text"), n)).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+      .select(col("sh").as("bsh")))
+    corpus
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), n)).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("sz"),
+        explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .join(bench, col("sh") === col("bsh"), "left")
+      .groupBy(col("doc_id"), col("sz").as("n_shingles"))
+      .agg(count(col("bsh")).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("score"))
+  }
+
   /** All ordered pairs (a < b by list position) from a sorted posting
     * list of structs. Emitted IN the task holding the posting — the
     * standard MapReduce near-dup shape: pair blowup is local to each

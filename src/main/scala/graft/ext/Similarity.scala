@@ -286,6 +286,23 @@ object Similarity {
       .drop("_vv")
   }
 
+  /** APPLY embedding-cosine near-dup dedup: within each label block,
+    * drop every vector whose cosine to some LOWER-id vector reaches
+    * `threshold` (the lower id survives — same keep-min convention as
+    * [[graft.ext.Dedup.applyPairDedup]]). The label blocking key bounds
+    * the pairwise comparison to block-local pairs; at 100 TB the block
+    * key is an IVF cell or LSH bucket and the plan shape is identical. */
+  def embedDedupApply(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val drop = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")), 4) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
   /** Most-similar within-label pairs (embedding-cosine near-dup with label
     * blocking — the blocking key caps pair growth at scale). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {

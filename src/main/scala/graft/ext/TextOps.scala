@@ -248,4 +248,44 @@ object TextOps {
         langDecision(col("_ts")).as("lang_guess"),
         fingerprint(txt).as("fingerprint"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): per
+    * document, the fraction of tokens accounted for by the single most
+    * frequent token and the fraction of n-gram occurrences that are
+    * repeats (1 − distinct/total). High values flag boilerplate and
+    * degenerate ("lorem lorem lorem") text that length/stopword gates
+    * miss.
+    *
+    * Shape at 100 TB: one explode per n, each aggregated BY doc_id — the
+    * per-(doc, gram) counts combine map-side and every shuffle is keyed
+    * by doc_id, so a document's state never exceeds its own vocabulary
+    * and no global table is built (contrast a corpus-level vocab join).
+    * Ratios are single IEEE divisions of exact longs — deterministic on
+    * any engine, no rounding step needed (same discipline as
+    * [[textStats]]'s stop_ratio).
+    *
+    * Returns (doc_id, n_tokens, top_token_frac, dup_bigram_frac,
+    * dup_trigram_frac); documents shorter than n tokens get 0.0 for that
+    * n-gram fraction (no occurrences → nothing repeated). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val top = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tokens"))
+    def dupFrac(n: Int, out: String): DataFrame =
+      docs.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((lit(1.0) - count(lit(1)).cast("double") / sum(col("c")))
+          .as(out))
+    top
+      .join(dupFrac(2, "dup_bigram_frac"), Seq("doc_id"), "left")
+      .join(dupFrac(3, "dup_trigram_frac"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+  }
 }

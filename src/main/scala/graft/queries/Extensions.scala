@@ -80,6 +80,15 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher repetition gates: top-token fraction + duplicate-n-gram
+    // fractions per document (ratios are single IEEE divisions of exact
+    // longs — no rounding step, same discipline as text_stats.stop_ratio)
+    "text_repetition" -> ((s, dir) => {
+      TextOps.repetitionSignals(
+        tf(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // bigram-LM perplexity proxy: add-one-smoothed bigram NLL, trained on
     // and scored over the corpus itself (see TextOps.bigramNll for the
     // order-independent decimal-sum determinism contract)
@@ -257,6 +266,34 @@ object Extensions {
   )
 
   val oracle: Map[String, String] = Map(
+    // same ratio discipline as text_stats: single double divisions of
+    // exact counts, no rounding — bit-identical across engines
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+        |top AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_tokens
+        |  FROM tc GROUP BY doc_id),
+        |ws AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS g FROM ws),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(a) - 1),
+        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g FROM ws),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |d2 AS (SELECT doc_id, 1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+        |  AS dup_bigram_frac FROM c2 GROUP BY doc_id),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        |d3 AS (SELECT doc_id, 1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+        |  AS dup_trigram_frac FROM c3 GROUP BY doc_id)
+        |SELECT top.doc_id, n_tokens,
+        |  CAST(top_c AS DOUBLE) / n_tokens AS top_token_frac,
+        |  COALESCE(dup_bigram_frac, 0.0) AS dup_bigram_frac,
+        |  COALESCE(dup_trigram_frac, 0.0) AS dup_trigram_frac
+        |FROM top LEFT JOIN d2 ON top.doc_id = d2.doc_id
+        |LEFT JOIN d3 ON top.doc_id = d3.doc_id
+        |ORDER BY top.doc_id""".stripMargin,
+
     "dedup_fuzzy_pairs" ->
       """SELECT a.p_brand, a.p_size, a.p_partkey AS k1, b.p_partkey AS k2,
         |CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist

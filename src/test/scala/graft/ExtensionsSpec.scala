@@ -226,4 +226,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_bigrams") == 1 &&
       got(1).getAs[Double]("sum_nll") == d2)
   }
+
+  test("repetitionSignals flags degenerate text and zero-fills short docs") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),   // 1 distinct token, 3 identical bigrams
+      (2L, "all tokens here differ"),
+      (3L, "solo")                   // no bigrams/trigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df).orderBy(col("doc_id")).collect()
+    assert(got(0).getAs[Double]("top_token_frac") == 1.0)
+    assert(got(0).getAs[Double]("dup_bigram_frac") == 1.0 - 1.0 / 3.0)
+    assert(got(0).getAs[Double]("dup_trigram_frac") == 0.5)
+    assert(got(1).getAs[Double]("top_token_frac") == 0.25)
+    assert(got(1).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(got(2).getAs[Long]("n_tokens") == 1L &&
+      got(2).getAs[Double]("dup_bigram_frac") == 0.0 &&
+      got(2).getAs[Double]("dup_trigram_frac") == 0.0)
+  }
 }

@@ -213,6 +213,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("text_repetition joins and aggregates only by doc_id — no global table") {
+    val p = plan("text_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"repetition signals must stay doc-keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"missing map-side partial aggregation:\n$p")
+  }
+
   test("contamination queries broadcast the eval-set shingles (no corpus shuffle join)") {
     Seq("dedup_decontaminate", "dedup_contamination_score").foreach { q =>
       val p = plan(q)

@@ -46,6 +46,10 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
   }
 
   val dotProductInfo = new ExpressionInfo(
@@ -71,5 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.winnowInfo,
       (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -62,4 +62,46 @@ object AsOfJoin {
       }
     matched.select(out: _*)
   }
+
+  /** Same as-of semantics through the WHOLE-OPERATOR path (preference
+    * (c)): plans [[graft.plans.AsOfJoinPlan]], which
+    * [[graft.plans.AsOfJoinStrategy]] lowers to the sort-merge
+    * [[graft.plans.AsOfJoinExec]] — one shuffle per side, one streaming
+    * merge pass with O(1) state. Requires the strategy to be registered
+    * (`GraftFunctions.register(spark)` or
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def asOfExec(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightValues: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lPlan = GraftColumnBridge.analyzed(left)
+    val rPlan = GraftColumnBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"asOfExec: column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    // As-of over two slices of the SAME table is the common case (events →
+    // purchases vs views), so left and right share exprIds. The analyzer's
+    // DeduplicateRelations would regenerate the right subtree's ids but
+    // cannot know which side OUR key/time/value expressions meant (the
+    // classic self-join ambiguity) — so mint unambiguous right-side ids
+    // ourselves with an alias projection before building the node.
+    val rAliases = rPlan.output.map(a => Alias(a, a.name)())
+    val rFresh = Project(rAliases, rPlan)
+    def rAttr(n: String) = rAliases.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"asOfExec: column '$n' not in [${rAliases.map(_.name).mkString(", ")}]"))
+      .toAttribute
+    val rvals = rightValues.map { case (src, _) => rAttr(src) }
+    val valAttrs = rightValues.map { case (src, outName) =>
+      AttributeReference(outName, rAttr(src).dataType, nullable = true)()
+    }
+    GraftColumnBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(
+        attr(lPlan, key), rAttr(key),
+        attr(lPlan, leftTime), rAttr(rightTime),
+        rvals, valAttrs, lPlan, rFresh))
+  }
 }

@@ -466,6 +466,23 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // ---- the SAME as-of semantics through the whole-operator path:
+    // custom AsOfJoinPlan/Strategy/Exec (sort-merge, O(1) merge state),
+    // hash-checked against the identical DuckDB ASOF oracle as q27
+    "q67_asof_exec" -> ((s, dir) => {
+      graft.GraftFunctions.register(s) // idempotent: injects the strategy
+      val ev = graft.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asOfExec(purchases, views, "user_id", "ts", "ts",
+          Seq("ts" -> "view_ts", "value" -> "view_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("value", "purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
     // ---- banded time-range join: same-user event pairs within 5 minutes
     // (equi-join on time buckets + exact filter; never a nested loop)
     "q28_range_join" -> ((s, dir) => {
@@ -1521,6 +1538,16 @@ object Relational {
         |WHERE l_quantity < qty_thresh""".stripMargin,
 
     "q27_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts AS purchase_ts, l.value AS purchase_value,
+        |r.ts AS view_ts, r.value AS view_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // identical oracle to q27: the custom exec must produce byte-identical
+    // results to the composed window path AND to DuckDB's native ASOF
+    "q67_asof_exec" ->
       """SELECT l.event_id, l.user_id, l.ts AS purchase_ts, l.value AS purchase_value,
         |r.ts AS view_ts, r.value AS view_value
         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l

@@ -33,6 +33,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("rt")))
   }
 
+  test("custom AsOfJoinExec matches the composed path on edge cases and fixtures") {
+    GraftFunctions.register(spark)
+    val ss = spark
+    import ss.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "L1"),
+      (1L, ts("2024-01-01 12:00:00"), "L2"),
+      (2L, ts("2024-01-01 09:00:00"), "L3")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (2L, ts("2024-01-01 23:00:00"), 9.0)
+    ).toDF("k", "t", "rv")
+    val got = AsOfJoin.asOfExec(left, right, "k", "t", "t",
+        Seq("t" -> "rt", "rv" -> "rv"))
+      .orderBy(col("k"), col("t")).collect()
+    assert(got(0).getAs[Double]("rv") == 1.0, "equal-time right row must match (inclusive)")
+    assert(got(1).getAs[Double]("rv") == 2.0, "latest preceding right row must win")
+    assert(got(2).isNullAt(got(2).fieldIndex("rv")), "no preceding right row → null")
+
+    // the physical plan is the custom operator, not a window/union
+    val planned = AsOfJoin.asOfExec(left, right, "k", "t", "t", Seq("rv" -> "rv"))
+    val p = planned.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin") && !p.contains("Window"),
+      s"custom exec missing from plan:\n$p")
+
+    // full-fixture equivalence against the oracle-checked composed path
+    val ev = graft.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val composed = AsOfJoin.asOf(purchases, views, "user_id", "ts", "ts",
+      Seq("ts" -> "view_ts", "value" -> "view_value"))
+    val exec = AsOfJoin.asOfExec(purchases, views, "user_id", "ts", "ts",
+      Seq("ts" -> "view_ts", "value" -> "view_value"))
+    assert(exec.count() == composed.count())
+    assert(exec.exceptAll(composed).isEmpty && composed.exceptAll(exec).isEmpty,
+      "custom exec and composed window as-of disagree")
+  }
+
   test("range join in two-table mode keeps pairs regardless of id order") {
     val ss = spark
     import ss.implicits._

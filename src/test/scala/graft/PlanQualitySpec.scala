@@ -213,6 +213,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q67_asof_exec plans the custom whole-operator as-of join (no window, no blowup)") {
+    val p = plan("q67_asof_exec")
+    assert(p.contains("AsOfJoin"), s"custom AsOfJoinExec missing:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"custom path must not fall back to the union+window composition:\n$p")
+    // exactly the two key exchanges EnsureRequirements inserts, plus the
+    // output range sort — no extra shuffles
+    assert("hashpartitioning".r.findAllIn(p).size <= 4, s"extra shuffles:\n$p")
+  }
+
   test("text_repetition joins and aggregates only by doc_id — no global table") {
     val p = plan("text_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -15,9 +15,11 @@ import org.apache.spark.sql.expressions.Window
   * sort BEFORE left rows at equal time, which gives the inclusive bound.
   *
   * 100 TB shape: ONE shuffle on the key + one sort — same cost as a
-  * sort-merge join; no range cross-product, no per-row probe. This is the
-  * plan a custom AsOfJoinExec would produce; the composition gets it from
-  * Catalyst built-ins (and AQE/codegen) for free.
+  * sort-merge join; no range cross-product, no per-row probe. The
+  * composition gets it from Catalyst built-ins (and AQE/codegen) for
+  * free; [[asOfExec]] plans the same semantics through the custom
+  * whole-operator path ([[graft.plans.AsOfJoinExec]] — preference (c)),
+  * which skips the union row-blowup and the window buffer entirely.
   */
 object AsOfJoin {
 

@@ -166,6 +166,18 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // IVF at FULL probe (nProbe = nCells): every cell is scanned, so the
+    // result is exact by construction and hash-checks against the same
+    // brute-force DuckDB oracle as ann_cosine_topk — the oracle-backed
+    // anchor for the IVF machinery (cell assignment, probe explode,
+    // candidate join); lower nProbe is the recall/throughput knob.
+    "ann_ivf_exact" -> ((s, dir) => {
+      val emb = tf(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+          nCells = 16, nProbe = 16)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Tolerance-gated oracle: HLL sketch VALUES are engine-specific
     // (DuckDB could never reproduce Spark's estimates bit-for-bit), but
     // the sketch is deterministic over fixed data — so the query emits
@@ -264,6 +276,19 @@ object Extensions {
         .orderBy(col("p_brand"), col("p_size"), col("k1"), col("k2"))
     })
   )
+
+  // exact cosine top-5 for the vec_id%100 query set — the reference answer
+  // for BOTH ann_cosine_topk and the full-probe IVF path
+  private val bruteForceTopkSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      |p AS (SELECT qid, vec_id,
+      |    round(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) / (nrm * qn), 4) AS cos
+      |  FROM n CROSS JOIN q WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
+      |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same ratio discipline as text_stats: single double divisions of
@@ -379,16 +404,11 @@ object Extensions {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY i, j""".stripMargin,
 
-    "ann_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
-        |p AS (SELECT qid, vec_id,
-        |    round(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) / (nrm * qn), 4) AS cos
-        |  FROM n CROSS JOIN q WHERE vec_id <> qid),
-        |r AS (SELECT qid, vec_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
-        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "ann_cosine_topk" -> bruteForceTopkSql,
+
+    // IVF at full probe is exact: the SAME brute-force reference answers
+    // for it (see the ann_ivf_exact query comment)
+    "ann_ivf_exact" -> bruteForceTopkSql,
 
     // Mirrors Quantize.int8 + IntDotProduct: absmax scaling, round-half-
     // away-from-zero to int8, exact BIGINT dot products. No float

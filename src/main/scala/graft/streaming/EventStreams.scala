@@ -16,6 +16,25 @@ final case class SessionState(seq: Long, startMicros: Long, lastMicros: Long, n:
 final case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
     session_start: Timestamp, session_end: Timestamp)
 
+/** Tagged union row for the streaming as-of state machine. */
+final case class TaggedAsOf(user_id: Long, ts: Timestamp, left: Boolean,
+    event_id: Long, value: Double)
+
+/** A left (fact) row waiting for its watermark-final as-of match. */
+final case class AsOfPend(ts_us: Long, event_id: Long, value: Double)
+
+/** A buffered right (reference) observation. */
+final case class AsOfRightRow(ts_us: Long, value: Double)
+
+/** Keyed state for [[EventStreams.asOfEnrich]]: pending lefts + the
+  * compacted right history (everything inside the watermark horizon plus
+  * ONE latest-before-horizon row — the minimum any as-of needs). */
+final case class AsOfState(lefts: List[AsOfPend], rights: List[AsOfRightRow])
+
+/** An emitted as-of-enriched fact row (null view_* = no prior right). */
+final case class AsOfEnriched(event_id: Long, user_id: Long, ts: Timestamp,
+    value: Double, view_ts: Option[Timestamp], view_value: Option[Double])
+
 /** Streaming analytics over the events stream — the engine's exposure of
   * event-time windows + watermarks and keyed custom state (SURVEY.md §2.8:
   * the reference is processing-time only; these are the north-star
@@ -85,6 +104,80 @@ object EventStreams extends Serializable {
   def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** STREAMING as-of enrichment — the streaming form of
+    * [[graft.ops.AsOfJoin]]: each `facts` row (purchase) is emitted once,
+    * enriched with the latest `refs` row (view) of the same `user_id`
+    * with `ref.ts <= fact.ts` (inclusive; ties pick the largest value —
+    * the identical contract as the batch operator and DuckDB ASOF).
+    *
+    * Exactness under out-of-order arrival: a fact emits only when the
+    * WATERMARK passes its event time — at that point no matching ref can
+    * still arrive (any such row would be dropped as late), so the match
+    * is final. Until then the fact is buffered in keyed state.
+    *
+    * State is bounded: per key, the facts and refs inside the watermark
+    * horizon plus ONE compacted ref (the latest at-or-before the
+    * horizon — the minimum state ANY as-of needs, since an arbitrarily
+    * old ref is still "the latest prior" for future facts). Facts leave
+    * state on emission; refs behind the horizon compact to that single
+    * row; an event-time timeout flushes pending facts when the key goes
+    * quiet. Facts that themselves arrive later than the watermark (the
+    * source's at-least-once tail) emit immediately against the compacted
+    * history — best-effort, the standard watermark caveat.
+    *
+    * Inputs need columns (event_id, ts, user_id, value). */
+  def asOfEnrich(spark: SparkSession, facts: DataFrame, refs: DataFrame,
+      watermark: String = "2 hours"): Dataset[AsOfEnriched] = {
+    import spark.implicits._
+
+    def tag(df: DataFrame, isLeft: Boolean): DataFrame =
+      df.select(col("user_id"), col("ts"), lit(isLeft).as("left"),
+        (if (isLeft) col("event_id") else lit(0L)).as("event_id"),
+        col("value"))
+
+    def update(uid: Long, rows: Iterator[TaggedAsOf],
+        state: GroupState[AsOfState]): Iterator[AsOfEnriched] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+      val (newL, newR) = rows.toSeq.partition(_.left)
+      val lefts = (prev.lefts ++ newL.map(e =>
+          AsOfPend(toMicros(e.ts), e.event_id, e.value)))
+        .sortBy(p => (p.ts_us, p.event_id))
+      // (ts, value) order makes the ties-pick-largest-value rule a plain
+      // "last match wins" scan, same as the batch operator's struct sort
+      val rights = (prev.rights ++ newR.map(e =>
+          AsOfRightRow(toMicros(e.ts), e.value)))
+        .sortBy(r => (r.ts_us, r.value))
+      val (emit, pend) = lefts.partition(_.ts_us <= wmUs)
+      val out = emit.map { l =>
+        val m = rights.foldLeft(Option.empty[AsOfRightRow]) {
+          case (acc, r) => if (r.ts_us <= l.ts_us) Some(r) else acc
+        }
+        AsOfEnriched(l.event_id, uid, fromMicros(l.ts_us), l.value,
+          m.map(r => fromMicros(r.ts_us)), m.map(_.value))
+      }
+      val (rOld, rLive) = rights.partition(_.ts_us <= wmUs)
+      val kept = rOld.lastOption.toList ++ rLive
+      if (pend.isEmpty && kept.isEmpty) state.remove()
+      else {
+        state.update(AsOfState(pend, kept))
+        if (pend.nonEmpty)
+          // flush the oldest pending fact as soon as the watermark can
+          // have passed it; must stay strictly ahead of the current wm
+          state.setTimeoutTimestamp(math.max(pend.head.ts_us / 1000L + 1,
+            state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    tag(facts, isLeft = true).unionByName(tag(refs, isLeft = false))
+      .withWatermark("ts", watermark)
+      .as[TaggedAsOf]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Stateful sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState: emits each session as it CLOSES — either a

@@ -158,6 +158,63 @@ class EventStreamsSpec extends SparkSpec {
       "a closed streaming session has no matching batch session")
   }
 
+  test("streaming as-of enrichment matches the batch as-of join on emitted rows") {
+    val dir = landTwoBatches()
+    def src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.asOfEnrich(spark,
+        src.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+        src.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value")))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_stream")
+    assert(got.count() > 0, "no facts emitted — watermark never advanced")
+    // exactly-once per fact
+    assert(got.groupBy(col("event_id")).count().filter(col("count") > 1).count() == 0,
+      "a fact was emitted more than once")
+    // every emitted row must carry the batch operator's exact match
+    val batch = SparkEntry.queries("q27_asof_join")(spark, sf)
+    val agreed = got.join(batch,
+      got("event_id") === batch("event_id") &&
+        got("view_ts") <=> batch("view_ts") &&
+        got("view_value") <=> batch("view_value"))
+    assert(agreed.count() == got.count(),
+      "a streaming as-of match disagrees with the batch as-of join")
+  }
+
+  test("streaming as-of stays exact under out-of-order cross-batch arrival") {
+    // half of every user's events in each micro-batch, massively out of
+    // order — emission waits for the watermark, so matches must still be
+    // final and identical to batch
+    val dir = Files.createTempDirectory("evstream-asof-ooo")
+    graft.sources.ParquetSlices.writeSingleFile(
+      fixture.filter(col("event_id") % 2 === 0), dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(
+      fixture.filter(col("event_id") % 2 === 1), dir.resolve("b1.parquet"))
+    def src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStreams.asOfEnrich(spark,
+        src.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+        src.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value")))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_stream_ooo").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_stream_ooo")
+    assert(got.count() > 0)
+    val batch = SparkEntry.queries("q27_asof_join")(spark, sf)
+    val agreed = got.join(batch,
+      got("event_id") === batch("event_id") &&
+        got("view_ts") <=> batch("view_ts") &&
+        got("view_value") <=> batch("view_value"))
+    assert(agreed.count() == got.count(),
+      "out-of-order arrival broke streaming as-of exactness")
+  }
+
   test("sessionize never emits crossed bounds under out-of-order batches") {
     // interleave by event parity: every user's events arrive half in each
     // micro-batch, massively out of order ACROSS batches — a late merge

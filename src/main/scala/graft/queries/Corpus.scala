@@ -251,6 +251,21 @@ object Corpus {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
 
+    // incremental aggregate maintenance: the 80% "materialized" base is
+    // merged with the 20% delta WITHOUT rescanning base history; the
+    // oracle recomputes from scratch over the full log — incremental
+    // refresh must be indistinguishable from recompute
+    "cdc_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = graft.pipeline.Cdc.aggShape(
+        orders.filter(col("o_orderkey") % 5 =!= 0), "o_custkey", "o_totalprice")
+      val delta = orders.filter(col("o_orderkey") % 5 === 0)
+      graft.pipeline.Cdc.incrementalAgg(base, delta, "o_custkey", "o_totalprice")
+        .select(col("o_custkey"), col("n"),
+          col("total").cast("double").as("total_d"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // per-GROUP sketching: one bounded SpaceSaving buffer per source,
     // map-side combined — "top terms per domain" at corpus scale without
     // shuffling the raw term stream
@@ -635,6 +650,12 @@ object Corpus {
         |       THEN 1 ELSE 0 END AS is_current,
         |  value
         |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // from-scratch recompute over the WHOLE log: base ∪ delta = orders
+    "cdc_incremental_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_d
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "text_topterms_by_source" ->
       """WITH terms AS (

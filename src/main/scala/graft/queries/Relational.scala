@@ -866,6 +866,18 @@ object Relational {
         .limit(25)
     }),
 
+    // ---- data profiling (ANALYZE surface): per-column row/null/distinct
+    // counts and min/max in ONE scan of the table; doubles go through
+    // DECIMAL so the stringified extremes render identically on any
+    // engine. The oracle recomputes each column independently.
+    "q68_profile" -> ((s, dir) => {
+      graft.ops.Profile.profile(
+          t(s, dir, "orders").withColumn("o_totalprice",
+            dec(col("o_totalprice"))),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+        .orderBy(col("col_name"))
+    }),
+
     // ---- calendar gap-fill: a generated date axis LEFT JOIN a sparse
     // daily aggregate, missing days zero-filled. The axis is a tiny
     // `sequence()` explode (366 rows) — at 100 TB the fact side shuffles
@@ -1185,6 +1197,31 @@ object Relational {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
         |GROUP BY 1, 2
         |ORDER BY total_spend DESC, c_custkey LIMIT 25""".stripMargin,
+
+    "q68_profile" ->
+      """SELECT * FROM (
+        |SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS max_s FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |  MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT),
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM orders
+        |) ORDER BY col_name""".stripMargin,
 
     "q64_variant_json" ->
       """SELECT event_type, COUNT(*) AS n,

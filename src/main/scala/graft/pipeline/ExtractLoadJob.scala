@@ -93,24 +93,32 @@ final class ExtractLoadJob(
         try {
           extract() match {
             case Some(df) =>
-              // persist: the batch feeds BOTH the write and the audit count
-              // (A1, EtlProcess.cs:64) — without it the whole extract (+
-              // anti-join) pipeline executes twice, and a source that
-              // changed between executions would make the audited count
-              // disagree with the rows actually written.
-              val toLand = (if (dedupeByContent) dropAlreadyLanded(df) else df)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                // P3: fresh uuid per LANDED row (EtlProcess.cs:174)
-                val landed = toLand.withColumn("id", expr("uuid()"))
-                landed.write.mode(SaveMode.Append)
-                  .partitionBy("LogicalPartition").parquet(landingDir)
-                val n = toLand.count()
-                releaseAndAudit(succeeded = true,
-                  s"Successful extracted and saved $n documents. Documents will be " +
-                    "processed automatically by the TransformDocument function.")
-                Completed(n, lease.forced)
-              } finally toLand.unpersist()
+              val toLand = if (dedupeByContent) dropAlreadyLanded(df) else df
+              // The audited count (A1, EtlProcess.cs:64) rides the WRITE
+              // itself via observe(): one action, one scan — the metric is
+              // by construction the rows actually written, so no persist +
+              // second count() pass (and no risk of a source changing
+              // between two executions). At 100 TB this halves the leg's
+              // I/O; extra data-quality counters are free on the same pass.
+              val obs = new org.apache.spark.sql.Observation(
+                s"land-$worker-${UUID.randomUUID()}")
+              // P3: fresh uuid per LANDED row (EtlProcess.cs:174)
+              val landed = toLand.withColumn("id", expr("uuid()"))
+                .observe(obs, count(lit(1)).as("n"),
+                  count(when(col("LogicalPartition").isNull, 1))
+                    .as("n_null_partition"))
+              landed.write.mode(SaveMode.Append)
+                .partitionBy("LogicalPartition").parquet(landingDir)
+              val n = obs.get("n").asInstanceOf[Long]
+              val nNullPart = obs.get("n_null_partition").asInstanceOf[Long]
+              if (nNullPart > 0)
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"ExtractLoadJob: $nNullPart rows landed with a null " +
+                    "LogicalPartition (written to the null partition)")
+              releaseAndAudit(succeeded = true,
+                s"Successful extracted and saved $n documents. Documents will be " +
+                  "processed automatically by the TransformDocument function.")
+              Completed(n, lease.forced)
             case None =>
               releaseAndAudit(succeeded = true,
                 "Successful executed the orchestration. No documents retrieved " +

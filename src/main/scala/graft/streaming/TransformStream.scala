@@ -56,18 +56,24 @@ final class TransformStream(
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
-          val batchGuid = UUID.randomUUID().toString // P4: driver-side, per batch
-          val seqW = Window.orderBy(col("id"))
-          val withSeq = batch.withColumn("seq", row_number().over(seqW))
-          val now = frozenNow.map(s => to_timestamp(lit(s)))
-            .getOrElse(current_timestamp())
-          val out = TransformOp.transform(
-            withSeq, lit(batchGuid), col("seq"), preferredLocations, now)
-          out.write.mode(SaveMode.Overwrite)
-            .parquet(s"$outDir/batch=$epochId")
-        }
-        ()
+        // persist: BOTH actions below (emptiness probe + write) would
+        // otherwise re-execute the micro-batch source scan — double I/O
+        // per trigger, and the progress metrics (numInputRows, which
+        // StreamingRunAudit reports) would double-count the batch
+        val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!pinned.isEmpty) {
+            val batchGuid = UUID.randomUUID().toString // P4: driver-side, per batch
+            val seqW = Window.orderBy(col("id"))
+            val withSeq = pinned.withColumn("seq", row_number().over(seqW))
+            val now = frozenNow.map(s => to_timestamp(lit(s)))
+              .getOrElse(current_timestamp())
+            val out = TransformOp.transform(
+              withSeq, lit(batchGuid), col("seq"), preferredLocations, now)
+            out.write.mode(SaveMode.Overwrite)
+              .parquet(s"$outDir/batch=$epochId")
+          }
+        } finally { pinned.unpersist(); () }
       }
       .start()
   }

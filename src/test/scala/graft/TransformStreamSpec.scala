@@ -53,6 +53,37 @@ class TransformStreamSpec extends SparkSpec {
       col("Name").isNull || trim(col("Name")) === "").count() == 0)
   }
 
+  test("StreamingRunAudit appends one audit row per committed micro-batch") {
+    val base = Files.createTempDirectory("stream-audit")
+    val landing = base.resolve("landing").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val audit = new graft.pipeline.RunAudit(base.resolve("audit").toString)
+    val listener = new graft.pipeline.StreamingRunAudit(spark, audit, "stream-worker")
+    spark.streams.addListener(listener)
+    try {
+      land(landing, 7, "a")
+      land(landing, 5, "b")
+      // maxFilesPerTrigger=1 + two landed files -> two non-empty batches
+      val q = new TransformStream(spark, landing, out, cp, "East US").start()
+      q.processAllAvailable(); q.stop()
+      // progress events are async on the listener bus — poll until both
+      // batches' rows land (or time out and let the assertion report)
+      def tryRead() =
+        try audit.read(spark).collect() catch { case _: Exception => Array.empty[graft.model.OrchestrationRun] }
+      var waited = 0
+      while (waited < 100 && tryRead().length < 2) { Thread.sleep(100); waited += 1 }
+      val runs = tryRead()
+      assert(runs.length >= 2, s"expected >=2 audit rows, got ${runs.length}")
+      assert(runs.forall(_.Succeeded), "a committed batch audited as failed")
+      assert(runs.forall(r => r.OrchestrationWorker == "stream-worker" &&
+        !r.EndTime.before(r.StartTime) && r.Duration >= 0))
+      assert(runs.map(_.AdditionlInfo).exists(_.contains("7 documents")) &&
+        runs.map(_.AdditionlInfo).exists(_.contains("5 documents")),
+        s"per-batch row counts missing: ${runs.map(_.AdditionlInfo).toSeq}")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("Trigger.AvailableNow backfill drains everything, honors backpressure, then stops itself") {
     val base = Files.createTempDirectory("stream3")
     val landing = base.resolve("landing").toString

@@ -45,6 +45,53 @@ class LayoutSpec extends SparkSpec {
     assert(plain.getLong(1) == salted.getLong(1), "content changed by salting")
   }
 
+  test("AQE splits skewed shuffle partitions in sort-merge joins (skew=true)") {
+    // the runtime half of skew handling (salting is the plan-time half):
+    // one hot key owns ~75% of the left side; AQE must detect the skewed
+    // shuffle partition and split it instead of serializing the join on
+    // one task. Guards that the session config keeps OptimizeSkewedJoin
+    // reachable — at 100 TB this is the difference between a straggler
+    // task and a balanced stage.
+    val ss = spark
+    import ss.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scaled-down detection thresholds so the tiny fixture-sized data
+      // exhibits the same behavior production sizes would
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 300000)
+        .select(when(col("id") < 225000, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k").select(count_distinct(col("v")).as("n"))
+      // execute THIS dataset's own query execution — count() would build
+      // a separate QueryExecution and leave this adaptive plan unfinalized
+      val n = joined.collect()(0).getAs[Long]("n")
+      // only the hot key matches (left non-zero keys start at 225000)
+      assert(n == 225000L, s"unexpected join cardinality $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark/split the skewed join:\n${plan.take(3000)}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("globalSortedLayout yields non-overlapping sorted partitions") {
     val df = Layout.globalSortedLayout(
       spark.read.parquet(s"$sf/orders.parquet"), col("o_orderkey"), 4)

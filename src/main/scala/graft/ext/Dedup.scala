@@ -143,6 +143,30 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("score"))
   }
 
+  /** EXACT-substring contamination (Lee et al. 2022's exact check, next
+    * to the n-gram gate above): which corpus documents contain any eval
+    * snippet VERBATIM. Returns (doc_id, n_hits, hit_ids) for contaminated
+    * docs; hit_ids is the sorted csv of matching eval ids.
+    *
+    * Plan shape for 100 TB: the snippet set broadcasts (eval suites are
+    * tiny) and the corpus is ONE scan through a broadcast nested-loop
+    * join whose `contains` predicate runs codegen'd in the scan stage —
+    * no corpus shuffle before the per-doc aggregation. For thousands of
+    * snippets, swap the per-pair contains for a per-partition
+    * Aho-Corasick automaton over the broadcast snippet list (same plan
+    * shape, one text pass per doc); per-pair contains is the
+    * demonstration form. */
+  def substringContamination(corpus: DataFrame,
+      snippets: DataFrame): DataFrame = {
+    corpus.select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(snippets.select(col("eval_id"), col("eval_text"))))
+      .filter(col("text").contains(col("eval_text")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        concat_ws(",", array_sort(collect_list(col("eval_id").cast("string"))))
+          .as("hit_ids"))
+  }
+
   /** All ordered pairs (a < b by list position) from a sorted posting
     * list of structs. Emitted IN the task holding the posting — the
     * standard MapReduce near-dup shape: pair blowup is local to each

@@ -80,6 +80,18 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT-substring contamination: eval snippets (deterministic slices
+    // of every 50th doc) matched VERBATIM against the corpus — the exact
+    // complement of the n-gram/winnow approximate paths
+    "dedup_substring_contam" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snippets = docs
+        .filter(col("doc_id") % 50 === 7 && length(col("text")) >= 80)
+        .select(col("doc_id").as("eval_id"),
+          substring(col("text"), 21, 40).as("eval_text"))
+      Dedup.substringContamination(docs, snippets).orderBy(col("doc_id"))
+    }),
+
     // Gopher repetition gates: top-token fraction + duplicate-n-gram
     // fractions per document (ratios are single IEEE divisions of exact
     // longs — no rounding step, same discipline as text_stats.stop_ratio)
@@ -291,6 +303,15 @@ object Extensions {
       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring_contam" ->
+      """WITH snippets AS (
+        |  SELECT doc_id AS eval_id, substr(text, 21, 40) AS eval_text
+        |  FROM documents WHERE doc_id % 50 = 7 AND length(text) >= 80)
+        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  array_to_string(list_sort(list(CAST(eval_id AS VARCHAR))), ',') AS hit_ids
+        |FROM documents d JOIN snippets s ON contains(d.text, s.eval_text)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     // same ratio discipline as text_stats: single double divisions of
     // exact counts, no rounding — bit-identical across engines
     "text_repetition" ->

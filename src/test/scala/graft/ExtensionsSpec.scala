@@ -227,6 +227,24 @@ class ExtensionsSpec extends SparkSpec {
       got(1).getAs[Double]("sum_nll") == d2)
   }
 
+  test("substringContamination finds verbatim hits only, csv-sorted") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox appears"),
+      (3L, "nothing to see here")
+    ).toDF("doc_id", "text")
+    val snippets = Seq((10L, "quick brown fox"), (11L, "lazy dog"))
+      .toDF("eval_id", "eval_text")
+    val got = graft.ext.Dedup.substringContamination(docs, snippets)
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got(0).getAs[Long]("n_hits") == 2 &&
+      got(0).getAs[String]("hit_ids") == "10,11")
+    assert(got(1).getAs[Long]("n_hits") == 1 &&
+      got(1).getAs[String]("hit_ids") == "10")
+  }
+
   test("repetitionSignals flags degenerate text and zero-fills short docs") {
     import SparkSpec.spark.implicits._
     val df = Seq(

@@ -239,6 +239,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring_contam broadcasts snippets; contains runs in the scan stage") {
+    val p = plan("dedup_substring_contam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"snippet set not broadcast — the corpus would shuffle:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"degenerated to a cartesian:\n${p.take(1500)}")
+  }
+
   test("dim-filtered joins against partitioned facts get dynamic partition pruning") {
     // The fixtures are single parquet files, but production facts are
     // date/tenant-partitioned — this guards that the session config keeps

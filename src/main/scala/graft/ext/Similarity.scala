@@ -126,10 +126,41 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       sampleSize: Int = 2000, lloydIters: Int = 5): DataFrame = {
-    // --- train quantizer on a DETERMINISTIC driver-side sample: plain
-    // limit() takes whichever partitions answer first, so the centroids
-    // (and every downstream cell/result) would change with parallelism —
-    // hash-ordering the keys makes the sample a pure function of the data
+    val centroids = trainQuantizer(corpus, nCells, seed, sampleSize, lloydIters)
+
+    def cellOf(v: Column): Column = cellOfExpr(centroids)(v)
+    def probeCells(v: Column): Column = probeCellsExpr(centroids, nProbe)(v)
+
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cell", cellOf(col("v")))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.select(col("qid"), col("vec_id"), col("cos"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
+
+  /** Train the IVF coarse quantizer on a DETERMINISTIC driver-side sample:
+    * plain limit() takes whichever partitions answer first, so the
+    * centroids (and every downstream cell/result) would change with
+    * parallelism — hash-ordering the keys makes the sample a pure function
+    * of the data. At 100 TB you train the quantizer on a sample (standard
+    * practice); the driver only ever holds sampleSize×dim doubles. */
+  private[ext] def trainQuantizer(corpus: DataFrame, nCells: Int, seed: Long,
+      sampleSize: Int, lloydIters: Int): Array[Array[Double]] = {
     val sample = corpus
       .orderBy(Dedup.portableHash32(col("vec_id").cast("string")), col("vec_id"))
       .limit(sampleSize)
@@ -154,45 +185,30 @@ object Similarity {
         }
       }.toArray
     }
-
-    // --- cell assignment as a column expression (argmax over centroid dots)
-    def cellOf(v: Column): Column = {
-      val scores = centroids.zipWithIndex.map { case (cvec, i) =>
-        struct((dot(v, array(cvec.map(lit(_)): _*)) /
-          lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
-      }
-      array_max(array(scores: _*)).getField("c")
-    }
-    def probeCells(v: Column): Column = {
-      val scores = centroids.zipWithIndex.map { case (cvec, i) =>
-        struct((dot(v, array(cvec.map(lit(_)): _*)) /
-          lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
-      }
-      slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
-        .getField("c")
-    }
-
-    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("cell", cellOf(col("v")))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("cell", explode(probeCells(col("qv"))))
-
-    val scored = c.join(broadcast(q), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.select(col("qid"), col("vec_id"), col("cos"), row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
+    centroids
   }
 
-  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
-    s
+  /** Cell assignment as a column expression: argmax over centroid cosines.
+    * Centroids are literals compiled into the plan — no broadcast, no
+    * join; the corpus is scanned once. */
+  private[ext] def cellOfExpr(centroids: Array[Array[Double]])(v: Column): Column = {
+    val scores = centroids.zipWithIndex.map { case (cvec, i) =>
+      struct((dot(v, array(cvec.map(lit(_)): _*)) /
+        lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
+    }
+    array_max(array(scores: _*)).getField("c")
   }
-  private def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
+
+  /** The `nProbe` nearest cells by centroid cosine, as an array column. */
+  private[ext] def probeCellsExpr(centroids: Array[Array[Double]], nProbe: Int)(
+      v: Column): Column = {
+    val scores = centroids.zipWithIndex.map { case (cvec, i) =>
+      struct((dot(v, array(cvec.map(lit(_)): _*)) /
+        lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
+    }
+    slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
+      .getField("c")
+  }
 
   /** Per-label mean centroids of an (vec_id, label, embedding) table:
     * (clabel, cv: array<double>, cnrm).

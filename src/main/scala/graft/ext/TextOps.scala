@@ -162,17 +162,51 @@ object TextOps {
     * sequences. A document starts a new bin when the running total would
     * exceed the budget (bin = floor(tokens-before-this-doc / budget)),
     * so every bin except possibly the last holds ≥ 1 doc and ≤ budget
-    * tokens of lead-in. One window pass; at 100 TB shard first (e.g. by
-    * hashSample bucket) and pack within shards so the running sum never
-    * serializes the whole corpus through one task. */
-  def packBins(docs: DataFrame, tokensPerBin: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+    * tokens of lead-in.
+    *
+    * DISTRIBUTED global cumsum — the corpus never serializes through one
+    * task. Two passes over a (doc_id, n_tokens) projection (two longs per
+    * doc, not the text):
+    *   1. range-partition by doc_id into `shards` ordered shards; one
+    *      grouped agg collects the per-shard token subtotals — exactly
+    *      `shards` longs of driver state (same bounded-control-state
+    *      budget as k-means centroids);
+    *   2. prefix-sum those subtotals on the driver, compile them into a
+    *      literal shard→offset map, and add each shard's offset to a
+    *      PARTITIONED (by shard) window cumsum.
+    * Range partitioning makes shard order = doc_id order, so offset +
+    * local running sum ≡ the global running sum and the output is
+    * bit-identical to the single-window formulation at any parallelism.
+    * Both passes see identical shard boundaries: the range sampler is a
+    * deterministic function of the (deterministic) input. */
+  def packBins(docs: DataFrame, tokensPerBin: Long, numShards: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards =
+      if (numShards > 0) numShards
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val counted = docs
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .repartitionByRange(shards, col("doc_id"))
+      .withColumn("_shard", spark_partition_id())
+    // pass 1: per-shard subtotals -> driver (≤ `shards` rows)
+    val subtotals = counted.groupBy(col("_shard"))
+      .agg(sum(col("n_tokens")).cast("long").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val offsetOf: Column =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("_shard"))
+    // pass 2: shard-local running sum + broadcast shard offset
+    val w = Window.partitionBy(col("_shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
       .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offsetOf).cast("long"))
       .withColumn("bin", (col("tokens_before") / tokensPerBin).cast("long"))
+      .drop("_shard")
   }
 
   /** Bigram language-model scoring: train add-one-smoothed bigram

@@ -350,18 +350,19 @@ object Relational {
     // ---- error-safe scalar functions: try_divide / try_cast / try_add
     // yield NULL instead of failing the job under ANSI semantics — at
     // 100 TB one malformed row must not kill a 6-hour pipeline.
-    // per_bucket lands as DECIMAL(18,4): acctbal has scale 2 and the
-    // divisor is 1..6, so the exact quotient terminates at scale <= 4
-    // or repeats in 3s/6s — no value sits on a 4-dp rounding boundary,
-    // which makes the HALF_UP cast here and DuckDB's ROUND(double, 4)
-    // in the oracle agree exactly (a double-typed quotient would differ
-    // from DuckDB in the last ulp).
+    // per_bucket: exact decimal quotient rounded at scale 4 (acctbal has
+    // scale 2 and the divisor is 1..6, so no quotient sits on a 4-dp
+    // rounding boundary — Spark's HALF_UP cast and DuckDB's ROUND agree
+    // exactly), then surfaced as DOUBLE on both sides. Every 4-dp value
+    // here is exactly representable-after-round in binary64 identically
+    // in both engines, while DECIMAL rendering (trailing zeros, scale)
+    // varies across engines and breaks hash canonicalization.
     "q63_try_fns" -> ((s, dir) => {
       t(s, dir, "customer")
         .select(col("c_custkey"),
           try_divide(dec(col("c_acctbal")),
             (col("c_custkey") % 7).cast("int"))
-            .cast(DecimalType(18, 4)).as("per_bucket"),
+            .cast(DecimalType(18, 4)).cast("double").as("per_bucket"),
           try_to_number(
             when(col("c_custkey") % 5 === 0, lit("not-a-number"))
               .otherwise(col("c_custkey").cast("string")),
@@ -1243,9 +1244,11 @@ object Relational {
     // ROUND(double, 4) here matches Spark's DECIMAL(18,4) HALF_UP cast
     // because no quotient acctbal/k (k in 1..6) sits on a 4-dp boundary
     // (terminating expansions stop at scale 4; the rest repeat in 3s/6s).
+    // Surfaced as DOUBLE on both sides — decimal scale/trailing-zero
+    // rendering differs between engines and breaks hash canonicalization.
     "q63_try_fns" ->
       """SELECT c_custkey,
-        |ROUND(c_acctbal / NULLIF(c_custkey % 7, 0), 4)::DECIMAL(18,4) AS per_bucket,
+        |ROUND(c_acctbal / NULLIF(c_custkey % 7, 0), 4)::DECIMAL(18,4)::DOUBLE AS per_bucket,
         |TRY_CAST(CASE WHEN c_custkey % 5 = 0 THEN 'not-a-number'
         |              ELSE c_custkey::VARCHAR END AS BIGINT) AS parsed,
         |str_split(c_name, '#')[2] AS name_suffix

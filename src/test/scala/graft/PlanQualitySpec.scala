@@ -227,8 +227,23 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("text_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"repetition signals must stay doc-keyed:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial"),
-      s"missing map-side partial aggregation:\n$p")
+    // the n-gram counts must pre-aggregate map-side before their shuffle —
+    // specifically a partial count, not merely any "partial" substring
+    assert(p.contains("partial_count"),
+      s"missing map-side partial count aggregation:\n$p")
+  }
+
+  test("corpus_pack never plans an unpartitioned (global) window") {
+    // the distributed cumsum must only ever window WITHIN a shard; a
+    // Window with an empty partitionSpec funnels the whole corpus
+    // through one task (the round-3 scale-killer)
+    val df = SparkEntry.queries("corpus_pack")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected a shard-local window in corpus_pack")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global single-partition window found:\n${df.queryExecution.optimizedPlan}"))
   }
 
   test("contamination queries broadcast the eval-set shingles (no corpus shuffle join)") {

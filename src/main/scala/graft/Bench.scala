@@ -64,9 +64,18 @@ object Bench {
     val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    // resolved from the working directory (overridable) — a hardcoded
+    // absolute path plus a swallowed failure would leave a stale
+    // committed BENCH_FULL.json with no signal
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
     scala.util.Try(java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      java.nio.file.Paths.get(fullPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))) match {
+      case scala.util.Failure(e) =>
+        System.err.println(s"[bench] WARNING: could not write $fullPath: $e")
+      case _ => ()
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

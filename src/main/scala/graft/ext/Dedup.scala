@@ -149,22 +149,45 @@ object Dedup {
     * docs; hit_ids is the sorted csv of matching eval ids.
     *
     * Plan shape for 100 TB: the snippet set broadcasts (eval suites are
-    * tiny) and the corpus is ONE scan through a broadcast nested-loop
-    * join whose `contains` predicate runs codegen'd in the scan stage —
-    * no corpus shuffle before the per-doc aggregation. For thousands of
-    * snippets, swap the per-pair contains for a per-partition
-    * Aho-Corasick automaton over the broadcast snippet list (same plan
-    * shape, one text pass per doc); per-pair contains is the
-    * demonstration form. */
-  def substringContamination(corpus: DataFrame,
-      snippets: DataFrame): DataFrame = {
-    corpus.select(col("doc_id"), col("text"))
-      .crossJoin(broadcast(snippets.select(col("eval_id"), col("eval_text"))))
-      .filter(col("text").contains(col("eval_text")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"),
-        concat_ws(",", array_sort(collect_list(col("eval_id").cast("string"))))
-          .as("hit_ids"))
+    * tiny) and the corpus is ONE scan — no corpus shuffle before the
+    * per-doc aggregation. Two interchangeable match kernels behind the
+    * same API, switched on snippet count:
+    *
+    *  - below `automatonThreshold`: a broadcast nested-loop join whose
+    *    `contains` predicate runs codegen'd in the scan stage — zero
+    *    setup cost, O(|text| · snippets) per doc;
+    *  - at/above it: one [[graft.functions.AhoCorasick]] automaton built
+    *    on the driver and broadcast, one text pass per doc regardless of
+    *    snippet count — the shape that survives 10⁵+ snippets, where
+    *    per-pair `contains` work is quadratic pain.
+    *
+    * Both kernels produce identical rows (spec-asserted on a >10³-snippet
+    * set), so the switch is a pure plan decision. */
+  def substringContamination(corpus: DataFrame, snippets: DataFrame,
+      automatonThreshold: Int = 1024): DataFrame = {
+    // bounded count probe: never scans more than threshold snippet rows
+    val isSmall =
+      snippets.limit(automatonThreshold).count() < automatonThreshold
+    if (isSmall) {
+      corpus.select(col("doc_id"), col("text"))
+        .crossJoin(broadcast(snippets.select(col("eval_id"), col("eval_text"))))
+        .filter(col("text").contains(col("eval_text")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          concat_ws(",", array_sort(collect_list(col("eval_id").cast("string"))))
+            .as("hit_ids"))
+    } else {
+      val snips = snippets
+        .select(col("eval_id").cast("string"), col("eval_text")).collect()
+      val ac = graft.functions.AhoCorasick.build(
+        snips.map(_.getString(0)), snips.map(_.getString(1)))
+      val bc = corpus.sparkSession.sparkContext.broadcast(ac)
+      val matchIds = udf((text: String) => bc.value.matchedIds(text))
+      corpus.select(col("doc_id"), explode(matchIds(col("text"))).as("eid"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          concat_ws(",", array_sort(collect_list(col("eid")))).as("hit_ids"))
+    }
   }
 
   /** All ordered pairs (a < b by list position) from a sorted posting
@@ -344,8 +367,25 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3).
     * Blocking: 4 chunks of 8 bits — pigeonhole guarantees every pair
     * within hamming 3 shares at least one chunk, so pairs only ever
-    * materialize inside a (chunk-position, chunk-value) posting list. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * materialize inside a (chunk-position, chunk-value) posting list.
+    *
+    * `maxBucket` is the fat-bucket skew guard: a pathological
+    * near-identical corpus lands thousands of docs on ONE (chunk,
+    * value) posting, whose array then sits in one task and whose
+    * quadratic pair scan runs on one core. Postings larger than the cap
+    * split by a secondary hash of doc_id into `splitGroups` groups; each
+    * unordered group pair (g1 ≤ g2) becomes its own sub-posting holding
+    * only members of those two groups, and a pair is emitted ONLY in the
+    * sub-posting matching its own group pair — every original pair
+    * appears in exactly one sub-posting, so the pair set is IDENTICAL to
+    * the uncapped run (spec-asserted on a degenerate corpus) while the
+    * per-task member array shrinks to ~2/splitGroups of the bucket and
+    * the quadratic scan spreads over splitGroups·(splitGroups+1)/2
+    * tasks. The replication cost ((splitGroups+1)× the fat bucket's
+    * tiny 16-byte entries) only ever applies to oversized postings.
+    * Default Int.MaxValue = never split (the oracle-checked setting). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue, splitGroups: Int = 16): DataFrame = {
     // Candidate volume inside a chunk bucket is quadratic, and simhash
     // buckets are FAT (similar docs cluster on chunk values by design),
     // so pairs are filtered AT EMISSION instead of materialized-then-
@@ -357,16 +397,36 @@ object Dedup {
     // allocate a row. (Measured: 40M-candidate emission 3.7s -> 0.6s.)
     def chunk(h: Column, cc: Int): Column =
       shiftright(h, cc * 8).bitwiseAND(lit(255L))
-    val kept = flatten(transform(sequence(lit(1), size(col("lst")) - 1), i => {
-      val a = element_at(col("lst"), i)
+    // members tagged with their split group (whole-bucket rows keep the
+    // tag unused); sub-posting rows are (g1, g2, members)
+    val tagged = transform(col("lst"), e => struct(
+      e.getField("doc_id").as("doc_id"),
+      e.getField("simhash").as("simhash"),
+      pmod(hash(e.getField("doc_id")), lit(splitGroups)).as("g")))
+    val whole = array(struct(lit(-1).as("g1"), lit(-1).as("g2"),
+      tagged.as("members")))
+    val split = flatten(transform(sequence(lit(0), lit(splitGroups - 1)), g1 =>
+      transform(sequence(g1, lit(splitGroups - 1)), g2 =>
+        struct(g1.as("g1"), g2.as("g2"),
+          filter(tagged, e => e.getField("g") === g1 || e.getField("g") === g2)
+            .as("members")))))
+    val mem = col("sb").getField("members")
+    val sameGroupSub = col("sb").getField("g1") === lit(-1) ||
+      col("sb").getField("g1") === col("sb").getField("g2")
+    val kept = flatten(transform(sequence(lit(1), size(mem) - 1), i => {
+      val a = element_at(mem, i)
       val ha = a.getField("simhash")
       transform(
-        filter(slice(col("lst"), i + 1, size(col("lst")) - i), e => {
+        filter(slice(mem, i + 1, size(mem) - i), e => {
           val hb = e.getField("simhash")
           val noEarlierChunk = (0 until 3).map(cc =>
             (lit(cc) >= col("c")) || (chunk(ha, cc) =!= chunk(hb, cc)))
             .reduce(_ && _)
-          bit_count(ha.bitwiseXOR(hb)) <= maxHamming && noEarlierChunk
+          // a (g1,g2) sub-posting owns exactly the pairs whose own group
+          // pair is (g1,g2): both-in-g1 pairs belong to (g1,g1)
+          val groupOwns = sameGroupSub || (a.getField("g") =!= e.getField("g"))
+          bit_count(ha.bitwiseXOR(hb)) <= maxHamming && noEarlierChunk &&
+            groupOwns
         }),
         e => struct(a.getField("doc_id").as("i"),
           e.getField("doc_id").as("j"),
@@ -379,9 +439,14 @@ object Dedup {
       .groupBy(col("c"), col("chunk"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("lst"))
       .filter(size(col("lst")) >= 2)
+      .withColumn("sb",
+        explode(when(size(col("lst")) <= lit(maxBucket), whole).otherwise(split)))
+      .filter(size(mem) >= 2)
       // pin the pair-emission width: the posting shuffle is tiny in BYTES,
       // so AQE's byte-based coalescing would run the compute-bound pair
-      // scan on one task (measured 7s single-task on sf0.1)
+      // scan on one task (measured 7s single-task on sf0.1). Running it
+      // AFTER the sub-posting explode also spreads a split fat bucket's
+      // sub-postings across tasks instead of leaving them on one.
       .transform(graft.Tables.fanout)
       .select(explode_outer(kept).as("p"))
       .filter(col("p").isNotNull)

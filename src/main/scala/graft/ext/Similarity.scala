@@ -62,8 +62,10 @@ object Similarity {
   /** Sign-bucket key: bit b = 1 iff v · plane_b > 0. */
   def bucketKey(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { p =>
-      val planeCol = array(p.map(x => lit(x)): _*)
-      when(dot(v, planeCol) > 0, lit("1")).otherwise(lit("0"))
+      // ONE array literal, not CreateArray(64 lits): a CreateArray
+      // re-materializes the array per row and its 64 child nodes bloat
+      // analysis + codegen of every derived plan
+      when(dot(v, lit(p)) > 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
@@ -193,7 +195,9 @@ object Similarity {
     * join; the corpus is scanned once. */
   private[ext] def cellOfExpr(centroids: Array[Array[Double]])(v: Column): Column = {
     val scores = centroids.zipWithIndex.map { case (cvec, i) =>
-      struct((dot(v, array(cvec.map(lit(_)): _*)) /
+      // lit(cvec), not array(lit, ...): one constant per centroid keeps
+      // the expression tree k nodes wide instead of k×dim
+      struct((dot(v, lit(cvec)) /
         lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
     }
     array_max(array(scores: _*)).getField("c")
@@ -203,7 +207,7 @@ object Similarity {
   private[ext] def probeCellsExpr(centroids: Array[Array[Double]], nProbe: Int)(
       v: Column): Column = {
     val scores = centroids.zipWithIndex.map { case (cvec, i) =>
-      struct((dot(v, array(cvec.map(lit(_)): _*)) /
+      struct((dot(v, lit(cvec)) /
         lit(normArr(cvec) max 1e-12)).as("s"), lit(i).as("c"))
     }
     slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
@@ -294,25 +298,69 @@ object Similarity {
   private def assignCells(e: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val withVv = e.withColumn("_vv", dot(col("v"), col("v")))
     val scores = centroids.zipWithIndex.map { case (cvec, i) =>
-      val cCol = array(cvec.map(lit(_)): _*)
-      struct((col("_vv") - lit(2.0) * dot(col("v"), cCol) +
+      // one array literal per centroid (see cellOfExpr) — per-row
+      // CreateArray allocation and k×dim-node plans were the dominant
+      // cost of each Lloyd iteration, not the data
+      struct((col("_vv") - lit(2.0) * dot(col("v"), lit(cvec)) +
         lit(dotArr(cvec, cvec))).as("d"), lit(i).as("c"))
     }
     withVv.withColumn("cell", array_min(array(scores: _*)).getField("c"))
       .drop("_vv")
   }
 
-  /** APPLY embedding-cosine near-dup dedup: within each label block,
-    * drop every vector whose cosine to some LOWER-id vector reaches
-    * `threshold` (the lower id survives — same keep-min convention as
-    * [[graft.ext.Dedup.applyPairDedup]]). The label blocking key bounds
-    * the pairwise comparison to block-local pairs; at 100 TB the block
-    * key is an IVF cell or LSH bucket and the plan shape is identical. */
-  def embedDedupApply(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+  /** APPLY embedding-cosine near-dup dedup: within each block, drop every
+    * vector whose cosine to some LOWER-id vector reaches `threshold` (the
+    * lower id survives — same keep-min convention as
+    * [[graft.ext.Dedup.applyPairDedup]]). The blocking key bounds the
+    * pairwise comparison to block-local pairs:
+    *
+    *  - a `label` column, when present, is the natural key (the
+    *    oracle-checked semantics — dedup within curated categories);
+    *  - an UNLABELED corpus falls back to [[embedDedupApplyCells]]'s
+    *    learned IVF-cell blocking — without it the whole corpus would be
+    *    one block and the join a full cross product. */
+  def embedDedupApply(emb: DataFrame, threshold: Double): DataFrame =
+    if (emb.columns.contains("label")) {
+      val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val drop = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .filter(round(dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4) >= threshold)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      emb.join(drop, Seq("vec_id"), "left_anti")
+    } else embedDedupApplyCells(emb, threshold)
+
+  /** Multi-probe IVF cell assignment of a (vec_id, embedding) corpus:
+    * (vec_id, cell), one row per probed cell. The building block behind
+    * [[embedDedupApplyCells]], exposed so blocking decisions are
+    * inspectable (and spec-checkable) on their own. */
+  def ivfCells(emb: DataFrame, nCells: Int = 16, nProbe: Int = 2,
+      seed: Long = 42L, sampleSize: Int = 2000, lloydIters: Int = 5): DataFrame = {
+    val centroids = trainQuantizer(emb, nCells, seed, sampleSize, lloydIters)
+    emb.select(col("vec_id"),
+      explode(probeCellsExpr(centroids, nProbe)(col("embedding"))).as("cell"))
+  }
+
+  /** [[embedDedupApply]] for corpora with no natural blocking key: block
+    * by LEARNED IVF cells. Each vector joins its `nProbe` nearest
+    * quantizer cells (multi-probe — a near-dup pair straddling one cell
+    * boundary still shares a probe cell with high probability), and the
+    * pairwise cosine check is an EQUI-join on the cell id — candidate
+    * volume is bounded per cell, never the corpus cross product. The
+    * quantizer trains on a bounded deterministic sample ([[trainQuantizer]]),
+    * so results are reproducible at any parallelism. Approximate in the
+    * same sense as every blocked near-dup detector: pairs sharing no
+    * probe cell are not compared (recall measured in SimilaritySpec). */
+  def embedDedupApplyCells(emb: DataFrame, threshold: Double,
+      nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      sampleSize: Int = 2000, lloydIters: Int = 5): DataFrame = {
+    val centroids = trainQuantizer(emb, nCells, seed, sampleSize, lloydIters)
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
+      .withColumn("cell", explode(probeCellsExpr(centroids, nProbe)(col("v"))))
     val drop = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(dot(col("a.v"), col("b.v")) /
         (col("a.nrm") * col("b.nrm")), 4) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()

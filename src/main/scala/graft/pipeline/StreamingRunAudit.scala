@@ -49,8 +49,11 @@ final class StreamingRunAudit(
         ForcedLease = false,
         Succeeded = true,
         OrchestrationWorker = worker,
+        // numInputRows counts trigger-INPUT rows across all sources, not
+        // rows actually written — "ingested" keeps the audit truthful
+        // when a batch filters rows or the query has several sources
         AdditionlInfo =
-          s"Transformed ${p.numInputRows} documents in micro-batch ${p.batchId}."))
+          s"Ingested ${p.numInputRows} input rows in micro-batch ${p.batchId}."))
     }
   }
 

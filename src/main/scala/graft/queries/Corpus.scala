@@ -179,8 +179,14 @@ object Corpus {
     // chained DuckDB CTEs ([[kmeansOracleSql]]) and the cluster
     // assignment matches bit-for-bit. Quality/invariance additionally
     // spec-gated in CorpusSpec.
+    // plain t (no fanout): every Lloyd iteration is its own job over the
+    // input, so the round-robin pre-balance would pay its shuffle 5x for
+    // a table whose per-row E-step work is trivial — measured 2x the
+    // total time. kMeans is partitioning-invariant by construction
+    // (decimal M-step, hash-ordered init; spec-gated), so this is purely
+    // a fixture-plumbing choice.
     "embed_kmeans" -> ((s, dir) => {
-      Similarity.kMeans(tf(s, dir, "embeddings"), k = 8, iters = 3)
+      Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 3)
         .orderBy(col("vec_id"))
     }),
 

@@ -170,6 +170,19 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // LSH at ZERO bits × one table: every vector lands in the single
+    // bucket, every pair is a candidate, and the result is exact by
+    // construction — so the full LSH machinery (bucket-key explode,
+    // bucket join, candidate dedup, exact re-scoring, rank) hash-checks
+    // against the same brute-force DuckDB oracle as ann_cosine_topk;
+    // nBits/nTables are then pure recall/throughput knobs.
+    "ann_lsh_exact" -> ((s, dir) => {
+      val emb = tf(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+          nBits = 0, nTables = 1)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // NO SQL oracle (seeded quantizer — approximate path; recall-gated and
     // exact-at-full-probe-gated in ExtensionsSpec).
     "ann_ivf_topk" -> ((s, dir) => {
@@ -430,6 +443,9 @@ object Extensions {
     // IVF at full probe is exact: the SAME brute-force reference answers
     // for it (see the ann_ivf_exact query comment)
     "ann_ivf_exact" -> bruteForceTopkSql,
+
+    // LSH at zero bits is exact too (single bucket = all candidates)
+    "ann_lsh_exact" -> bruteForceTopkSql,
 
     // Mirrors Quantize.int8 + IntDotProduct: absmax scaling, round-half-
     // away-from-zero to int8, exact BIGINT dot products. No float

@@ -123,8 +123,9 @@ object EventStreams extends Serializable {
     * state on emission; refs behind the horizon compact to that single
     * row; an event-time timeout flushes pending facts when the key goes
     * quiet. Facts that themselves arrive later than the watermark (the
-    * source's at-least-once tail) emit immediately against the compacted
-    * history — best-effort, the standard watermark caveat.
+    * source's at-least-once tail) are DROPPED before the state update
+    * ever sees them — flatMapGroupsWithState filters rows older than the
+    * watermark — the standard append-mode watermark caveat.
     *
     * Inputs need columns (event_id, ts, user_id, value). */
   def asOfEnrich(spark: SparkSession, facts: DataFrame, refs: DataFrame,

@@ -65,6 +65,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.count() == docs.filter(col("doc_id") % 25 === 0).count())
   }
 
+  test("simhash fat-bucket split preserves the exact pair set") {
+    val ss = spark
+    import ss.implicits._
+    // degenerate near-identical corpus: every doc shares one dominant
+    // token multiset, so simhashes collide and each (chunk, value)
+    // posting holds essentially the whole corpus — the skew case the
+    // maxBucket guard exists for
+    val corpus = (1 to 120).map { i =>
+      (i.toLong, ("alpha beta gamma delta " * 10) + s"tail${i % 3}")
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val uncapped = pairSet(Dedup.simhashPairs(corpus, 3))
+    val capped = pairSet(Dedup.simhashPairs(corpus, 3,
+      maxBucket = 10, splitGroups = 4))
+    assert(uncapped.size >= 120 * 39 / 2,
+      s"corpus not degenerate enough to exercise the split: ${uncapped.size}")
+    assert(capped == uncapped,
+      s"split changed the pair set: only-capped=${capped -- uncapped} " +
+        s"only-uncapped=${uncapped -- capped}")
+  }
+
   test("LSH ANN recall vs brute force is reasonable") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)
@@ -76,6 +98,12 @@ class ExtensionsSpec extends SparkSpec {
     // structural guarantee: LSH never returns a pair outside the bucket join,
     // and every returned neighbor is a real corpus vector
     assert(approx.forall { case (q, v) => q != v })
+    // zero bits x one table = single bucket = all candidates: the LSH
+    // machinery must reproduce brute force EXACTLY (the ann_lsh_exact
+    // oracle anchor)
+    val exhaustive = Similarity.lshTopK(emb, queries, 10, nBits = 0, nTables = 1)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive == exact, "zero-bit LSH must equal brute force")
   }
 
   test("shingles of documents shorter than n tokens are empty, not an error") {
@@ -128,6 +156,77 @@ class ExtensionsSpec extends SparkSpec {
     val full = Similarity.ivfTopK(emb, queries, 10, nCells = 16, nProbe = 16)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == exact, "nProbe == nCells must equal the exact result")
+  }
+
+  test("unlabeled embedDedupApply blocks by learned IVF cells, never a cross product") {
+    val unlabeled = emb.select(col("vec_id"), col("embedding"))
+    val out = Similarity.embedDedupApply(unlabeled, 0.9)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unlabeled dedup degenerated to an all-pairs comparison:\n${p.take(2000)}")
+
+    // reference: label-blind all-pairs drop set (lower id survives)
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.map(i => x(i) * y(i)).sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val vecs = unlabeled.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val bruteDrop = (for {
+      ((i, vi), ii) <- vecs.zipWithIndex
+      (j, vj) <- vecs.drop(ii + 1)
+      if BigDecimal(cosOf(vi, vj)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.9
+    } yield j).toSet
+
+    // full probe (nProbe == nCells) compares every pair -> exactly brute force
+    val fullProbe = Similarity.embedDedupApplyCells(unlabeled, 0.9,
+      nCells = 8, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(fullProbe == vecs.map(_._1).toSet -- bruteDrop,
+      "full-probe cell dedup must equal the unblocked drop set")
+
+    // blocked path: drops ⊆ brute drops (blocking only removes comparisons),
+    // and every drop is justified by a pair SHARING a probe cell
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = vecs.map(_._1).toSet -- kept
+    assert(dropped.subsetOf(bruteDrop),
+      s"cell blocking dropped non-duplicates: ${dropped -- bruteDrop}")
+    val cells = Similarity.ivfCells(unlabeled).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getInt(1)).toSet }
+    val vecOf = vecs.toMap
+    dropped.foreach { j =>
+      assert(vecs.exists { case (i, vi) => i < j &&
+        (cells(i) & cells(j)).nonEmpty &&
+        BigDecimal(cosOf(vi, vecOf(j)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.9 },
+        s"dropped $j has no qualifying same-cell lower-id pair")
+    }
+  }
+
+  test("Aho-Corasick substring kernel matches the contains kernel on 1200 snippets") {
+    val ss = spark
+    import ss.implicits._
+    // 600 genuine substrings of fixture docs (varied offsets — shared
+    // prefixes/suffixes exercise the failure links) + 600 absent patterns
+    val real = docs.orderBy("doc_id").limit(600).collect().zipWithIndex.map {
+      case (r, i) =>
+        val t = r.getAs[String]("text")
+        val start = math.min((t.length * (i % 7)) / 10, math.max(0, t.length - 25))
+        (i.toLong, t.substring(start, math.min(t.length, start + 20)))
+    }.toSeq
+    val fake = (0 until 600).map(i => (1000L + i, s"zzq_${i}_no_such_text"))
+    val snips = (real ++ fake).toDF("eval_id", "eval_text")
+    val viaContains = Dedup.substringContamination(docs, snips,
+      automatonThreshold = Int.MaxValue)
+    val viaAutomaton = Dedup.substringContamination(docs, snips,
+      automatonThreshold = 1)
+    assert(viaContains.count() > 0, "fixture substrings must hit")
+    assert(viaAutomaton.except(viaContains).isEmpty &&
+      viaContains.except(viaAutomaton).isEmpty,
+      "automaton and contains kernels disagree")
   }
 
   test("multimodal features flow into the similarity operators end-to-end") {

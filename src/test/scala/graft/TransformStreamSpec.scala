@@ -78,8 +78,8 @@ class TransformStreamSpec extends SparkSpec {
       assert(runs.forall(_.Succeeded), "a committed batch audited as failed")
       assert(runs.forall(r => r.OrchestrationWorker == "stream-worker" &&
         !r.EndTime.before(r.StartTime) && r.Duration >= 0))
-      assert(runs.map(_.AdditionlInfo).exists(_.contains("7 documents")) &&
-        runs.map(_.AdditionlInfo).exists(_.contains("5 documents")),
+      assert(runs.map(_.AdditionlInfo).exists(_.contains("7 input rows")) &&
+        runs.map(_.AdditionlInfo).exists(_.contains("5 input rows")),
         s"per-batch row counts missing: ${runs.map(_.AdditionlInfo).toSeq}")
     } finally spark.streams.removeListener(listener)
   }

@@ -209,6 +209,38 @@ object TextOps {
       .drop("_shard")
   }
 
+  /** Canonical text normalization for matching: lowercase, every
+    * non-alphanumeric character to a space, runs of spaces collapsed,
+    * trimmed. The standard pre-step before contamination / dedup checks —
+    * a verbatim eval leak survives reformatting (case changes, added
+    * punctuation, re-wrapping), so matching must run on the normalized
+    * form of BOTH sides. Pure scan-stage string ops; DuckDB computes the
+    * identical function (fixture text is ASCII, where lower() agrees). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Fixed-token chunking with overlap: chunk i of a document covers
+    * tokens [i·stride, i·stride + chunkTokens), for i·stride < n_tokens —
+    * the context-window splitting step that turns curated documents into
+    * model-sized pieces (stride < chunkTokens ⇒ consecutive chunks
+    * overlap by chunkTokens − stride tokens). Entirely scan-local: the
+    * token array binds once per row, chunks explode map-side, no shuffle
+    * at any size. Returns (doc_id, chunk_id, n_tok, chunk_h) with the
+    * md5 of each chunk's text standing in for the text itself. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    docs.select(col("doc_id"), withTokens(col("text")) { toks =>
+        transform(sequence(lit(0L), floor((size(toks) - 1) / stride)), i =>
+          struct(i.cast("long").as("chunk_id"),
+            size(slice(toks, i * stride + 1, lit(chunkTokens))).as("n_tok"),
+            md5(concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))))
+              .as("chunk_h")))
+      }.as("chunks"))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tok").as("n_tok"), col("c.chunk_h").as("chunk_h"))
+  }
+
   /** Bigram language-model scoring: train add-one-smoothed bigram
     * probabilities on the corpus itself, then score every document by its
     * mean negative log-likelihood — the classic cheap perplexity proxy

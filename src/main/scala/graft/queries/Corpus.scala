@@ -117,6 +117,31 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // NORMALIZED decontamination: the eval slice is reformatted
+    // (upper-cased, dash-joined) so raw 8-grams cannot match it —
+    // normalizing BOTH sides (TextOps.normalizeText) restores the match
+    // and the contaminated docs are exactly the planted sources. The
+    // check a real pipeline runs: verbatim leaks survive reformatting.
+    "dedup_contam_normalized" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 7)
+        .select(regexp_replace(upper(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 5, 20))), " ", " - ").as("text"))
+      Dedup.decontaminate(
+          docs.select(col("doc_id"),
+            TextOps.normalizeText(col("text")).as("text")),
+          bench.select(TextOps.normalizeText(col("text")).as("text")), n = 8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // context-window chunking: 64-token chunks at stride 48 (16-token
+    // overlap), chunk content witnessed by its md5
+    "corpus_chunk" -> ((s, dir) => {
+      TextOps.chunkDocs(
+          tf(s, dir, "documents").select(col("doc_id"), col("text")), 64, 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // graded contamination: fraction of each doc's distinct 8-grams
     // shared with the eval set (same planted eval slice as decontaminate)
     "dedup_contamination_score" -> ((s, dir) => {
@@ -584,6 +609,41 @@ object Corpus {
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_contam_normalized" -> {
+      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      val norm = (c: String) =>
+        s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH norm_docs AS (
+         |  SELECT doc_id, ${norm("text")} AS text FROM documents),
+         |bench AS (
+         |  SELECT replace(upper(array_to_string(
+         |    regexp_split_to_array(trim(text), '\\s+')[5:24], ' ')), ' ', ' - ') AS text
+         |  FROM documents WHERE doc_id % 50 = 7),
+         |norm_bench AS (SELECT ${norm("text")} AS text FROM bench),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM norm_bench)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM norm_docs)),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_chunk" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, (len(ws) - 1) // 48 + 1), i ->
+        |    struct_pack(chunk_id := i,
+        |      n_tok := len(ws[i * 48 + 1 : i * 48 + 64]),
+        |      chunk_h := md5(array_to_string(ws[i * 48 + 1 : i * 48 + 64], ' '))))) AS c
+        |  FROM ws)
+        |SELECT doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(c.n_tok AS INTEGER) AS n_tok, c.chunk_h AS chunk_h
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

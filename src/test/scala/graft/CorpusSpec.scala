@@ -105,6 +105,34 @@ class CorpusSpec extends SparkSpec {
       s"unexpected packing: $bins")
   }
 
+  test("chunkDocs windows every token with the configured stride and overlap") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c")                                    // shorter than a chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, 10, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getString(3))).toMap
+    // doc 1: starts 0,7,...,98 (floor(99/7)=14) -> 15 chunks; full 10-token
+    // windows until the tail clamps
+    assert(out.keys.count(_._1 == 1L) == 15)
+    assert(out((1L, 0L))._1 == 10 && out((1L, 12L))._1 == 10)
+    assert(out((1L, 13L))._1 == 9 && out((1L, 14L))._1 == 2, "tail must clamp")
+    // chunk 1 covers tokens 8..17 (1-based), witnessing the 3-token overlap
+    val expect = (8 to 17).map(i => s"t$i").mkString(" ")
+    assert(out((1L, 1L))._2 ==
+      java.security.MessageDigest.getInstance("MD5").digest(expect.getBytes)
+        .map("%02x".format(_)).mkString)
+    // doc 2: one chunk holding all 3 tokens
+    assert(out.keys.count(_._1 == 2L) == 1 && out((2L, 0L))._1 == 3)
+  }
+
+  test("normalizeText canonicalizes case, punctuation, and whitespace") {
+    val got = Seq(Tuple1("  Hello,   WORLD!! x-y 42 "))
+      .toDF("t").select(TextOps.normalizeText(col("t"))).head.getString(0)
+    assert(got == "hello world x y 42")
+  }
+
   test("mixtureRates computes downsampling-only rates toward a target blend") {
     val df = (1 to 1000).map(i =>
       (i.toLong, if (i <= 800) "en" else if (i <= 950) "de" else "fr"))

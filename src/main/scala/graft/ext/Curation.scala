@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the standard pre-training data pipeline
+  * as ONE composed, declarative Catalyst plan.
+  *
+  *   quality gate → exact-fingerprint dedup → benchmark decontamination
+  *   → sequence packing
+  *
+  * Stage order is the scale-ordering a 100 TB run wants: the gate is a
+  * pure scan-stage filter and prunes before anything shuffles; dedup then
+  * shuffles only fingerprints of survivors (keep-min semantics); the
+  * decontamination join broadcasts the eval-set shingles so the corpus is
+  * never shuffled for it; and the packer's distributed two-pass cumsum
+  * ([[TextOps.packBins]]) sees only the final survivors. No stage
+  * materializes an intermediate — Catalyst plans the whole chain
+  * together, so column pruning reaches the parquet scan once.
+  */
+object Curation {
+
+  /** Run the full curation chain over a (doc_id, text) corpus against a
+    * (text) benchmark set. Returns the packed survivor frame
+    * (doc_id, n_tokens, tokens_before, bin) in doc_id order semantics
+    * (bin assignment is deterministic in doc_id). */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+      tokensPerBin: Long = 2000L, ngram: Int = 8): DataFrame = {
+    val kept = docs.join(
+      TextOps.qualityFlags(docs).filter(col("keep") === 1)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val dedupKeep = kept
+      .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = kept.join(dedupKeep, Seq("doc_id"), "left_semi")
+    val clean = Dedup.decontaminate(deduped, benchmark, n = ngram)
+    TextOps.packBins(clean, tokensPerBin)
+  }
+}

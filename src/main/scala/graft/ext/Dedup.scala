@@ -79,6 +79,24 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** INCREMENTAL dedup: dedupe a new `batch` of (doc_id, text) against an
+    * existing `base` corpus using only the base's content FINGERPRINTS
+    * ([[TextOps.fingerprint]] — whitespace/punctuation-robust), then
+    * keep-min within the batch. Returns the surviving batch doc_ids.
+    *
+    * The shape a daily ingest needs at 100 TB: the base side reduces to
+    * one distinct 128-bit fingerprint per historical doc (an index you'd
+    * persist between runs, never rescanning base text), the anti-join
+    * shuffles fingerprints only, and within-batch dedup is one grouped
+    * min over the (much smaller) new batch. */
+  def incrementalDedup(base: DataFrame, batch: DataFrame): DataFrame = {
+    val baseFp = base.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    batch.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .join(baseFp, Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+  }
+
   /** APPLY near-dedup from a pair set (i keeps, j drops): remove every
     * doc that appears as the `j` of a pair — a left-anti join against the
     * (deduplicated) drop-side ids. Pairs from any detector

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, tf}
-import graft.ext.{Cluster, Dedup, Sampling, Similarity, TextOps}
+import graft.ext.{Cluster, Curation, Dedup, Sampling, Similarity, TextOps}
 
 /** Corpus-preparation queries for the training-data pipeline surface:
   * vocabulary / n-gram statistics, deterministic sampling, transitive
@@ -140,6 +140,39 @@ object Corpus {
       TextOps.chunkDocs(
           tf(s, dir, "documents").select(col("doc_id"), col("text")), 64, 48)
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // END-TO-END curation: the full pre-training pipeline in ONE
+    // declarative plan — quality gate → exact-fingerprint dedup →
+    // benchmark decontamination → sequence packing, summarized per bin.
+    // Each stage is an already-graded operator; this query proves they
+    // COMPOSE: the gate prunes at scan speed before dedup shuffles
+    // (distinct fingerprints only), decontamination broadcasts the eval
+    // shingles, and the packer's distributed cumsum sees only survivors.
+    "corpus_curate" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 7)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+      Curation.curate(docs, bench)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    }),
+
+    // INCREMENTAL dedup: a new batch (doc_id%3==0 stands in for today's
+    // crawl) dedupes against the existing corpus via its fingerprint
+    // index — an anti-join on distinct fingerprints, never a rescan of
+    // the base text — then within-batch keep-min. How a daily 100 TB
+    // ingest actually runs dedup: the base contributes one fingerprint
+    // per doc, not its content.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
     }),
 
     // graded contamination: fraction of each doc's distinct 8-grams
@@ -609,6 +642,64 @@ object Corpus {
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "corpus_curate" -> {
+      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH kept AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000
+         |    AND CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0
+         |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) >= 0.01
+         |    AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / length(text) <= 0.2),
+         |fpk AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         |    FROM kept)
+         |  GROUP BY fp),
+         |dd AS (SELECT k.doc_id, k.text FROM kept k JOIN fpk USING (doc_id)),
+         |bench AS (
+         |  SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ') AS text
+         |  FROM documents WHERE doc_id % 50 = 7),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM bench)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM dd)),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
+         |clean AS (SELECT doc_id, text FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+         |  FROM clean),
+         |packed AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tokens_before
+         |  FROM toks)
+         |SELECT CAST(tokens_before // 2000 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM packed GROUP BY 1 ORDER BY bin""".stripMargin
+    },
+
+    "dedup_incremental" ->
+      """WITH fps AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents),
+        |base AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+        |fresh AS (SELECT doc_id, fp FROM batch
+        |  WHERE fp NOT IN (SELECT fp FROM base))
+        |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_contam_normalized" -> {
       val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")

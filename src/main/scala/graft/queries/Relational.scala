@@ -980,15 +980,26 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // ---- conditional distinct counts in one pass
+    // ---- conditional distinct counts WITHOUT tripling the fact table.
+    // Three countDistincts in one agg make Catalyst's
+    // RewriteDistinctAggregates Expand every lineitem row ×3 before the
+    // shuffle — at 100 TB that shuffles 3× the fact table. Instead each
+    // distinct domain dedupes first (map-side partial distinct means the
+    // shuffle carries only distinct keys), the survivors are counted,
+    // and the two 3-row results broadcast-join back together. Same
+    // answer, same oracle; the Expand never happens.
     "q37_cond_distinct" -> ((s, dir) => {
-      tf(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+      val parts = li
+        .select(col("l_returnflag"), col("l_partkey"),
+          (col("l_quantity") > 25).as("bulk"))
+        .distinct()
         .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(when(col("l_quantity") > 25, col("l_partkey"))).as("parts_bulk"),
-          countDistinct(when(col("l_quantity") <= 25, col("l_partkey"))).as("parts_small"),
-          countDistinct(col("l_suppkey")).as("n_supp"))
-        .orderBy(col("l_returnflag"))
+        .agg(count(when(col("bulk"), 1)).as("parts_bulk"),
+          count(when(!col("bulk"), 1)).as("parts_small"))
+      val supp = li.select(col("l_returnflag"), col("l_suppkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_supp"))
+      parts.join(supp, Seq("l_returnflag")).orderBy(col("l_returnflag"))
     }),
 
     // ---- TPC-H Q13 shape: order-count distribution via left join + double agg

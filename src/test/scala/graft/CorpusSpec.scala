@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Cluster, Sampling, Similarity, TextOps}
+import graft.ext.{Cluster, Curation, Dedup, Sampling, Similarity, TextOps}
 
 /** Specs for the corpus-preparation ops: connected-component dedup
   * clustering, deterministic hash sampling, quality gating, vocabulary,
@@ -125,6 +125,36 @@ class CorpusSpec extends SparkSpec {
         .map("%02x".format(_)).mkString)
     // doc 2: one chunk holding all 3 tokens
     assert(out.keys.count(_._1 == 2L) == 1 && out((2L, 0L))._1 == 3)
+  }
+
+  test("curate drops gated, duplicate, and contaminated docs, then packs the rest") {
+    val textA = "the quick brown fox jumps over the lazy dog near the bank of the big river"
+    val textB = "a calm gray cat sits beside the warm stone wall watching birds in the garden"
+    val textC = "men of the north sail to the cold sea and trade furs in the small town"
+    val docs = Seq(
+      (1L, textA),          // survives
+      (2L, "too short"),    // quality-gated (< 10 tokens)
+      (3L, textA + "!!"),   // same fingerprint as 1 -> dedup drops (keep-min)
+      (4L, textB),          // shares an 8-gram with the benchmark -> decontaminated
+      (5L, textC)           // survives
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(textB.split(" ").take(8).mkString(" "))).toDF("text")
+    val out = Curation.curate(docs, bench, tokensPerBin = 16L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // textA and textC are 16 tokens each -> doc 1 fills bin 0, doc 5 opens bin 1
+    assert(out == Map(1L -> 0L, 5L -> 1L), s"unexpected curation result: $out")
+  }
+
+  test("incrementalDedup drops batch docs already in base and keeps min within batch") {
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha, beta. GAMMA!"), // fingerprint-equal to base doc 1 -> dropped
+      (11L, "new stuff here"),      // kept (min of the within-batch pair)
+      (12L, "new stuff here"),      // within-batch dup of 11 -> dropped
+      (13L, "unique thing")         // kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(base, batch).as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 13L))
   }
 
   test("normalizeText canonicalizes case, punctuation, and whitespace") {

@@ -246,6 +246,15 @@ class PlanQualitySpec extends SparkSpec {
       s"global single-partition window found:\n${df.queryExecution.optimizedPlan}"))
   }
 
+  test("q37_cond_distinct never Expands the fact table for its distinct aggregates") {
+    // multiple countDistincts in one agg would trigger
+    // RewriteDistinctAggregates' ×3 Expand of lineitem before the
+    // shuffle; the domain-dedupe-then-count formulation must keep the
+    // plan Expand-free so the shuffle carries only distinct keys
+    val p = plan("q37_cond_distinct")
+    assert(!p.contains("Expand"), s"distinct-aggregate Expand found:\n$p")
+  }
+
   test("contamination queries broadcast the eval-set shingles (no corpus shuffle join)") {
     Seq("dedup_decontaminate", "dedup_contamination_score").foreach { q =>
       val p = plan(q)

@@ -255,6 +255,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Expand"), s"distinct-aggregate Expand found:\n$p")
   }
 
+  test("corpus_curate composes without a cartesian, shuffled eval join, or global window") {
+    // the end-to-end pipeline must keep each stage's scale shape when
+    // Catalyst plans them together: decontamination still broadcasts the
+    // eval shingles, nothing degenerates to a cartesian, and the packing
+    // cumsum stays shard-partitioned (no single-task global window)
+    val p = plan("corpus_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in the composed pipeline:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-shingle set not broadcast in the composed plan:\n${p.take(2000)}")
+    val df = SparkEntry.queries("corpus_curate")(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "global single-partition window found in the packing stage"))
+  }
+
+  test("dedup_incremental anti-joins on fingerprints without shuffling base text") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must stay an equi-anti-join:\n${p.take(1500)}")
+    // the base side must reduce to distinct fingerprints before the join
+    // (a partial aggregate on the scan side of the exchange)
+    assert(p.contains("LeftAnti"), s"missing anti join:\n${p.take(1500)}")
+  }
+
   test("contamination queries broadcast the eval-set shingles (no corpus shuffle join)") {
     Seq("dedup_decontaminate", "dedup_contamination_score").foreach { q =>
       val p = plan(q)

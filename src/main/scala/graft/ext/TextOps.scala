@@ -209,6 +209,44 @@ object TextOps {
       .drop("_shard")
   }
 
+  /** Corpus-internal boilerplate score: the fraction of each document's
+    * distinct word n-grams that are "common" (appear in ≥ `minDocFreq`
+    * distinct docs) — the header/footer/template signal used to strip
+    * boilerplate before training. Same two-aggregation shape as TF-IDF:
+    * shingle-keyed doc-frequency counts (the ≥-filter bounds the common
+    * set), joined back on the shingle key and folded per doc. No
+    * broadcast assumption — at web scale the common set is itself large,
+    * so AQE picks the join strategy from actual sizes. Returns
+    * (doc_id, n_shingles, n_common, frac) for docs with ≥ 1 shingle. */
+  def boilerplateScore(docs: DataFrame, n: Int = 8,
+      minDocFreq: Int = 2): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode_outer(array_distinct(Dedup.shingles(col("text"), n))).as("sh"))
+      .filter(col("sh").isNotNull)
+    val common = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("sh"), lit(1).as("_common"))
+    sh.join(common, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_common")).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_shingles"), 6).as("frac"))
+  }
+
+  /** Per-domain URL accounting over a (doc_id, text) corpus: extract
+    * every URL, parse its host, count occurrences and distinct source
+    * docs — the base table for domain blocklists and per-domain crawl
+    * quotas. One scan-stage explode + one grouped aggregation keyed by
+    * domain; the count-distinct plans as a standard two-phase expand-agg
+    * with map-side partials. */
+  def urlDomains(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(urlPattern), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([^/\\s:]+)", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+
   /** Canonical text normalization for matching: lowercase, every
     * non-alphanumeric character to a space, runs of spaces collapsed,
     * trimmed. The standard pre-step before contamination / dedup checks —

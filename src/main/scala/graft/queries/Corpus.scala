@@ -223,6 +223,31 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-internal boilerplate: fraction of each doc's distinct
+    // 8-grams appearing in >= 2 docs (duplicated/templated content —
+    // the fixture's planted duplicate groups make this non-trivial)
+    "text_boilerplate" -> ((s, dir) => {
+      TextOps.boilerplateScore(
+          tf(s, dir, "documents").select(col("doc_id"), col("text")),
+          n = 8, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-domain URL accounting (blocklist/quota base). The fixture text
+    // carries no URLs, so they are planted with doc_id-varying hosts to
+    // produce a real distribution.
+    "text_domains" -> ((s, dir) => {
+      val planted = tf(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" via https://site"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string"),
+            lit(" and http://cdn"), (col("doc_id") % 3).cast("string"),
+            lit(".example.net/a")))
+          .otherwise(col("text")).as("text"))
+      TextOps.urlDomains(planted).orderBy(col("domain"))
+    }),
+
     // language-ID quality against the fixture's ground-truth lang column
     "text_lang_confusion" -> ((s, dir) => {
       tf(s, dir, "documents")
@@ -735,6 +760,37 @@ object Corpus {
         |SELECT doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
         |  CAST(c.n_tok AS INTEGER) AS n_tok, c.chunk_h AS chunk_h
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_boilerplate" -> {
+      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH csh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+         |common AS (SELECT sh FROM csh GROUP BY sh HAVING COUNT(*) >= 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(c.sh) AS BIGINT) AS n_common,
+         |  round(CAST(COUNT(c.sh) AS DOUBLE) / COUNT(*), 6) AS frac
+         |FROM csh LEFT JOIN common c USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "text_domains" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' via https://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |      || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/a'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM planted),
+        |dom AS (
+        |  SELECT doc_id, regexp_extract(url, 'https?://([^/\s:]+)', 1) AS domain
+        |  FROM urls)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
 
     "text_redact" ->
       """WITH planted AS (

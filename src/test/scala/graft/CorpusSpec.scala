@@ -157,6 +157,30 @@ class CorpusSpec extends SparkSpec {
     assert(kept.toSeq == Seq(11L, 13L))
   }
 
+  test("boilerplateScore measures the corpus-frequent shingle fraction per doc") {
+    val docs = Seq(
+      (1L, "one two three four five"),  // 3 shingles, 1 common
+      (2L, "one two three six seven"),  // 3 shingles, 1 common
+      (3L, "eight nine ten eleven")     // 2 shingles, none shared
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplateScore(docs, n = 3, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 1L, 0.333333) && out(2L) == (3L, 1L, 0.333333))
+    assert(out(3L) == (2L, 0L, 0.0))
+  }
+
+  test("urlDomains counts URL occurrences and distinct source docs per host") {
+    val docs = Seq(
+      (1L, "x https://a.com/p http://b.org/q y"),
+      (2L, "see https://a.com/r again"),
+      (3L, "no links here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.urlDomains(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a.com" -> (2L, 2L), "b.org" -> (1L, 1L)))
+  }
+
   test("normalizeText canonicalizes case, punctuation, and whitespace") {
     val got = Seq(Tuple1("  Hello,   WORLD!! x-y 42 "))
       .toDF("t").select(TextOps.normalizeText(col("t"))).head.getString(0)

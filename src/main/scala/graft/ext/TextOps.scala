@@ -156,6 +156,23 @@ object TextOps {
         when(keep, 1).otherwise(0).as("keep"))
   }
 
+  /** The [[qualityFlags]] gate as a single Boolean predicate — for
+    * streaming / filter-only paths that don't need the signal columns.
+    * Stateless and scan-stage, so a stream pays nothing for it. Must stay
+    * in lock-step with [[qualityFlags]] (spec-asserted equivalent). */
+  def qualityKeep(txt: Column,
+      minTokens: Int = 10, maxTokens: Int = 5000,
+      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+      minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): Column =
+    withTokens(txt) { toks =>
+      val nTok = size(toks)
+      val meanLen = length(regexp_replace(trim(txt), "\\s+", "")).cast("double") / nTok
+      nTok.between(minTokens, maxTokens) &&
+        meanLen.between(minMeanTokLen, maxMeanTokLen) &&
+        hitsIn(toks, defaultStopwords).cast("double") / nTok >= minStopRatio &&
+        punctRatio(txt) <= maxPunctRatio
+    }
+
   /** Greedy sequence packing: assign documents, in deterministic doc_id
     * order, to consecutive bins of ~`tokensPerBin` tokens — the layout
     * step that turns a curated corpus into fixed-budget training

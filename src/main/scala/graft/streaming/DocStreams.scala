@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+/** Streaming document curation: the incremental twin of
+  * [[graft.ext.Curation]] for a continuously-arriving corpus — the shape
+  * a crawl-ingest pipeline runs, where "the corpus" is an ever-growing
+  * base plus a stream of new documents.
+  *
+  * Stage order mirrors the batch pipeline and its scale reasoning:
+  *  1. quality gate ([[TextOps.qualityKeep]]) — stateless, scan-stage;
+  *     drops junk before it can create any state;
+  *  2. dedup vs the BASE corpus — a stream-static LEFT ANTI equi-join on
+  *     the base's distinct-fingerprint index ([[TextOps.fingerprint]]).
+  *     The index is exactly what [[graft.ext.Dedup.incrementalDedup]]
+  *     uses in batch: one 128-bit key per historical doc, re-read per
+  *     micro-batch, never the base text;
+  *  3. dedup WITHIN the stream — `dropDuplicatesWithinWatermark` on the
+  *     fingerprint, so state holds only fingerprints younger than the
+  *     watermark horizon (bounded, unlike a plain dropDuplicates whose
+  *     state grows with the corpus). First arrival wins — the streaming
+  *     analogue of batch keep-min, equal to it whenever arrival order
+  *     follows doc_id.
+  */
+object DocStreams {
+
+  /** Curate a document stream with schema (doc_id, text, ts) against a
+    * static `baseFp` frame of (fp) fingerprints. Emits surviving rows
+    * with their fingerprint attached. */
+  def curatedStream(docs: DataFrame, baseFp: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .filter(TextOps.qualityKeep(col("text")))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .join(baseFp.select(col("fp")), Seq("fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("fp")
+}

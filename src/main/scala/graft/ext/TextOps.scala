@@ -184,18 +184,19 @@ object TextOps {
     * DISTRIBUTED global cumsum — the corpus never serializes through one
     * task. Two passes over a (doc_id, n_tokens) projection (two longs per
     * doc, not the text):
-    *   1. range-partition by doc_id into `shards` ordered shards; one
-    *      grouped agg collects the per-shard token subtotals — exactly
-    *      `shards` longs of driver state (same bounded-control-state
-    *      budget as k-means centroids);
+    *   1. assign each doc a deterministic ORDERED shard
+    *      ([[graft.ops.Layout.orderedShard]] — boundary literals from a
+    *      hash-chosen sample, identical in every job, unlike
+    *      spark_partition_id over a per-execution-resampled range
+    *      exchange); one grouped agg collects the per-shard token
+    *      subtotals — exactly `shards` longs of driver state (same
+    *      bounded-control-state budget as k-means centroids);
     *   2. prefix-sum those subtotals on the driver, compile them into a
     *      literal shard→offset map, and add each shard's offset to a
     *      PARTITIONED (by shard) window cumsum.
-    * Range partitioning makes shard order = doc_id order, so offset +
-    * local running sum ≡ the global running sum and the output is
-    * bit-identical to the single-window formulation at any parallelism.
-    * Both passes see identical shard boundaries: the range sampler is a
-    * deterministic function of the (deterministic) input. */
+    * The shard function is monotonic in doc_id, so offset + local running
+    * sum ≡ the global running sum and the output is bit-identical to the
+    * single-window formulation at any parallelism. */
   def packBins(docs: DataFrame, tokensPerBin: Long, numShards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shards =
@@ -203,8 +204,8 @@ object TextOps {
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     val counted = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-      .repartitionByRange(shards, col("doc_id"))
-      .withColumn("_shard", spark_partition_id())
+      .withColumn("_shard",
+        graft.ops.Layout.orderedShard(docs.select(col("doc_id")), col("doc_id"), shards))
     // pass 1: per-shard subtotals -> driver (≤ `shards` rows)
     val subtotals = counted.groupBy(col("_shard"))
       .agg(sum(col("n_tokens")).cast("long").as("t"))

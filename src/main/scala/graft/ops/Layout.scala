@@ -72,6 +72,84 @@ object Layout {
   def globalSortedLayout(df: DataFrame, key: Column, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, key).sortWithinPartitions(key)
 
+  /** Deterministic MONOTONIC shard id for a non-null numeric `key`:
+    * boundary keys come from a hash-chosen sorted sample (hash-ordering
+    * + limit is a pure function of the data — same trick as the IVF
+    * quantizer's training sample) and are compiled into the plan as
+    * literals, so EVERY job that evaluates the expression assigns the
+    * identical shard. This is what `spark_partition_id()` after
+    * `repartitionByRange` does NOT guarantee: the range partitioner
+    * re-samples per execution with an RDD-id-dependent seed, so two jobs
+    * over the same frame can disagree about shard boundaries — fatal
+    * when one job computes per-shard offsets the other consumes.
+    * Monotonic: key order implies shard order, so per-shard work + shard
+    * offsets reassemble into a global order. */
+  def orderedShard(df: DataFrame, key: Column, shards: Int,
+      sampleSize: Int = 3200): Column = {
+    val ks = df.select(key.cast("long").as("k"))
+      .orderBy(xxhash64(col("k")), col("k")).limit(sampleSize)
+      .collect().map(_.getLong(0)).sorted
+    if (ks.isEmpty || shards <= 1) lit(0)
+    else (1 until shards)
+      .map(i => ks(((i.toLong * ks.length) / shards).toInt)).distinct
+      .foldLeft(lit(0))((acc, b) =>
+        acc + when(key.cast("long") >= lit(b), 1).otherwise(0))
+  }
+
+  /** Distributed global row numbering in `order` order WITHOUT a global
+    * window: assign each row a deterministic ordered shard
+    * ([[orderedShard]]), count rows per shard (one tiny agg — `shards`
+    * longs of driver state), prefix-sum the counts on the driver, and
+    * add each shard's offset to a shard-local `row_number`. Because the
+    * shard function is monotonic in the key, offset + local row number
+    * ≡ `row_number() OVER (ORDER BY order)` at any parallelism — but
+    * the single-task global sort that window would plan never happens.
+    * Requires a unique non-null numeric `order` key (ties would make any
+    * row_number nondeterministic). Appends `rn` (1-based, BIGINT) — the
+    * stable global example-ID assignment a training-data export needs. */
+  def globalRowNumber(df: DataFrame, order: Column, numShards: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards =
+      if (numShards > 0) numShards
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sharded = df.withColumn("_shard", orderedShard(df, order, shards))
+    val counts = sharded.groupBy(col("_shard")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    val offsetOf: Column =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("_shard"))
+    val w = Window.partitionBy(col("_shard")).orderBy(order)
+    sharded
+      .withColumn("rn", (row_number().over(w).cast("long") + offsetOf))
+      .drop("_shard")
+  }
+
+  /** Z-value of two non-negative int columns: their low `bits` bits
+    * interleaved (a in even positions, b in odd). Sorting or
+    * range-clustering on this key gives the classic Z-ORDER layout:
+    * every file covers a compact rectangle in (a, b) space, so min/max
+    * row-group pruning can skip files for predicates on EITHER column —
+    * the multi-dimensional analogue of [[compactTo]]'s single-key
+    * clustering. Pure bit arithmetic, codegen-friendly, no UDF. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order clustering: range-partition + sort on the interleaved
+    * [[zValue]] so each output partition/file covers a compact region of
+    * the 2-D key space. One range shuffle, same cost as a 1-D layout. */
+  def zorderLayout(df: DataFrame, a: Column, b: Column, partitions: Int,
+      bits: Int = 16): DataFrame = {
+    val z = zValue(a, b, bits)
+    df.repartitionByRange(partitions, z).sortWithinPartitions(z)
+  }
+
   /** Export a curated corpus as JSONL shards — the interchange format
     * training stacks consume — plus a `_MANIFEST.json` sidecar recording
     * shard count, row count, and a content checksum so downstream

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, tf}
 import graft.ext.{Cluster, Curation, Dedup, Sampling, Similarity, TextOps}
+import graft.ops.Layout
 
 /** Corpus-preparation queries for the training-data pipeline surface:
   * vocabulary / n-gram statistics, deterministic sampling, transitive
@@ -321,6 +322,28 @@ object Corpus {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("bin"))
+    }),
+
+    // stable global example numbering WITHOUT a global sort: the
+    // two-pass range-shard trick (per-shard counts -> driver prefix
+    // offsets -> shard-local row_number), plan-guarded against a
+    // single-task window; must equal row_number() OVER (ORDER BY doc_id)
+    "corpus_rownum" -> ((s, dir) => {
+      Layout.globalRowNumber(
+          t(s, dir, "documents").select(col("doc_id")), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-ORDER key: bit-interleave two dimensions so range-clustering on
+    // one key yields compact rectangles in both — the layout key is
+    // deterministic bit math, checked value-by-value here; the file
+    // clustering property itself is spec-gated (LayoutSpec)
+    "layout_zorder" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Layout.zValue((col("doc_id") % 256).cast("int"),
+            (col("n_chars") % 256).cast("int"), bits = 8).as("z"))
+        .orderBy(col("doc_id"))
     }),
 
     // change-log compaction: latest state per entity (MERGE INTO view)
@@ -760,6 +783,18 @@ object Corpus {
         |SELECT doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
         |  CAST(c.n_tok AS INTEGER) AS n_tok, c.chunk_h AS chunk_h
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "corpus_rownum" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "layout_zorder" -> {
+      val terms = (0 until 8).map(i =>
+        s"((((doc_id % 256) >> $i) & 1) << ${2 * i}) | " +
+          s"((((n_chars % 256) >> $i) & 1) << ${2 * i + 1})")
+      s"""SELECT doc_id, CAST(${terms.map(t => s"($t)").mkString(" | ")} AS INTEGER) AS z
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "text_boilerplate" -> {
       val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")

@@ -135,6 +135,37 @@ class LayoutSpec extends SparkSpec {
       "checksum must not depend on partitioning")
   }
 
+  test("globalRowNumber equals single-window row_number at any parallelism") {
+    val df = spark.range(0, 5000).toDF("k")
+      .withColumn("k", (col("k") * 2654435761L) % 100003L) // unique, scrambled
+      .repartition(13)
+    val got = Layout.globalRowNumber(df, col("k"), numShards = 7)
+      .select("k", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = df.select("k").collect().map(_.getLong(0)).sorted
+      .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got == expect, "distributed numbering diverged from the global order")
+  }
+
+  test("zorderLayout clusters BOTH dimensions into compact per-partition regions") {
+    // a full 64x64 grid: a z-curve cut into 16 ranges yields compact
+    // rectangles, so every partition's x AND y extents are far below the
+    // 63 a 1-D (x-only) clustering would leave on y
+    val grid = spark.range(0, 4096).toDF("i")
+      .select((col("i") % 64).cast("int").as("x"),
+        (col("i") / 64).cast("int").as("y"))
+      .repartition(17) // scrambled input partitioning
+    val parts = Layout.zorderLayout(grid, col("x"), col("y"), 16, bits = 6)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max(col("x")) - min(col("x"))).as("xr"),
+        (max(col("y")) - min(col("y"))).as("yr"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    val (avgX, avgY) = (parts.map(_._1).sum.toDouble / parts.length,
+      parts.map(_._2).sum.toDouble / parts.length)
+    assert(avgX <= 32 && avgY <= 32,
+      s"z-order regions not compact: avg x-range $avgX, avg y-range $avgY")
+  }
+
   test("compactTo merges to ceil(n/target) files with disjoint key ranges") {
     val out = java.nio.file.Files.createTempDirectory("compact").toString
     val orders = spark.read.parquet(s"$sf/orders.parquet")

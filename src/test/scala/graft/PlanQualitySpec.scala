@@ -246,6 +246,16 @@ class PlanQualitySpec extends SparkSpec {
       s"global single-partition window found:\n${df.queryExecution.optimizedPlan}"))
   }
 
+  test("corpus_rownum numbers globally without a global window") {
+    val df = SparkEntry.queries("corpus_rownum")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected a shard-local window in corpus_rownum")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "global single-partition window found in corpus_rownum"))
+  }
+
   test("q37_cond_distinct never Expands the fact table for its distinct aggregates") {
     // multiple countDistincts in one agg would trigger
     // RewriteDistinctAggregates' ×3 Expand of lineitem before the

@@ -36,6 +36,8 @@ object Curation {
       .select(col("doc_id"))
     val deduped = kept.join(dedupKeep, Seq("doc_id"), "left_semi")
     val clean = Dedup.decontaminate(deduped, benchmark, n = ngram)
-    TextOps.packBins(clean, tokensPerBin)
+    // shard boundaries sample the RAW corpus, not the pipeline tail, so
+    // the packer's tiny boundary job never re-runs gate+dedup+decontam
+    TextOps.packBins(clean, tokensPerBin, boundarySource = docs)
   }
 }

@@ -196,16 +196,25 @@ object TextOps {
     *      PARTITIONED (by shard) window cumsum.
     * The shard function is monotonic in doc_id, so offset + local running
     * sum ≡ the global running sum and the output is bit-identical to the
-    * single-window formulation at any parallelism. */
-  def packBins(docs: DataFrame, tokensPerBin: Long, numShards: Int = 0): DataFrame = {
+    * single-window formulation at any parallelism.
+    *
+    * `boundarySource` (default: `docs` itself) is the frame the shard
+    * boundaries are sampled from — pass a cheaper SUPERSET (e.g. the raw
+    * corpus when `docs` is the tail of an expensive pipeline) to avoid
+    * re-executing that pipeline for the tiny sample job; any superset
+    * keeps the shard function monotonic, it only shifts the balance. */
+  def packBins(docs: DataFrame, tokensPerBin: Long, numShards: Int = 0,
+      boundarySource: DataFrame = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shards =
       if (numShards > 0) numShards
       else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sampleFrom = Option(boundarySource).getOrElse(docs)
     val counted = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .withColumn("_shard",
-        graft.ops.Layout.orderedShard(docs.select(col("doc_id")), col("doc_id"), shards))
+        graft.ops.Layout.orderedShard(
+          sampleFrom.select(col("doc_id")), col("doc_id"), shards))
     // pass 1: per-shard subtotals -> driver (≤ `shards` rows)
     val subtotals = counted.groupBy(col("_shard"))
       .agg(sum(col("n_tokens")).cast("long").as("t"))

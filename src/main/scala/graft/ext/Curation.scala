@@ -26,10 +26,11 @@ object Curation {
     * (bin assignment is deterministic in doc_id). */
   def curate(docs: DataFrame, benchmark: DataFrame,
       tokensPerBin: Long = 2000L, ngram: Int = 8): DataFrame = {
-    val kept = docs.join(
-      TextOps.qualityFlags(docs).filter(col("keep") === 1)
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // the gate is the PREDICATE form of qualityFlags (spec-asserted
+    // equivalent) — a pure scan-stage filter, not a self-join back onto
+    // the flag table, so the corpus really is scanned once and nothing
+    // shuffles before dedup
+    val kept = docs.filter(TextOps.qualityKeep(col("text")))
     val dedupKeep = kept
       .groupBy(TextOps.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))

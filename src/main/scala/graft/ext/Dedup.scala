@@ -183,20 +183,27 @@ object Dedup {
     * set), so the switch is a pure plan decision. */
   def substringContamination(corpus: DataFrame, snippets: DataFrame,
       automatonThreshold: Int = 1024): DataFrame = {
-    // bounded count probe: never scans more than threshold snippet rows
-    val isSmall =
-      snippets.limit(automatonThreshold).count() < automatonThreshold
-    if (isSmall) {
+    // null/empty snippets are meaningless patterns and behave differently
+    // per kernel (contains(NULL) filters the row; a null pattern would
+    // NPE the automaton build) — normalize them away so the kernels stay
+    // interchangeable on ANY input
+    val cleaned = snippets
+      .select(col("eval_id"), col("eval_text"))
+      .filter(col("eval_text").isNotNull && length(col("eval_text")) > 0)
+    // ONE bounded job decides the kernel: both branches need the snippet
+    // rows anyway (broadcast join / driver automaton), so collect them
+    // once instead of a count probe plus a second collect
+    val snips = cleaned
+      .select(col("eval_id").cast("string"), col("eval_text")).collect()
+    if (snips.length < automatonThreshold) {
       corpus.select(col("doc_id"), col("text"))
-        .crossJoin(broadcast(snippets.select(col("eval_id"), col("eval_text"))))
+        .crossJoin(broadcast(cleaned.select(col("eval_id"), col("eval_text"))))
         .filter(col("text").contains(col("eval_text")))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"),
           concat_ws(",", array_sort(collect_list(col("eval_id").cast("string"))))
             .as("hit_ids"))
     } else {
-      val snips = snippets
-        .select(col("eval_id").cast("string"), col("eval_text")).collect()
       val ac = graft.functions.AhoCorasick.build(
         snips.map(_.getString(0)), snips.map(_.getString(1)))
       val bc = corpus.sparkSession.sparkContext.broadcast(ac)

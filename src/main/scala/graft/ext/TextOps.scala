@@ -215,17 +215,9 @@ object TextOps {
       .withColumn("_shard",
         graft.ops.Layout.orderedShard(
           sampleFrom.select(col("doc_id")), col("doc_id"), shards))
-    // pass 1: per-shard subtotals -> driver (≤ `shards` rows)
-    val subtotals = counted.groupBy(col("_shard"))
-      .agg(sum(col("n_tokens")).cast("long").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = subtotals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
-    val offsetOf: Column =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("_shard"))
+    // pass 1: per-shard subtotals -> driver prefix offsets (≤ `shards`
+    // longs of state; shared helper with Layout.globalRowNumber)
+    val offsetOf = graft.ops.Layout.prefixOffsets(counted, sum(col("n_tokens")))
     // pass 2: shard-local running sum + broadcast shard offset
     val w = Window.partitionBy(col("_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -87,6 +87,7 @@ object Layout {
   def orderedShard(df: DataFrame, key: Column, shards: Int,
       sampleSize: Int = 3200): Column = {
     val ks = df.select(key.cast("long").as("k"))
+      .filter(col("k").isNotNull) // null keys would NPE the sample collect
       .orderBy(xxhash64(col("k")), col("k")).limit(sampleSize)
       .collect().map(_.getLong(0)).sorted
     if (ks.isEmpty || shards <= 1) lit(0)
@@ -107,39 +108,57 @@ object Layout {
     * Requires a unique non-null numeric `order` key (ties would make any
     * row_number nondeterministic). Appends `rn` (1-based, BIGINT) — the
     * stable global example-ID assignment a training-data export needs. */
+  /** Driver-side prefix offsets for a frame carrying an ordered `_shard`
+    * column: aggregate `perShard` within each shard (one tiny job — ≤
+    * `shards` longs of driver state), prefix-sum on the driver, and
+    * return a literal-map column giving every row the total of all
+    * EARLIER shards — the glue that turns shard-local running values
+    * into exact global ones. Shared by [[globalRowNumber]] and
+    * [[graft.ext.TextOps.packBins]] so the offset math cannot diverge. */
+  private[graft] def prefixOffsets(sharded: DataFrame, perShard: Column): Column = {
+    val totals = sharded.groupBy(col("_shard"))
+      .agg(perShard.cast("long").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    if (offsets.isEmpty) lit(0L)
+    else element_at(
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+      col("_shard"))
+  }
+
   def globalRowNumber(df: DataFrame, order: Column, numShards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shards =
       if (numShards > 0) numShards
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val sharded = df.withColumn("_shard", orderedShard(df, order, shards))
-    val counts = sharded.groupBy(col("_shard")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
-    val offsetOf: Column =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("_shard"))
+    val offsetOf = prefixOffsets(sharded, count(lit(1)))
     val w = Window.partitionBy(col("_shard")).orderBy(order)
     sharded
       .withColumn("rn", (row_number().over(w).cast("long") + offsetOf))
       .drop("_shard")
   }
 
-  /** Z-value of two non-negative int columns: their low `bits` bits
+  /** Z-value of two non-negative integer columns: their low `bits` bits
     * interleaved (a in even positions, b in odd). Sorting or
     * range-clustering on this key gives the classic Z-ORDER layout:
     * every file covers a compact rectangle in (a, b) space, so min/max
     * row-group pruning can skip files for predicates on EITHER column —
     * the multi-dimensional analogue of [[compactTo]]'s single-key
-    * clustering. Pure bit arithmetic, codegen-friendly, no UDF. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    * clustering. Pure bit arithmetic, codegen-friendly, no UDF. The
+    * interleave runs in LONG space (returns BIGINT): at the default 16
+    * bits the top interleaved bit lands in position 31, which would flip
+    * the sign of an INT key and range-cluster the two opposite corners
+    * of the key space into one partition. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"zValue: bits must be in [1,31], got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      (shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+      (shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+  }
 
   /** Z-order clustering: range-partition + sort on the interleaved
     * [[zValue]] so each output partition/file covers a compact region of

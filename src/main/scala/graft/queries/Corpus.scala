@@ -792,7 +792,7 @@ object Corpus {
       val terms = (0 until 8).map(i =>
         s"((((doc_id % 256) >> $i) & 1) << ${2 * i}) | " +
           s"((((n_chars % 256) >> $i) & 1) << ${2 * i + 1})")
-      s"""SELECT doc_id, CAST(${terms.map(t => s"($t)").mkString(" | ")} AS INTEGER) AS z
+      s"""SELECT doc_id, CAST(${terms.map(t => s"($t)").mkString(" | ")} AS BIGINT) AS z
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

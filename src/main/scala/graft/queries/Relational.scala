@@ -990,14 +990,19 @@ object Relational {
     // answer, same oracle; the Expand never happens.
     "q37_cond_distinct" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val parts = li
+      // null keys must drop BEFORE the distinct — countDistinct never
+      // counts a NULL argument, so the rewrite only matches it exactly
+      // with the same exclusion (TPC-H keys are non-null, but the
+      // equivalence must not depend on that)
+      val parts = li.filter(col("l_partkey").isNotNull)
         .select(col("l_returnflag"), col("l_partkey"),
           (col("l_quantity") > 25).as("bulk"))
         .distinct()
         .groupBy(col("l_returnflag"))
         .agg(count(when(col("bulk"), 1)).as("parts_bulk"),
           count(when(!col("bulk"), 1)).as("parts_small"))
-      val supp = li.select(col("l_returnflag"), col("l_suppkey")).distinct()
+      val supp = li.filter(col("l_suppkey").isNotNull)
+        .select(col("l_returnflag"), col("l_suppkey")).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_supp"))
       parts.join(supp, Seq("l_returnflag")).orderBy(col("l_returnflag"))
     }),

@@ -286,9 +286,21 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("dedup_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"incremental dedup must stay an equi-anti-join:\n${p.take(1500)}")
-    // the base side must reduce to distinct fingerprints before the join
-    // (a partial aggregate on the scan side of the exchange)
-    assert(p.contains("LeftAnti"), s"missing anti join:\n${p.take(1500)}")
+    // the base side must reduce to DISTINCT fingerprints before the join
+    // — assert the logical anti-join's right child actually aggregates,
+    // so a regression to anti-joining raw base rows cannot pass
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    val antis = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(antis.nonEmpty, s"missing anti join:\n${p.take(1500)}")
+    antis.foreach { j =>
+      val aggregates = j.right.collect { case a: Aggregate => a }
+      assert(aggregates.nonEmpty,
+        s"anti-join right side is raw base rows, not a distinct-fingerprint aggregate:\n${j.right}")
+    }
   }
 
   test("contamination queries broadcast the eval-set shingles (no corpus shuffle join)") {

@@ -146,6 +146,27 @@ class LayoutSpec extends SparkSpec {
     assert(got == expect, "distributed numbering diverged from the global order")
   }
 
+  test("globalRowNumber is exact on random key sets (negatives, dups of sign, tiny)") {
+    // random DISTINCT longs across both signs, several sizes incl. 0 and
+    // 1 — the edges the fixture never exercises. Deterministic seeds.
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 37, 1000)) {
+      val keys = Iterator.continually(rnd.nextLong() % 100000L)
+        .distinct.take(n).toSeq
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(keys.map(Tuple1(_)), 5)
+          .map(t => org.apache.spark.sql.Row(t._1)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      val got = Layout.globalRowNumber(df, col("k"), numShards = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = keys.sorted.zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+      assert(got == expect, s"n=$n: numbering diverged")
+    }
+  }
+
   test("zorderLayout clusters BOTH dimensions into compact per-partition regions") {
     // a full 64x64 grid: a z-curve cut into 16 ranges yields compact
     // rectangles, so every partition's x AND y extents are far below the

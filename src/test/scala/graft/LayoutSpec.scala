@@ -167,6 +167,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zValue matches a reference bit-interleave, including the INT sign edge") {
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(11)
+    // random pairs plus the corners that sign-flipped the old INT math
+    val cases = Seq((0L, 0L), (65535L, 65535L), (32768L, 32768L), (1L, 65535L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(c => org.apache.spark.sql.Row(c._1, c._2)), 3),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType))))
+    val got = df.select(col("a"), col("b"), Layout.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b, 16), s"z($a,$b) diverged")
+      assert(got((a, b)) >= 0L, s"z($a,$b) went negative — sign bit leaked")
+    }
+  }
+
   test("zorderLayout clusters BOTH dimensions into compact per-partition regions") {
     // a full 64x64 grid: a z-curve cut into 16 ranges yields compact
     // rectangles, so every partition's x AND y extents are far below the

@@ -92,6 +92,19 @@ object Extensions {
       Dedup.substringContamination(docs, snippets).orderBy(col("doc_id"))
     }),
 
+    // SAME contamination check with the Aho-Corasick kernel FORCED
+    // (threshold 0): hash-grades the automaton directly against the
+    // contains-join oracle instead of only spec-gating the equivalence
+    "dedup_substring_contam_ac" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snippets = docs
+        .filter(col("doc_id") % 50 === 7 && length(col("text")) >= 80)
+        .select(col("doc_id").as("eval_id"),
+          substring(col("text"), 21, 40).as("eval_text"))
+      Dedup.substringContamination(docs, snippets, automatonThreshold = 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher repetition gates: top-token fraction + duplicate-n-gram
     // fractions per document (ratios are single IEEE divisions of exact
     // longs — no rounding step, same discipline as text_stats.stop_ratio)
@@ -304,6 +317,17 @@ object Extensions {
 
   // exact cosine top-5 for the vec_id%100 query set — the reference answer
   // for BOTH ann_cosine_topk and the full-probe IVF path
+  // one oracle for BOTH substring-contamination kernels (contains join
+  // and forced Aho-Corasick): the relation must be identical
+  private val substringContamSql =
+    """WITH snippets AS (
+      |  SELECT doc_id AS eval_id, substr(text, 21, 40) AS eval_text
+      |  FROM documents WHERE doc_id % 50 = 7 AND length(text) >= 80)
+      |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  array_to_string(list_sort(list(CAST(eval_id AS VARCHAR))), ',') AS hit_ids
+      |FROM documents d JOIN snippets s ON contains(d.text, s.eval_text)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   private val bruteForceTopkSql =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -316,14 +340,9 @@ object Extensions {
       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "dedup_substring_contam" ->
-      """WITH snippets AS (
-        |  SELECT doc_id AS eval_id, substr(text, 21, 40) AS eval_text
-        |  FROM documents WHERE doc_id % 50 = 7 AND length(text) >= 80)
-        |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-        |  array_to_string(list_sort(list(CAST(eval_id AS VARCHAR))), ',') AS hit_ids
-        |FROM documents d JOIN snippets s ON contains(d.text, s.eval_text)
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "dedup_substring_contam" -> substringContamSql,
+    // the automaton kernel must produce the identical relation
+    "dedup_substring_contam_ac" -> substringContamSql,
 
     // same ratio discipline as text_stats: single double divisions of
     // exact counts, no rounding — bit-identical across engines

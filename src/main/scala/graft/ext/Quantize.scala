@@ -85,8 +85,6 @@ object Quantize {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 16, codebookSize: Int = 32, seed: Long = 42L,
       sampleSize: Int = 2000, lloydIters: Int = 8): DataFrame = {
-    import graft.functions.VectorFunctions.dotProduct
-
     // ---- driver-side codebook training on a deterministic sample
     // (embeddings cast to double Spark-side so array<float> and
     // array<double> corpora both collect as java.lang.Double)
@@ -129,6 +127,48 @@ object Quantize {
       }
       cents
     }
+    pqAdc(corpus, queries, k, m, codebooks)
+  }
+
+  /** PQ with a CLOSED-FORM codebook — codeword `j` of EVERY subspace is
+    * subvector `j` of the L2-normalized corpus vector `vec_id == j`
+    * (`j < cbSize`) — i.e. Lloyd with zero iterations and designated
+    * seeds. No training arithmetic means the whole pipeline — subvector
+    * explode, broadcast codebook join, min-struct encode, per-query ADC
+    * table, compressed-corpus equi-join, decimal partial sums — is
+    * expressible in ANSI SQL, so the driver hash-grades the ADC kernel
+    * directly (`ann_pq_adc`) instead of only rows-counting the trained
+    * path. [[pqTopK]]'s Lloyd training remains the quality path; both
+    * share [[pqAdc]] verbatim.
+    */
+  def pqTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, cbSize: Int = 16): DataFrame = {
+    val sample = corpus
+      .filter(col("vec_id") < cbSize)
+      .orderBy(col("vec_id"))
+      .select(normalized(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == cbSize,
+      s"pqTopKFixed: expected $cbSize designated vectors, got ${sample.length}")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTopKFixed: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      sample.map(_.slice(s * subDim, (s + 1) * subDim))
+    }
+    pqAdc(corpus, queries, k, m, codebooks)
+  }
+
+  /** Encode + score stage shared by [[pqTopK]] and [[pqTopKFixed]]:
+    * full-corpus PQ encode against `codebooks`, then the asymmetric-
+    * distance (ADC) broadcast equi-join. `codebooks(s)(j)` = codeword `j`
+    * of subspace `s`; all codebooks must share one sub-dimension.
+    */
+  private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val cbSize = codebooks(0).length
+    val subDim = codebooks(0)(0).length
 
     // ---- codebook as a broadcastable table: (sub, code, cw, cw2).
     // A per-codeword expression tree (m * codebookSize branches inline)

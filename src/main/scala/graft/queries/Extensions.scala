@@ -175,6 +175,17 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // PQ with the closed-form codebook (codeword j = subvector j of the
+    // normalized vector vec_id == j): zero training arithmetic, so the
+    // full encode + ADC machinery hash-checks against a DuckDB oracle —
+    // the oracle-backed anchor for ann_pq_topk's shared pqAdc kernel,
+    // same pattern as ann_ivf_exact / ann_lsh_exact
+    "ann_pq_adc" -> ((s, dir) => {
+      val emb = tf(s, dir, "embeddings")
+      Quantize.pqTopKFixed(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // NO SQL oracle (approximate/seeded paths — driver records rows-only):
     // LSH ANN is recall-gated against brute force in ExtensionsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
@@ -458,6 +469,45 @@ object Extensions {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY i, j""".stripMargin,
 
     "ann_cosine_topk" -> bruteForceTopkSql,
+
+    // Mirrors Quantize.pqTopKFixed / pqAdc: m=8 subspaces of 8 dims,
+    // cbSize=16 codewords = subvectors of normalized vectors vec_id<16.
+    // Encode picks argmin_j ||cw_j||^2 - 2 sv·cw_j (tie by code, as the
+    // Spark min-struct does); ADC partials round to DECIMAL(12,9) before
+    // the per-pair sum so the 4-dp surface is order-independent — the
+    // exact discipline of the Spark side.
+    "ann_pq_adc" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        list_transform(v, x -> x / greatest(sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12)) AS v
+        |      FROM e),
+        |cb AS (SELECT s.s AS sub, n.vec_id AS code,
+        |         list_slice(n.v, s.s * 8 + 1, s.s * 8 + 8) AS cw
+        |       FROM n, range(8) s(s) WHERE n.vec_id < 16),
+        |cb2 AS (SELECT sub, code, cw,
+        |          list_sum(list_transform(cw, x -> x * x)) AS cw2 FROM cb),
+        |cs AS (SELECT n.vec_id, s.s AS sub,
+        |         list_slice(n.v, s.s * 8 + 1, s.s * 8 + 8) AS sv
+        |       FROM n, range(8) s(s)),
+        |enc AS (SELECT vec_id, sub, code FROM (
+        |          SELECT cs.vec_id, cs.sub, cb2.code,
+        |            row_number() OVER (PARTITION BY cs.vec_id, cs.sub
+        |              ORDER BY cb2.cw2 - 2 * list_sum(list_transform(list_zip(cs.sv, cb2.cw), x -> x[1] * x[2])),
+        |                cb2.code) AS rn
+        |          FROM cs JOIN cb2 USING (sub)) WHERE rn = 1),
+        |qt AS (SELECT q.vec_id AS qid, cb2.sub, cb2.code,
+        |         CAST(round(list_sum(list_transform(list_zip(list_slice(q.v, cb2.sub * 8 + 1, cb2.sub * 8 + 8), cb2.cw), x -> x[1] * x[2])), 9) AS DECIMAL(12,9)) AS pdot
+        |       FROM n q CROSS JOIN cb2 WHERE q.vec_id % 100 = 0),
+        |scored AS (SELECT qt.qid, enc.vec_id,
+        |             round(CAST(sum(qt.pdot) AS DOUBLE), 4) AS qcos
+        |           FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
+        |           WHERE enc.vec_id <> qt.qid
+        |           GROUP BY qt.qid, enc.vec_id),
+        |r AS (SELECT qid, vec_id, qcos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rk
+        |      FROM scored)
+        |SELECT qid, vec_id, qcos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // IVF at full probe is exact: the SAME brute-force reference answers
     // for it (see the ann_ivf_exact query comment)

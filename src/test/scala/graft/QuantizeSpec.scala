@@ -77,6 +77,31 @@ class QuantizeSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("qcos")) <= 1.05))
   }
 
+  test("pqTopKFixed: closed-form codebook encodes designated vectors to their own code") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val fixed = Quantize.pqTopKFixed(emb, queries, k = 5)
+    val rows = fixed.collect()
+    // exactly k ranked rows per query, sane cosine range
+    assert(rows.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("qcos")) <= 1.05))
+    // vec 0 is both a query and a codeword source: every codeword j is
+    // subvector j of vector j, and d(sv, cw) = |cw|^2 - 2 sv·cw is
+    // strictly minimal at cw == sv (Cauchy), so the ADC score of a
+    // designated vector against ITSELF as query would be its exact
+    // normalized self-dot ≈ 1; its top hit must therefore score near the
+    // exact-cosine top hit of the float path
+    val exactTop = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .filter(col("qid") === 0).head.getAs[Double]("cos")
+    val pqTop = fixed.filter(col("qid") === 0 && col("rk") === 1)
+      .head.getAs[Double]("qcos")
+    assert(pqTop <= 1.0001 && pqTop >= exactTop - 0.5,
+      s"fixed-codebook ADC top score $pqTop implausible vs exact $exactTop")
+    // the ADC join is broadcast equi-join machinery — never a cartesian
+    val plan = fixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ADC plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"expected broadcast codebook/ADC join:\n$plan")
+  }
+
   test("quantizedTopK broadcasts the query side (no shuffle for the join)") {
     val plan = Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5)
       .queryExecution.executedPlan.toString

@@ -26,7 +26,7 @@ object TextOps {
     * rescues it — measured 6x slowdown on text_stats). Wrapping the
     * array in a single-element `transform` makes it a lambda variable:
     * split runs once, every use is an O(1) attribute read. */
-  private def withTokens(c: Column)(body: Column => Column): Column =
+  private[ext] def withTokens(c: Column)(body: Column => Column): Column =
     element_at(transform(array(tokens(c)), body), 1)
 
   private def hitsIn(toks: Column, words: Seq[String]): Column =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, tf}
-import graft.ext.{Cluster, Curation, Dedup, Sampling, Similarity, TextOps}
+import graft.ext.{Classifier, Cluster, Curation, Dedup, Sampling, Similarity, TextOps}
 import graft.ops.Layout
 
 /** Corpus-preparation queries for the training-data pipeline surface:
@@ -49,6 +49,21 @@ object Corpus {
 
     "quality_filter" -> ((s, dir) => {
       TextOps.qualityFlags(tf(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // learned quality scoring: logistic regression trained by full-batch
+    // GD (8 iterations, exact decimal gradient sums) distilling a length
+    // criterion (n_chars >= 300 — the one seed signal the synthetic
+    // fixture's features can actually express; production callers pass
+    // any boolean seed label) into a smooth linear scorer over the whole
+    // corpus — the fastText-style model-based filter companion to
+    // quality_filter's heuristic gates. The oracle unrolls the ENTIRE
+    // training trajectory into CTEs (same pattern as embed_kmeans /
+    // text_bpe_merges), so the hash checks the distributed gradient
+    // aggregation itself, not just the scoring pass
+    "quality_lr_score" -> ((s, dir) => {
+      Classifier.lrTrainScore(tf(s, dir, "documents"), col("n_chars") >= 300)
         .orderBy(col("doc_id"))
     }),
 
@@ -495,7 +510,50 @@ object Corpus {
        |FROM ($union) ORDER BY rank""".stripMargin
   }
 
+  // DuckDB twin of [[Classifier.lrTrainScore]] (4 GD iterations,
+  // lr = 1.0): the weight trajectory is unrolled into one CTE pair per
+  // iteration — g<i> computes the exact DECIMAL(20,9) gradient sums under
+  // weights w<i-1>, w<i> applies the IEEE-double update — ending in a
+  // scoring pass under the final weights. Every expression (margin chain,
+  // 9-dp sigmoid fence, per-term rounding) mirrors the Spark side
+  // token-for-token, so the whole training run is hash-checked.
+  private val lrScoreSql: String = {
+    val iters = 8
+    val lr = "5.0"
+    val wNames = Seq("a", "b", "c", "d")
+    def sigmoid = // margin chain left-associated exactly like the Spark side
+      "round(1.0/(1.0+exp(-(w.a*f.x0 + w.b*f.x1 + w.c*f.x2 + w.d*f.x3))), 9)"
+    val feats =
+      """feats AS (SELECT doc_id,
+        |  1.0 AS x0,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0 AS x1,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) / 10.0 AS x2,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS x3,
+        |  CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+        |FROM documents)""".stripMargin
+    val w0 = s"w0 AS (SELECT ${wNames.map(n => s"0.0 AS $n").mkString(", ")})"
+    val steps = (1 to iters).map { i =>
+      val grads = (0 until 4).map(j =>
+        s"sum(CAST(round(($sigmoid - f.y) * f.x$j, 9) AS DECIMAL(20,9))) AS g$j").mkString(",\n  ")
+      val upd = wNames.zipWithIndex.map { case (n, j) =>
+        s"w.$n - $lr * CAST(g.g$j AS DOUBLE)/g.n AS $n" }.mkString(", ")
+      s"""g$i AS (SELECT $grads,
+         |  count(*) AS n FROM feats f CROSS JOIN w${i - 1} w),
+         |w$i AS (SELECT $upd FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    }
+    s"""WITH $feats,
+       |$w0,
+       |${steps.mkString(",\n")}
+       |SELECT f.doc_id, round($sigmoid, 6) AS score,
+       |  round($sigmoid, 6) >= 0.5 AS pred, CAST(f.y AS INT) AS label
+       |FROM feats f CROSS JOIN w$iters w ORDER BY f.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "quality_lr_score" -> lrScoreSql,
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
 
     "text_bpe_merges" -> bpeOracleSql(nMerges = 10),

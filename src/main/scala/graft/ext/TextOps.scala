@@ -347,6 +347,57 @@ object TextOps {
         sum(col("nll")).cast("double").as("sum_nll"))
   }
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data
+    * Selection for Language Models via Importance Resampling"): per
+    * document, the log-likelihood ratio between a TARGET-domain bigram
+    * LM and the RAW-corpus bigram LM, both add-one smoothed over the
+    * shared bigram vocabulary. Documents whose n-gram distribution
+    * resembles the target subset score high; resampling the corpus by
+    * these weights tilts the training mixture toward the target domain.
+    *
+    * Shape at 100 TB: the statistics for BOTH models come from ONE
+    * aggregation over the exploded corpus — the target counts are a
+    * conditional sum riding the same (w1, w2) shuffle as the raw counts,
+    * so adding the second LM costs zero extra passes. Scoring re-joins
+    * the stats table once, keyed by bigram (map-side combinable on both
+    * legs); the totals row is a broadcast scalar. Driver state: none.
+    *
+    * Determinism: same contract as [[bigramNll]] — each occurrence's
+    * log-ratio is rounded to 6 dp and summed as DECIMAL(18,6), so the
+    * per-document total is partition-order independent and the exact sum
+    * (not the mean) is surfaced.
+    *
+    * Returns (doc_id, n_bigrams, log_weight, is_target) for documents
+    * with >= 1 bigram.
+    */
+  def dsirWeights(docs: DataFrame, targetLabel: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"),
+      when(targetLabel, 1L).otherwise(0L).as("tgt"))
+    val bi = base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("tgt"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+      .select(col("doc_id"), col("tgt"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val stats = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_raw"), sum(col("tgt")).as("c_tgt"))
+    // both totals and the shared vocabulary in one pass over `stats`
+    val tot = stats.agg(sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"), count(lit(1)).as("vocab"))
+    val scored = bi
+      .join(stats, Seq("w1", "w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lw", round(
+        log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("vocab")).cast("double")) -
+          log((col("c_raw") + lit(1.0)) / (col("n_raw") + col("vocab")).cast("double")), 6)
+        .cast(DecimalType(18, 6)))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lw")).cast("double").as("log_weight"),
+        max(col("tgt")).cast("int").as("is_target"))
+  }
+
   /** One-pass per-document stats table over a (doc_id, text) frame.
     * The token array and every token-derived count are computed exactly
     * once per row (bound into the `_ts` struct); only the single-use

@@ -122,6 +122,16 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights toward a designated target domain (sources
+    // src0-3): bigram-LM log-likelihood ratio, both models from ONE
+    // aggregation. Self-inclusion makes target docs score high on
+    // average — asserted in TextOpsSpec; the hash checks every weight
+    "sample_dsir_weights" -> ((s, dir) => {
+      TextOps.dsirWeights(tf(s, dir, "documents"),
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(plantedDocs(s, dir)).orderBy(col("h"))
     }),
@@ -575,6 +585,32 @@ object Extensions {
         |  FROM bi JOIN bigt USING (w1, w2) JOIN c1t ON bi.w1 = c1t.w CROSS JOIN v)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(nll) AS DOUBLE) AS sum_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.dsirWeights: one stats table carries both models'
+    // counts; per-occurrence log-ratio rounded to 6 dp, exact decimal sum
+    "sample_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS tgt
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tgt,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |stats AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_raw,
+        |            CAST(SUM(tgt) AS BIGINT) AS c_tgt FROM bi GROUP BY w1, w2),
+        |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+        |          CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+        |          CAST(COUNT(*) AS BIGINT) AS vocab FROM stats),
+        |scored AS (
+        |  SELECT bi.doc_id, bi.tgt,
+        |    round(ln((c_tgt + 1.0) / CAST(n_tgt + vocab AS DOUBLE))
+        |        - ln((c_raw + 1.0) / CAST(n_raw + vocab AS DOUBLE)), 6)::DECIMAL(18,6) AS lw
+        |  FROM bi JOIN stats USING (w1, w2) CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(lw) AS DOUBLE) AS log_weight, CAST(MAX(tgt) AS INT) AS is_target
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact columns verified against DuckDB; the within-tol flags are

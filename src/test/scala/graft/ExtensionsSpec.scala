@@ -326,6 +326,46 @@ class ExtensionsSpec extends SparkSpec {
       got(1).getAs[Double]("sum_nll") == d2)
   }
 
+  test("dsirWeights matches a hand-computed two-model log-ratio; target scores higher") {
+    import SparkSpec.spark.implicits._
+    // target = doc 1 ("a b a b"): bigrams (a,b):2 (b,a):1; raw adds
+    // doc 2's (x,y):1 -> stats c_raw/c_tgt per bigram, V=3 distinct
+    // bigrams, n_raw=4, n_tgt=3
+    val df = Seq((1L, "a b a b", "t"), (2L, "x y", "r"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.dsirWeights(df, col("source") === "t")
+      .orderBy(col("doc_id")).collect()
+    def term(cT: Long, cR: Long): BigDecimal =
+      BigDecimal(math.log((cT + 1.0) / (3 + 3).toDouble) -
+          math.log((cR + 1.0) / (4 + 3).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val w1 = Seq(term(2, 2), term(1, 1), term(2, 2)).sum.toDouble
+    val w2 = term(0, 1).toDouble
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got(0).getAs[Long]("n_bigrams") == 3 &&
+      got(0).getAs[Double]("log_weight") == w1 &&
+      got(0).getAs[Int]("is_target") == 1)
+    assert(got(1).getAs[Long]("n_bigrams") == 1 &&
+      got(1).getAs[Double]("log_weight") == w2 &&
+      got(1).getAs[Int]("is_target") == 0)
+    // self-inclusion bias: the target doc outweighs the non-target one
+    assert(w1 / 3 > w2 / 1, s"per-bigram target weight $w1/3 !> non-target $w2")
+  }
+
+  test("dsirWeights on the fixture: target docs outweigh non-target on average") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = TextOps.dsirWeights(docs,
+        col("source").isin("src0", "src1", "src2", "src3"))
+      .collect()
+    val (t, r) = w.partition(_.getAs[Int]("is_target") == 1)
+    assert(t.nonEmpty && r.nonEmpty)
+    def meanPerBigram(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => x.getAs[Double]("log_weight") / x.getAs[Long]("n_bigrams"))
+        .sum / rows.length
+    assert(meanPerBigram(t) > meanPerBigram(r),
+      s"expected self-inclusion bias: target ${meanPerBigram(t)} vs ${meanPerBigram(r)}")
+  }
+
   test("substringContamination finds verbatim hits only, csv-sorted") {
     import SparkSpec.spark.implicits._
     val docs = Seq(

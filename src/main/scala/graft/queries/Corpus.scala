@@ -318,6 +318,19 @@ object Corpus {
         .orderBy(col("rank"))
     }),
 
+    // tokenizer ENCODE under the trained merges ([[Bpe.segment]]): the
+    // full train→encode trajectory is hash-checked — the oracle re-learns
+    // the same 10 merges in CTEs, then applies them as one doc-level
+    // replace chain (cross-word matches are impossible: word boundaries
+    // carry 4 sentinel spaces, the merge pattern needs exactly 2)
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val merges = graft.ext.Bpe.train(docs, nMerges = 10)
+      docs.select(col("doc_id"),
+          graft.ext.Bpe.segment(col("text"), merges).as("encoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // target-mixture resampling: rates from [[Sampling.mixtureRates]]
     // (driver math over one count aggregation) applied as a pure
     // hash-filter — the oracle replays the whole computation in SQL
@@ -480,7 +493,10 @@ object Corpus {
     * (left-to-right, non-overlapping — identical in both engines) see a
     * full boundary at every occurrence, and the argmax total order
     * (count DESC, pair ASC over ASCII strings) is engine-independent. */
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** The merge-training CTE chain shared by [[bpeOracleSql]] and
+    * [[bpeEncodeOracleSql]]: w0 (word-freq table in sentinel layout),
+    * then per round k a one-row argmax t$k and the merged table w${k+1}. */
+  private def bpeCtes(nMerges: Int): String = {
     val w0 =
       """w0 AS (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
@@ -501,13 +517,43 @@ object Corpus {
          |      ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
          |      ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS syms
          |  FROM w$k CROSS JOIN t$k)""".stripMargin
+    s"""$w0,
+       |${(0 until nMerges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
     val union = (0 until nMerges).map(k => s"SELECT * FROM t$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH $w0,
-       |${(0 until nMerges).map(round).mkString(",\n")}
+    s"""WITH ${bpeCtes(nMerges)}
        |SELECT rank, split_part(pair, ' ', 1) AS lhs,
        |  split_part(pair, ' ', 2) AS rhs, c AS n
        |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ext.Bpe.segment]] under oracle-retrained
+    * merges: each doc rendered word-by-word into the two-space sentinel
+    * layout (word strings concatenated directly, leaving 4 spaces at
+    * word boundaries so no merge pattern can match across words), then
+    * the nMerges replaces applied in rank order as ONE nested scalar
+    * chain, then whitespace collapsed exactly like the Spark side. */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    def find(a: String) =
+      s"' ' || split_part($a.pair, ' ', 1) || '  ' || split_part($a.pair, ' ', 2) || ' '"
+    def repl(a: String) =
+      s"' ' || split_part($a.pair, ' ', 1) || split_part($a.pair, ' ', 2) || ' '"
+    val chain = (0 until nMerges).foldLeft("d.syms") { (acc, k) =>
+      s"replace($acc, ${find(s"m$k")}, ${repl(s"m$k")})"
+    }
+    val joins = (0 until nMerges).map(k => s"CROSS JOIN t$k m$k").mkString(" ")
+    s"""WITH ${bpeCtes(nMerges)},
+       |docenc AS (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |      regexp_split_to_array(trim(text), '\\s+'),
+       |      w -> '  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), '  ') || '  '),
+       |    '') AS syms
+       |  FROM documents)
+       |SELECT d.doc_id, trim(regexp_replace($chain, ' +', ' ', 'g')) AS encoded
+       |FROM docenc d $joins ORDER BY d.doc_id""".stripMargin
   }
 
   // DuckDB twin of [[Classifier.lrTrainScore]] (4 GD iterations,
@@ -557,6 +603,7 @@ object Corpus {
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
 
     "text_bpe_merges" -> bpeOracleSql(nMerges = 10),
+    "text_bpe_encode" -> bpeEncodeOracleSql(nMerges = 10),
 
     // replays mixtureRates end-to-end: per-source counts, the largest
     // feasible downsample-only scale (min n_s/share_s), percent rates

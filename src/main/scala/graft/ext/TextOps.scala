@@ -398,6 +398,42 @@ object TextOps {
         max(col("tgt")).cast("int").as("is_target"))
   }
 
+  /** Per-source unigram distribution DRIFT: KL(p_source ‖ p_corpus) with
+    * add-one smoothing over the corpus vocabulary — the "did this slice's
+    * language shift away from the mixture" check run per crawl snapshot /
+    * per domain before a source's weight changes in the training mix.
+    *
+    * Shape at 100 TB: one (source, token) count aggregation over the
+    * exploded corpus is the only corpus-sized pass; everything downstream
+    * runs on the vocabulary-sized table. The per-source grid is vocab ×
+    * |sources| (a broadcast explode of the tiny source-totals table, NOT
+    * a shuffle), because KL needs a term for every vocab word the source
+    * never uses — the smoothed zero-count terms.
+    *
+    * Determinism: per-(source, term) contribution p·ln(p/q) is a fixed
+    * IEEE expression rounded to 9 dp and summed as DECIMAL(20,9)
+    * (order-independent — the [[dsirWeights]] contract), surfaced as
+    * DOUBLE. Returns (source, n_terms, kl), kl ≥ 0 up to rounding. */
+  def unigramKl(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = cnt.groupBy(col("tok")).agg(sum(col("n")).as("n_all"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("tot_s"))
+    // vocabulary size + corpus total in one pass over the vocab table
+    val gl = vocab.agg(count(lit(1)).as("v"), sum(col("n_all")).as("tot_all"))
+    val grid = vocab.crossJoin(broadcast(tot))
+      .join(cnt, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(gl))
+      .withColumn("nz", coalesce(col("n"), lit(0L)))
+    val p = (col("nz") + lit(1)).cast("double") / (col("tot_s") + col("v"))
+    val q = (col("n_all") + lit(1)).cast("double") / (col("tot_all") + col("v"))
+    grid
+      .withColumn("term_kl", round(p * log(p / q), 9).cast(DecimalType(20, 9)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_kl")).cast("double").as("kl"))
+  }
+
   /** One-pass per-document stats table over a (doc_id, text) frame.
     * The token array and every token-derived count are computed exactly
     * once per row (bound into the `_ts` struct); only the single-use

@@ -133,6 +133,19 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Bloom-prefiltered decontamination: row-identical to
+    // dedup_decontaminate (the bloom only PREfilters; an exact join
+    // confirms), so the oracle is the same exact-set SQL — what's graded
+    // is that the fpp path loses nothing
+    "dedup_bloom_contam" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 7)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+      Dedup.bloomDecontaminate(docs, bench, n = 8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // NORMALIZED decontamination: the eval slice is reformatted
     // (upper-cased, dash-joined) so raw 8-grams cannot match it —
     // normalizing BOTH sides (TextOps.normalizeText) restores the match
@@ -304,6 +317,40 @@ object Corpus {
       top.toDF()
         .select(col("item").as("term"), col("count").as("n"))
         .orderBy(col("n").desc, col("term"))
+    }),
+
+    // Count–Min point-frequency estimation: the sketch rides ONE
+    // map-side-combined pass (8 KB of state — the shape that replaces a
+    // full vocabulary shuffle at 100 TB); the exact counts here are the
+    // graded comparison column. The oracle recomputes every probed
+    // counter CELL exactly (bucket sums under the same md5 double
+    // hashing), so the estimates — overcounts included — hash-match.
+    "text_cms_freq" -> ((s, dir) => {
+      import s.implicits._
+      val depth = 4
+      val width = 256
+      val toks = tf(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val cms = toks.as[String].groupByKey(_ => 0)
+        .agg(new graft.functions.CountMin(depth, width).toColumn.name("cms"))
+        .head()._2.toArray
+      val h1 = conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long")
+      val probes = (0 until depth).map { r =>
+        element_at(lit(cms.slice(r * width, (r + 1) * width)),
+          ((h1 + lit(r.toLong) * h2) % width).cast("int") + 1)
+      }
+      toks.groupBy(col("tok").as("term")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(20)
+        .withColumn("n_est", least(probes: _*))
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+
+    // per-source unigram KL drift against the corpus mixture
+    "text_unigram_kl" -> ((s, dir) => {
+      TextOps.unigramKl(
+          tf(s, dir, "documents").select(col("source"), col("text")))
+        .orderBy(col("source"))
     }),
 
     // Oracle-checked DESPITE being iterative tokenizer training: like
@@ -780,6 +827,24 @@ object Corpus {
         |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
 
+    "dedup_bloom_contam" -> {
+      // identical to dedup_decontaminate's oracle: the bloom path must
+      // reproduce the exact-set answer bit-for-bit
+      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH bench AS (
+         |  SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ') AS text
+         |  FROM documents WHERE doc_id % 50 = 7),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM bench)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_decontaminate" -> {
       val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
       s"""WITH bench AS (
@@ -961,6 +1026,45 @@ object Corpus {
         |  THEN 'es' ELSE 'de' END AS lang_guess,
         |CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+
+    // recomputes every probed CMS cell exactly: cell (r, b) holds the
+    // total count of tokens whose md5 double-hash walk lands on b in
+    // row r; the estimate is the min over the term's 4 probed cells
+    "text_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok),
+        |h AS (SELECT tok, n_exact,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+        |  ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2 FROM cnt),
+        |cells AS (
+        |  SELECT r, (h1 + r * h2) % 256 AS b, CAST(SUM(n_exact) AS BIGINT) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2),
+        |top AS (SELECT tok AS term, n_exact, h1, h2 FROM h
+        |  ORDER BY n_exact DESC, tok LIMIT 20)
+        |SELECT t.term, t.n_exact, CAST(MIN(c.c) AS BIGINT) AS n_est
+        |FROM top t JOIN cells c ON c.b = (t.h1 + c.r * t.h2) % 256
+        |GROUP BY 1, 2 ORDER BY t.n_exact DESC, t.term""".stripMargin,
+
+    "text_unigram_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS n_all FROM cnt GROUP BY 1),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot_s FROM cnt GROUP BY 1),
+        |gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(n_all) AS BIGINT) AS tot_all FROM vocab)
+        |SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(CAST(round(
+        |    ((g.n + 1)::DOUBLE / (g.tot_s + gl.v)) * ln(
+        |      ((g.n + 1)::DOUBLE / (g.tot_s + gl.v)) /
+        |      ((g.n_all + 1)::DOUBLE / (gl.tot_all + gl.v))), 9) AS DECIMAL(20,9))) AS DOUBLE) AS kl
+        |FROM (SELECT t.source, w.tok, w.n_all, t.tot_s, COALESCE(c.n, 0) AS n
+        |      FROM vocab w CROSS JOIN tot t
+        |      LEFT JOIN cnt c ON c.source = t.source AND c.tok = w.tok) g
+        |CROSS JOIN gl
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_heavy_hitters" ->
       """WITH terms AS (

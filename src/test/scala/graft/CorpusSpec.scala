@@ -377,6 +377,85 @@ class CorpusSpec extends SparkSpec {
       s"neighbours crossed groups — projections degenerate: ${top.toSeq}")
   }
 
+  test("CountMin never undercounts and is partitioning-invariant") {
+    val words = (0 until 2000).map(i => s"w${i % 97}") // 97 distinct, skewed ids
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def sketch(parts: Int): Seq[Long] = {
+      val ds = spark.createDataset(words).repartition(parts)
+      ds.groupByKey(_ => 0)
+        .agg(new graft.functions.CountMin(4, 64).toColumn.name("cms"))
+        .head()._2
+    }
+    val cms = sketch(1)
+    assert(cms == sketch(7), "sketch state must not depend on partitioning")
+    exact.foreach { case (w, n) =>
+      val (h1, h2) = graft.functions.CountMin.hashPair(w)
+      val est = (0 until 4).map(r =>
+        cms(r * 64 + graft.functions.CountMin.bucket(h1, h2, r, 64))).min
+      assert(est >= n, s"CMS undercounted $w: $est < $n")
+    }
+  }
+
+  test("unigramKl matches a driver-side brute-force on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a", "the cat sat on the mat"),
+      (2L, "a", "the cat ran"),
+      (3L, "b", "dogs bark loudly at night"),
+      (4L, "b", "the night was dark")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.unigramKl(docs)
+      .select("source", "n_terms", "kl").as[(String, Long, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // brute force: identical smoothing and rounding
+    val toks = Seq(
+      "a" -> "the cat sat on the mat the cat ran".split(" ").toSeq,
+      "b" -> "dogs bark loudly at night the night was dark".split(" ").toSeq)
+    val all = toks.flatMap(_._2)
+    val vocab = all.distinct.sorted
+    val v = vocab.size.toLong
+    val totAll = all.size.toLong
+    val cntAll = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    toks.foreach { case (src, ts) =>
+      val totS = ts.size.toLong
+      val cntS = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val kl = vocab.map { w =>
+        val p = (cntS.getOrElse(w, 0L) + 1).toDouble / (totS + v)
+        val q = (cntAll(w) + 1).toDouble / (totAll + v)
+        BigDecimal(p * math.log(p / q))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(got(src)._1 == v, s"$src: grid must cover the full vocab")
+      assert(math.abs(got(src)._2 - kl.toDouble) < 1e-12,
+        s"$src: kl ${got(src)._2} != expected $kl")
+    }
+  }
+
+  test("BloomUtil never false-negatives and holds the target fpp") {
+    val members = (0 until 10000).map(i => s"member-$i")
+    val bloom = graft.functions.BloomUtil.build(members, members.size.toLong,
+      fpp = 0.01)
+    assert(members.forall(bloom.mightContain),
+      "bloom filters must never drop a real member")
+    val falsePos = (0 until 10000).count(i => bloom.mightContain(s"other-$i"))
+    // 3x headroom over the design point keeps the assert stable
+    assert(falsePos < 300, s"fpp blew past design: $falsePos/10000")
+  }
+
+  test("bloomDecontaminate is row-identical to the exact path on fixture data") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % 50 === 7)
+      .select(concat_ws(" ", slice(TextOps.tokens($"text"), 5, 20)).as("text"))
+    val exact = Dedup.decontaminate(docs, bench, n = 8)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    for (bc <- Seq(true, false)) {
+      val got = Dedup.bloomDecontaminate(docs, bench, n = 8,
+          broadcastConfirm = bc)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(got == exact, s"bloom path (broadcastConfirm=$bc) diverged")
+    }
+  }
+
   test("centroidAssign assigns separated clusters back to their own centroid") {
     // two well-separated label clusters in 4-d
     val rows = (0 until 20).map { i =>

@@ -97,6 +97,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
   }
 
+  test("dedup_bloom_contam probes the bloom before the confirm join") {
+    val p = plan("dedup_bloom_contam")
+    assert(p.contains("bloom_might_contain"),
+      s"bloom prefilter missing from the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"confirm join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into:\n$p")
+  }
+
+  test("CountMin sketch aggregation is map-side combined; the query plans top-k") {
+    // the sketch job runs eagerly inside the query builder, so explain
+    // the aggregation shape directly
+    import org.apache.spark.sql.functions.{col, explode}
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+    val agg = toks.as[String](org.apache.spark.sql.Encoders.STRING)
+      .groupByKey(_ => 0)(org.apache.spark.sql.Encoders.scalaInt)
+      .agg(new graft.functions.CountMin(4, 64).toColumn.name("cms"))
+    val sp = agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(sp.contains("ObjectHashAggregate") || sp.contains("SortAggregate"),
+      s"typed sketch aggregator plan missing:\n$sp")
+    assert(sp.contains("partial"), s"no partial (map-side) sketch stage:\n$sp")
+    // and the query's exact-comparison side is top-k, not a global sort
+    val p = plan("text_cms_freq")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not planned as top-k:\n$p")
+  }
+
+  test("text_unigram_kl broadcasts the totals and never goes cartesian") {
+    val p = plan("text_unigram_kl")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"source totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into:\n$p")
+  }
+
   test("text_heavy_hitters aggregates the sketch with map-side partials") {
     val p = plan("text_heavy_hitters")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),

@@ -41,4 +41,26 @@ object Curation {
     // the packer's tiny boundary job never re-runs gate+dedup+decontam
     TextOps.packBins(clean, tokensPerBin, boundarySource = docs)
   }
+
+  /** Snapshot DIFF between two corpus versions: per doc_id, compare the
+    * content fingerprint ([[TextOps.fingerprint]] — robust to
+    * whitespace/punctuation-only edits) and classify
+    * added / removed / changed / unchanged. The "what actually moved
+    * between crawls" report a pipeline runs before deciding whether to
+    * re-curate, re-dedup, or re-train.
+    *
+    * Shape at 100 TB: both sides reduce to (doc_id, fingerprint) at scan
+    * speed — 16 bytes of content per row cross the wire, never the text —
+    * and the full-outer join shuffles only those slim rows on doc_id.
+    * Returns (doc_id, status); aggregate downstream as needed. */
+  def snapshotDiff(base: DataFrame, next: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp_b"))
+    val n = next.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp_n"))
+    b.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_b").isNull, lit("added"))
+          .when(col("fp_n").isNull, lit("removed"))
+          .when(col("fp_b") === col("fp_n"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -253,6 +253,43 @@ object Dedup {
     }
   }
 
+  /** Per-EVAL-ITEM leak report — [[substringContamination]] transposed:
+    * for each eval snippet, how many corpus docs contain it verbatim and
+    * the hit id range. The view an eval OWNER reads ("which of my test
+    * items leaked, how widely") where the doc-keyed form answers the
+    * curator's "which docs do I drop". Same broadcast kernels and
+    * threshold switch; zero-hit snippets are kept via a left join (a
+    * leak report must show the clean rows too).
+    * Returns (eval_id, n_docs, doc_min, doc_max). */
+  def contaminationReport(corpus: DataFrame, snippets: DataFrame,
+      automatonThreshold: Int = 1024): DataFrame = {
+    val cleaned = snippets
+      .select(col("eval_id"), col("eval_text"))
+      .filter(col("eval_text").isNotNull && length(col("eval_text")) > 0)
+    val snips = cleaned
+      .select(col("eval_id").cast("string"), col("eval_text")).collect()
+    val pairs = if (snips.length < automatonThreshold) {
+      corpus.select(col("doc_id"), col("text"))
+        .crossJoin(broadcast(cleaned))
+        .filter(col("text").contains(col("eval_text")))
+        .select(col("doc_id"), col("eval_id").cast("string").as("eid"))
+    } else {
+      val ac = graft.functions.AhoCorasick.build(
+        snips.map(_.getString(0)), snips.map(_.getString(1)))
+      val bc = corpus.sparkSession.sparkContext.broadcast(ac)
+      val matchIds = udf((text: String) => bc.value.matchedIds(text))
+      corpus.select(col("doc_id"), explode(matchIds(col("text"))).as("eid"))
+    }
+    val hits = pairs.groupBy(col("eid"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("doc_min"),
+        max(col("doc_id")).as("doc_max"))
+    cleaned.select(col("eval_id").cast("string").as("eid"))
+      .join(hits, Seq("eid"), "left")
+      .select(col("eid").as("eval_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("doc_min"), col("doc_max"))
+  }
+
   /** All ordered pairs (a < b by list position) from a sorted posting
     * list of structs. Emitted IN the task holding the posting — the
     * standard MapReduce near-dup shape: pair blowup is local to each

@@ -271,12 +271,20 @@ object Similarity {
     * pass over the data, with only k×dim rows ever collected. */
   def kMeans(emb: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
     val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+    assignCells(e, lloydCentroids(e, k, iters))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** The Lloyd trainer behind [[kMeans]]/[[embedOutliers]]: hash-ordered
+    * deterministic init, then per iteration one E-step scan + one
+    * decimal-exact M-step aggregation (k×dim driver state). */
+  private def lloydCentroids(e: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids = e
       .withColumn("h", Dedup.portableHash32(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(centroids.length == k, s"corpus has fewer than $k vectors")
-    val dim = centroids(0).length
     for (_ <- 0 until iters) {
       val sums = assignCells(e, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -290,7 +298,42 @@ object Similarity {
       }
       centroids = next
     }
-    assignCells(e, centroids).select(col("vec_id"), col("cell"))
+    centroids
+  }
+
+  /** Centroid-distance OUTLIER flags: cluster with [[kMeans]]' centroids,
+    * then flag vectors whose squared L2 distance to their centroid
+    * exceeds mean + `sigmas`·σ of their cell — the embedding-space
+    * anomaly gate (mislabeled, corrupted, or off-distribution examples)
+    * run before embeddings feed retrieval or dedup.
+    *
+    * Shape at 100 TB: one extra scan over the assigned frame (map-side-
+    * combinable decimal sums, k-row stats broadcast back). Determinism:
+    * distances round to 6 dp and the cell moments come from EXACT
+    * decimal sums — mean/σ are single IEEE expressions of those sums,
+    * so the flag is partition-order independent and oracle-checkable.
+    * Returns (vec_id, cell, dist, is_outlier). */
+  def embedOutliers(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      sigmas: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val assigned = assignCells(e, lloydCentroids(e, k, iters))
+      .select(col("vec_id"), col("cell"),
+        round(greatest(col("d"), lit(0.0)), 6)
+          .cast(DecimalType(18, 6)).as("rd"))
+    val stats = assigned.groupBy(col("cell"))
+      .agg(sum(col("rd")).as("s1"),
+        sum((col("rd") * col("rd")).cast(DecimalType(38, 12))).as("s2"),
+        count(lit(1)).as("n"))
+    assigned.join(broadcast(stats), Seq("cell"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("msq", col("s2").cast("double") / col("n"))
+      .withColumn("std",
+        sqrt(greatest(col("msq") - col("mean") * col("mean"), lit(0.0))))
+      .select(col("vec_id"), col("cell"),
+        col("rd").cast("double").as("dist"),
+        (col("rd").cast("double") > col("mean") + lit(sigmas) * col("std"))
+          .as("is_outlier"))
   }
 
   /** E-step: nearest centroid by squared L2 (ties to the lower index).
@@ -304,8 +347,10 @@ object Similarity {
       struct((col("_vv") - lit(2.0) * dot(col("v"), lit(cvec)) +
         lit(dotArr(cvec, cvec))).as("d"), lit(i).as("c"))
     }
-    withVv.withColumn("cell", array_min(array(scores: _*)).getField("c"))
-      .drop("_vv")
+    withVv.withColumn("_best", array_min(array(scores: _*)))
+      .withColumn("cell", col("_best").getField("c"))
+      .withColumn("d", col("_best").getField("d"))
+      .drop("_vv", "_best")
   }
 
   /** APPLY embedding-cosine near-dup dedup: within each block, drop every

@@ -266,6 +266,36 @@ object TextOps {
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Domain-BLOCKLIST filter: drop every document containing a URL whose
+    * host is in, or is a subdomain of, a blocked domain — the
+    * opt-out / licensing / spam gate that runs right after crawl.
+    *
+    * Scale shape: each extracted host explodes into its ≤-label-depth
+    * suffix chain ("a.b.example.net" → itself, "b.example.net",
+    * "example.net") and EQUI-joins the broadcast blocklist — a hash
+    * join keyed on the suffix string, never a per-(host × entry)
+    * `endswith` scan, so a 10⁵-entry blocklist costs the same plan as a
+    * 10-entry one. Single-label suffixes ("net") are excluded so a TLD
+    * can never be blocked by accident. */
+  def domainBlocklistFilter(docs: DataFrame, blocked: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocked.toDF("suffix"))
+    val labels = split(col("host"), "\\.")
+    val suffixes = filter(
+      transform(labels, (_, i) => array_join(slice(labels, i + 1, lit(1 << 20)), ".")),
+      s => s.contains("."))
+    val hit = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(urlPattern), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([^/\\s:]+)", 1).as("host"))
+      .select(col("doc_id"), explode(suffixes).as("suffix"))
+      .join(bl, Seq("suffix"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(hit, Seq("doc_id"), "left_anti")
+  }
+
   /** Canonical text normalization for matching: lowercase, every
     * non-alphanumeric character to a space, runs of spaces collapsed,
     * trimmed. The standard pre-step before contamination / dedup checks —

@@ -277,6 +277,24 @@ object Corpus {
       TextOps.urlDomains(planted).orderBy(col("domain"))
     }),
 
+    // domain-blocklist gate: parent-domain match (example.org blocks
+    // every site*.example.org) AND exact-host match (cdn1.example.net)
+    // exercised on disjoint planted doc sets
+    "text_blocklist_filter" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" via https://site"),
+            (col("doc_id") % 5).cast("string"), lit(".example.org/x")))
+          .when(col("doc_id") % 7 === 3,
+            concat(col("text"), lit(" see http://cdn"),
+              (col("doc_id") % 3).cast("string"), lit(".example.net/a")))
+          .otherwise(col("text")))
+      TextOps.domainBlocklistFilter(planted,
+          Seq("example.org", "cdn1.example.net"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // language-ID quality against the fixture's ground-truth lang column
     "text_lang_confusion" -> ((s, dir) => {
       tf(s, dir, "documents")
@@ -299,6 +317,14 @@ object Corpus {
     // a fixture-plumbing choice.
     "embed_kmeans" -> ((s, dir) => {
       Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 3)
+        .orderBy(col("vec_id"))
+    }),
+
+    // embedding-space anomaly gate: same trained centroids as
+    // embed_kmeans, distances z-scored per cell from exact decimal
+    // moments (oracle replays training AND the gate end-to-end)
+    "embed_outliers" -> ((s, dir) => {
+      Similarity.embedOutliers(t(s, dir, "embeddings"), k = 8, iters = 3)
         .orderBy(col("vec_id"))
     }),
 
@@ -421,6 +447,43 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // next-action training-example construction: per user-ordered event
+    // stream, (up-to-3-previous-events context, next event) pairs
+    // aggregated into a transition-pattern frequency table — the SFT
+    // example-shaping step over behavioral logs. One window pass on the
+    // natural user_id partitioning, then a map-side-combinable count.
+    "events_trajectories" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("ctx", concat_ws(">",
+          lag(col("event_type"), 3).over(w),
+          lag(col("event_type"), 2).over(w),
+          lag(col("event_type"), 1).over(w)))
+        .groupBy(col("ctx"), col("event_type").as("next_event"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ctx"), col("next_event")).limit(100)
+    }),
+
+    // snapshot diff between corpus versions: deletions (id%10=3),
+    // content edits (id%5=1), additions (id%25=0 re-keyed) — classified
+    // purely by fingerprint comparison over a slim full-outer join
+    "corpus_diff" -> ((s, dir) => {
+      val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = base.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.snapshotDiff(base, next)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
+        .orderBy(col("status"))
+    }),
+
     // change-log compaction: latest state per entity (MERGE INTO view)
     "cdc_latest" -> ((s, dir) => {
       graft.pipeline.Cdc.latestSnapshot(
@@ -526,6 +589,37 @@ object Corpus {
     ctes += assign("af", prev)
     "WITH " + ctes.mkString(",\n") +
       "\nSELECT vec_id, cell FROM af ORDER BY vec_id"
+  }
+
+  /** DuckDB twin of [[Similarity.embedOutliers]]: the same Lloyd CTE
+    * chain as [[kmeansOracleSql]] (so centroids are the trained ones),
+    * then the final-assignment distance re-derived with the identical
+    * IEEE expression, 6-dp decimal rounding, exact per-cell moment sums,
+    * and the mean + sigmas·σ gate token-for-token as the Spark side. */
+  private def embedOutliersOracleSql(k: Int, iters: Int,
+      sigmas: String): String = {
+    val base = kmeansOracleSql(k, iters)
+    val ctes = base.substring(0, base.lastIndexOf("\nSELECT"))
+    // mean / msq as single IEEE expressions of the exact sums
+    val mean = "(CAST(s.s1 AS DOUBLE) / s.n)"
+    val msq = "(CAST(s.s2 AS DOUBLE) / s.n)"
+    s"""$ctes,
+       |cbf AS (SELECT c, cv, list_sum(list_transform(cv, x -> x*x)) AS cc FROM c$iters),
+       |fin AS (
+       |  SELECT a.vec_id, a.cell,
+       |    CAST(round(greatest(
+       |      list_sum(list_transform(a.v, x -> x*x))
+       |        - 2.0*list_sum(list_transform(list_zip(a.v, cb.cv), z -> z[1]*z[2]))
+       |        + cb.cc, 0.0), 6) AS DECIMAL(18,6)) AS rd
+       |  FROM af a JOIN cbf cb ON cb.c = a.cell),
+       |st AS (
+       |  SELECT cell, SUM(rd) AS s1, SUM(CAST(rd*rd AS DECIMAL(38,12))) AS s2,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM fin GROUP BY 1)
+       |SELECT f.vec_id, f.cell, CAST(f.rd AS DOUBLE) AS dist,
+       |  CAST(f.rd AS DOUBLE) > $mean + $sigmas * sqrt(greatest($msq - $mean * $mean, 0.0)) AS is_outlier
+       |FROM fin f JOIN st s ON s.cell = f.cell
+       |ORDER BY f.vec_id""".stripMargin
   }
 
   /** Target mixture for [[Sampling.mixtureRates]]; shared between the
@@ -648,6 +742,7 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     "quality_lr_score" -> lrScoreSql,
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+    "embed_outliers" -> embedOutliersOracleSql(k = 8, iters = 3, sigmas = "2.0"),
 
     "text_bpe_merges" -> bpeOracleSql(nMerges = 10),
     "text_bpe_encode" -> bpeEncodeOracleSql(nMerges = 10),
@@ -1026,6 +1121,64 @@ object Corpus {
         |  THEN 'es' ELSE 'de' END AS lang_guess,
         |CAST(COUNT(*) AS BIGINT) AS n
         |FROM documents GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+
+    "text_blocklist_filter" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' via https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/x'
+        |         WHEN doc_id % 7 = 3 THEN text || ' see http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/a'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |hosts AS (
+        |  SELECT doc_id, regexp_extract(url, 'https?://([^/\s:]+)', 1) AS host
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |        FROM planted)),
+        |sufx AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |      list_transform(range(1, len(string_split(host, '.')) + 1),
+        |        i -> array_to_string(string_split(host, '.')[i:], '.')),
+        |      s -> contains(s, '.'))) AS suffix
+        |  FROM hosts),
+        |bad AS (SELECT DISTINCT doc_id FROM sufx
+        |        WHERE suffix IN ('example.org', 'cdn1.example.net'))
+        |SELECT doc_id FROM planted
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""".stripMargin,
+
+    "events_trajectories" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(event_type, 3) OVER w AS p3,
+        |    lag(event_type, 2) OVER w AS p2,
+        |    lag(event_type, 1) OVER w AS p1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT concat_ws('>', p3, p2, p1) AS ctx, event_type AS next_event,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq GROUP BY 1, 2
+        |ORDER BY n DESC, ctx, next_event LIMIT 100""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text
+        |  FROM base WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 25 = 0),
+        |b AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp_b FROM base),
+        |n AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp_n FROM nxt),
+        |d AS (
+        |  SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN fp_b IS NULL THEN 'added'
+        |         WHEN fp_n IS NULL THEN 'removed'
+        |         WHEN fp_b = fp_n THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM b FULL OUTER JOIN n ON b.doc_id = n.doc_id)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(MIN(doc_id) AS BIGINT) AS id_min,
+        |  CAST(MAX(doc_id) AS BIGINT) AS id_max
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // recomputes every probed CMS cell exactly: cell (r, b) holds the
     // total count of tokens whose md5 double-hash walk lands on b in

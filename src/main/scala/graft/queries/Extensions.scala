@@ -105,6 +105,18 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // the TRANSPOSED leak report: per eval snippet, how many corpus docs
+    // contain it — zero-hit snippets kept (left join), the eval owner's
+    // view of the same contamination relation
+    "dedup_contam_report" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snippets = docs
+        .filter(col("doc_id") % 50 === 7 && length(col("text")) >= 80)
+        .select(col("doc_id").as("eval_id"),
+          substring(col("text"), 21, 40).as("eval_text"))
+      Dedup.contaminationReport(docs, snippets).orderBy(col("eval_id"))
+    }),
+
     // Gopher repetition gates: top-token fraction + duplicate-n-gram
     // fractions per document (ratios are single IEEE divisions of exact
     // longs — no rounding step, same discipline as text_stats.stop_ratio)
@@ -364,6 +376,22 @@ object Extensions {
     "dedup_substring_contam" -> substringContamSql,
     // the automaton kernel must produce the identical relation
     "dedup_substring_contam_ac" -> substringContamSql,
+
+    "dedup_contam_report" ->
+      """WITH snippets AS (
+        |  SELECT doc_id AS eval_id, substr(text, 21, 40) AS eval_text
+        |  FROM documents WHERE doc_id % 50 = 7 AND length(text) >= 80),
+        |hits AS (
+        |  SELECT CAST(s.eval_id AS VARCHAR) AS eval_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(MIN(d.doc_id) AS BIGINT) AS doc_min,
+        |    CAST(MAX(d.doc_id) AS BIGINT) AS doc_max
+        |  FROM documents d JOIN snippets s ON contains(d.text, s.eval_text)
+        |  GROUP BY 1)
+        |SELECT CAST(s.eval_id AS VARCHAR) AS eval_id,
+        |  COALESCE(h.n_docs, 0) AS n_docs, h.doc_min, h.doc_max
+        |FROM snippets s LEFT JOIN hits h ON h.eval_id = CAST(s.eval_id AS VARCHAR)
+        |ORDER BY 1""".stripMargin,
 
     // same ratio discipline as text_stats: single double divisions of
     // exact counts, no rounding — bit-identical across engines

@@ -377,6 +377,18 @@ class CorpusSpec extends SparkSpec {
       s"neighbours crossed groups — projections degenerate: ${top.toSeq}")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by content") {
+    val base = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
+      (4L, "punct; only!")).toDF("doc_id", "text")
+    val next = Seq((1L, "same text"), (2L, "has changed"),
+      (4L, "punct only"), // differs only in punctuation -> unchanged
+      (5L, "brand new")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(base, next)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"), s"got $got")
+  }
+
   test("CountMin never undercounts and is partitioning-invariant") {
     val words = (0 until 2000).map(i => s"w${i % 97}") // 97 distinct, skewed ids
     val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -454,6 +466,23 @@ class CorpusSpec extends SparkSpec {
         .select($"doc_id").as[Long].collect().sorted.toSeq
       assert(got == exact, s"bloom path (broadcastConfirm=$bc) diverged")
     }
+  }
+
+  test("embedOutliers flags the planted far vector and spares tight members") {
+    // two tight 4-d clusters + one vector far off cluster A's center
+    val rows = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
+      val jit = (i / 2) * 0.001f
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        if (d == 1) jit else x }.toSeq)
+    } :+ (99L, Seq(4f, 4f, 0f, 0f))
+    val out = Similarity.embedOutliers(
+        rows.toDF("vec_id", "embedding"), k = 2, iters = 3, sigmas = 2.0)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 25, "one row per input vector")
+    assert(out(99L), "the planted far vector must be flagged")
+    assert(out.count(_._2) < 5,
+      s"tight members must mostly survive: ${out.filter(_._2)}")
   }
 
   test("centroidAssign assigns separated clusters back to their own centroid") {

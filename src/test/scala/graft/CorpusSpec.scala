@@ -377,6 +377,36 @@ class CorpusSpec extends SparkSpec {
       s"neighbours crossed groups — projections degenerate: ${top.toSeq}")
   }
 
+  test("domainBlocklistFilter blocks subdomains but never lookalikes or TLDs") {
+    val docs = Seq(
+      (1L, "clean doc no urls"),
+      (2L, "see https://blocked.example.com/page"),      // exact host
+      (3L, "see https://deep.a.blocked.example.com/x"),  // nested subdomain
+      (4L, "see https://notblocked.example.com/x"),      // sibling host survives
+      (5L, "see https://blockedexample.com/x"),          // lookalike survives
+      (6L, "see https://other.com/x")                    // unrelated survives
+    ).toDF("doc_id", "text")
+    val kept = TextOps.domainBlocklistFilter(docs,
+        Seq("blocked.example.com", "com")) // a bare TLD entry must be inert
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L), s"kept ${kept.toSeq}")
+  }
+
+  test("contaminationReport keeps zero-hit snippets and both kernels agree") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma zeta"),
+      (3L, "unrelated text here")
+    ).toDF("doc_id", "text")
+    val snips = Seq(("s1", "beta gamma"), ("s2", "never occurs anywhere"))
+      .toDF("eval_id", "eval_text")
+    def run(thr: Int) = Dedup.contaminationReport(docs, snips, thr)
+      .select("eval_id", "n_docs").as[(String, Long)].collect().toMap
+    val contains = run(1024)
+    assert(contains == Map("s1" -> 2L, "s2" -> 0L), s"got $contains")
+    assert(run(0) == contains, "automaton kernel must match the contains kernel")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged by content") {
     val base = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
       (4L, "punct; only!")).toDF("doc_id", "text")

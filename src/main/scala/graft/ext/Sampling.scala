@@ -73,6 +73,35 @@ object Sampling {
     }
   }
 
+  /** Temperature-scaled mixture rates — the multilingual α-sampling of
+    * mT5/XLM-R: target share_s ∝ p_s^(1/T) where p_s is stratum s's
+    * natural share. T = 1 keeps the corpus mixture, T → ∞ approaches
+    * uniform; 2–5 is the usual "boost the tail without drowning the
+    * head" range. Downsampling-only like [[mixtureRates]] (the largest
+    * feasible output is taken), and the same driver-math-over-one-count
+    * contract: the data is never shuffled.
+    *
+    * Determinism: the share normalizer is a LEFT FOLD over strata in
+    * sorted order, so the oracle's `list_sum(list(pw ORDER BY s))`
+    * reproduces the identical IEEE sum. Feed the result straight into
+    * [[stratifiedHashSample]]. */
+  def temperatureRates(df: DataFrame, stratum: Column,
+      temperature: Double): Map[String, Int] = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(stratum.cast("string").as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return Map.empty
+    val n = counts.values.sum.toDouble
+    val pw = counts.toSeq.sortBy(_._1)
+      .map { case (s, c) => s -> math.pow(c / n, 1.0 / temperature) }
+    val z = pw.map(_._2).sum
+    val shares = pw.map { case (s, p) => s -> (p / z) }
+    val scale = shares.map { case (s, share) => counts(s) / share }.min
+    shares.map { case (s, share) =>
+      s -> math.min(100, math.round(100.0 * share * scale / counts(s)).toInt)
+    }.toMap
+  }
+
   /** Deterministic train/val/test assignment: label every row with the
     * split its key hashes into, by cumulative percent ranges in the given
     * order (e.g. `Seq("train" -> 90, "val" -> 5, "test" -> 5)`). Splits

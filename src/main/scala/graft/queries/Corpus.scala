@@ -415,6 +415,19 @@ object Corpus {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled mixture (T=2) over the skewed lang column — the
+    // classic multilingual α-sampling: en downsamples, tail langs keep
+    // everything. Rates from driver math over one count aggregation,
+    // applied as the same pure hash filter; the oracle replays
+    // pow/normalize/cap/round end-to-end
+    "sample_temperature" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents")
+      val rates = Sampling.temperatureRates(docs, col("lang"),
+        temperature = 2.0)
+      Sampling.stratifiedHashSample(docs, col("doc_id"), col("lang"), rates)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
     // sequence packing: docs -> ~2000-token training bins in doc_id order
     "corpus_pack" -> ((s, dir) => {
       TextOps.packBins(
@@ -766,6 +779,23 @@ object Corpus {
          |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < rate
          |ORDER BY doc_id""".stripMargin
     },
+
+    "sample_temperature" ->
+      """WITH counts AS (
+        |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+        |p AS (SELECT s, n, pow(n / CAST(nn AS DOUBLE), 0.5) AS pw
+        |      FROM counts CROSS JOIN tot),
+        |z AS (SELECT list_sum(list(pw ORDER BY s)) AS z FROM p),
+        |sh AS (SELECT s, n, pw / z.z AS share FROM p CROSS JOIN z),
+        |scale AS (SELECT MIN(n / share) AS sc FROM sh),
+        |rates AS (
+        |  SELECT s, LEAST(100, CAST(round(100.0 * share * sc / n) AS INTEGER)) AS rate
+        |  FROM sh CROSS JOIN scale)
+        |SELECT doc_id, lang FROM documents JOIN rates ON lang = rates.s
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < rate
+        |ORDER BY doc_id""".stripMargin,
 
     "text_vocab" ->
       """WITH terms AS (

@@ -377,6 +377,24 @@ class CorpusSpec extends SparkSpec {
       s"neighbours crossed groups — projections degenerate: ${top.toSeq}")
   }
 
+  test("temperatureRates: T=1 keeps everything, T>1 boosts the tail share") {
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val t1 = Sampling.temperatureRates(docs, col("source"), temperature = 1.0)
+    assert(t1 == Map("big" -> 100, "small" -> 100),
+      s"T=1 must reproduce the natural mixture (no drops): $t1")
+    val t2 = Sampling.temperatureRates(docs, col("source"), temperature = 2.0)
+    assert(t2("small") == 100, s"rarest stratum must keep all rows: $t2")
+    assert(t2("big") < 100, s"head stratum must downsample: $t2")
+    // the sampled mixture actually tilts toward the tail
+    val kept = Sampling.stratifiedHashSample(docs, col("doc_id"),
+        col("source"), t2)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val tailShare = kept("small").toDouble / (kept("big") + kept("small"))
+    assert(tailShare > 0.1 && tailShare < 0.5,
+      s"tail share should rise above its natural 10%: $kept")
+  }
+
   test("domainBlocklistFilter blocks subdomains but never lookalikes or TLDs") {
     val docs = Seq(
       (1L, "clean doc no urls"),

@@ -36,4 +36,29 @@ object DocStreams {
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .join(baseFp.select(col("fp")), Seq("fp"), "left_anti")
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming DECONTAMINATION gate: drop stream documents sharing any
+    * word n-gram with the benchmark set — [[graft.ext.Dedup.decontaminate]]'s
+    * streaming twin (equivalence spec-asserted in DocStreamsSpec).
+    *
+    * The benchmark reduces ONCE on the driver to its distinct shingle
+    * set (eval suites are tiny) and rides the plan as a literal array
+    * behind a scan-stage overlap predicate — STATELESS, so it composes
+    * anywhere in a streaming chain: no join state, no watermark
+    * interaction, and micro-batches never re-derive the eval side. At
+    * eval sizes past literal-array comfort (~10⁶ shingles), swap the
+    * confirm for the [[graft.functions.BloomMightContain]] prefilter +
+    * stream-static semi-join — the batch bloom path's shape. */
+  def decontaminatedStream(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    import graft.ext.Dedup
+    val shs: Array[String] = benchmark
+      .select(explode_outer(Dedup.shingles(col("text"), n)).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+      .collect().map(_.getString(0))
+    // null-compact the doc shingles: arrays_overlap is three-valued with
+    // null elements and a null verdict must not drop the row
+    val docShs = filter(Dedup.shingles(col("text"), n), x => x.isNotNull)
+    docs.filter(!arrays_overlap(docShs, lit(shs)))
+  }
 }

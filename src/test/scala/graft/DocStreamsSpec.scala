@@ -31,6 +31,29 @@ class DocStreamsSpec extends SparkSpec {
     assert(viaFlags == viaKeep, "qualityKeep diverged from qualityFlags")
   }
 
+  test("streaming decontamination drops exactly the batch operator's drops") {
+    val bench = docs.filter(col("doc_id") % 50 === 7)
+      .select(concat_ws(" ",
+        slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+    val dir = Files.createTempDirectory("deconstream")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    graft.sources.ParquetSlices.writeSingleFile(
+      withTs(half), dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(
+      withTs(docs.filter(col("doc_id") % 2 === 1)), dir.resolve("b1.parquet"))
+    val src = spark.readStream.schema(withTs(half).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = DocStreams.decontaminatedStream(src, bench, n = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("decon").select("doc_id").as[Long].collect().sorted
+    val batch = Dedup.decontaminate(docs, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == batch.toSeq,
+      s"stream kept ${got.length}, batch kept ${batch.length}")
+  }
+
   test("streaming curation gates, dedupes vs base, and dedupes within the stream") {
     val base = docs.filter(col("doc_id") % 3 =!= 0)
     val baseFp = base.select(TextOps.fingerprint(col("text")).as("fp")).distinct()

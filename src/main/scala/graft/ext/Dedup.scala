@@ -290,6 +290,33 @@ object Dedup {
         col("doc_min"), col("doc_max"))
   }
 
+  /** MOSS-style near-dup candidate pairs via WINNOWING fingerprints
+    * (Schleimer et al. 2003): docs sharing >= `minShared` winnow
+    * fingerprints — the character-level complement of the word-shingle
+    * detectors, robust to tokenization differences because the
+    * fingerprints hash raw char 8-grams.
+    *
+    * Same linear posting-list pipeline as [[ngramJaccardPairs]] (scan →
+    * fingerprint explode → posting agg → in-list pair emission → pair
+    * count), and the same df-cap safety valve: `maxDocFreq` drops
+    * fingerprints shared by too many docs (boilerplate substrings)
+    * BEFORE pairing, which both bounds the pair blowup and is what makes
+    * shared-count a near-dup signal rather than a common-phrase one.
+    * Returns (i, j, n_shared), i < j. */
+  def winnowPairs(docs: DataFrame, minShared: Int = 10,
+      maxDocFreq: Int = 8): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.Winnow.winnow(col("text"))).as("fp"))
+    val posting = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDocFreq))
+    posting
+      .select(explode(orderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("i"), col("p.b").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** All ordered pairs (a < b by list position) from a sorted posting
     * list of structs. Emitted IN the task holding the posting — the
     * standard MapReduce near-dup shape: pair blowup is local to each

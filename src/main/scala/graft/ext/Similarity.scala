@@ -53,6 +53,22 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Exact MAXIMUM-INNER-PRODUCT top-k — [[bruteForceTopK]] without the
+    * normalization: the retrieval form for embeddings whose magnitude
+    * carries signal (recommendation scores, unnormalized output heads).
+    * Same plan shape: corpus scan × broadcast queries, per-partition
+    * partial top-k via the rank window, no corpus shuffle. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ip", round(dot(col("v"), col("qv")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("vec_id"))
+    scored.select(col("qid"), col("vec_id"), col("ip"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
   /** Seeded random hyperplanes: `nBits` directions in `dim` dimensions. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)

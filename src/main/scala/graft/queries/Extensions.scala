@@ -178,6 +178,14 @@ object Extensions {
       Similarity.nearDupPairs(tf(s, dir, "embeddings"), topN = 20)
     }),
 
+    // unnormalized retrieval: inner product replaces cosine — magnitude
+    // carries signal; same broadcast-queries scan shape
+    "ann_mips_topk" -> ((s, dir) => {
+      val emb = tf(s, dir, "embeddings")
+      Similarity.mipsTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // int8-quantized brute-force top-k: exact integer dot products over
     // absmax-quantized vectors (4x smaller than float32 at rest and in
     // shuffle). Bit-for-bit oracle-checkable — see Quantize's determinism
@@ -327,6 +335,19 @@ object Extensions {
         .select(col("doc_id"), size(fp).cast("long").as("n_fp"),
           element_at(fp, 1).as("min_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MOSS-style near-dup pairs: planted copies (text || ' !!') share
+    // nearly all char-8-gram winnow fingerprints with their source; the
+    // df cap keeps common-substring fingerprints out of the pair pool
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 7)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" !!")).as("text")))
+      Dedup.winnowPairs(planted, minShared = 10, maxDocFreq = 8)
+        .orderBy(col("i"), col("j"))
     }),
 
     "multimodal_features" -> ((s, dir) => {
@@ -508,6 +529,16 @@ object Extensions {
 
     "ann_cosine_topk" -> bruteForceTopkSql,
 
+    "ann_mips_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |p AS (SELECT qid, vec_id,
+        |    round(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])), 4) AS ip
+        |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, ip,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS INTEGER) AS rk FROM p)
+        |SELECT qid, vec_id, ip, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     // Mirrors Quantize.pqTopKFixed / pqAdc: m=8 subspaces of 8 dims,
     // cbSize=16 codewords = subvectors of normalized vectors vec_id<16.
     // Encode picks argmin_j ||cw_j||^2 - 2 sv·cw_j (tie by code, as the
@@ -676,6 +707,38 @@ object Extensions {
         |  FROM h)
         |SELECT doc_id, len(minima) AS n_fp, list_min(hs) AS min_fp
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' !!' FROM documents WHERE doc_id % 25 = 7),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(text) < 8 THEN [] ELSE
+        |      list_transform(range(1, len(text)-8+2), i ->
+        |        list_reduce(list_transform(range(i, i+8), j -> ord(text[j])::BIGINT),
+        |                    (acc, c) -> (acc*257 + c) % 1000000007))
+        |    END AS hs
+        |  FROM docs),
+        |m AS (
+        |  SELECT doc_id, hs,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 6 THEN [list_min(hs)]
+        |         ELSE list_distinct(list_transform(range(1, len(hs)-6+2), w ->
+        |                list_min(hs[w:w+5])))
+        |    END AS minima
+        |  FROM h),
+        |fps AS (SELECT doc_id, unnest(minima) AS fp FROM m),
+        |posting AS (
+        |  SELECT fp, list_sort(list(doc_id)) AS ds FROM fps GROUP BY fp
+        |  HAVING COUNT(*) BETWEEN 2 AND 8),
+        |cand AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(ds)), x ->
+        |    list_transform(ds[x+1:], y -> struct_pack(a := ds[x], b := y))))) AS p
+        |  FROM posting)
+        |SELECT p.a AS i, p.b AS j, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 10 ORDER BY i, j""".stripMargin,
 
     "text_tfidf_top" ->
       """WITH terms AS (

@@ -377,6 +377,24 @@ class CorpusSpec extends SparkSpec {
       s"neighbours crossed groups — projections degenerate: ${top.toSeq}")
   }
 
+  test("winnowPairs pairs a near-copy and ignores distinct docs") {
+    // distinct per-doc vocabulary -> every fingerprint is rare, so the
+    // planted copy's overlap survives the df cap
+    val docs = (1 to 30).map(i =>
+      (i.toLong, (1 to 40).map(t => s"d${i}q$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val planted = docs.unionByName(
+      docs.filter($"doc_id" === 5)
+        .select(lit(105L).as("doc_id"),
+          concat($"text", lit(" !!")).as("text")))
+    val pairs = Dedup.winnowPairs(planted, minShared = 10, maxDocFreq = 8)
+      .select("i", "j", "n_shared").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.contains((5L, 105L)), s"planted pair missing from $pairs")
+    assert(pairs((5L, 105L)) >= 10L, "copy must share most fingerprints")
+    assert(!pairs.contains((1L, 2L)), "distinct docs must not pair")
+  }
+
   test("temperatureRates: T=1 keeps everything, T>1 boosts the tail share") {
     val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
       (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")

@@ -372,6 +372,35 @@ object Corpus {
         .orderBy(col("n_exact").desc, col("term"))
     }),
 
+    // vocabulary coverage curve: what fraction of all token occurrences
+    // the top-{3,10,30} terms account for (checkpoints sized to the
+    // fixture's ~31-term vocabulary; a web corpus would use
+    // {1k,10k,100k} — the shape is the point). NO global window: the
+    // top slice arrives via top-k (TakeOrderedAndProject) and ranks are
+    // assigned on those rows only; totals are one exact aggregation.
+    // Ratios are single IEEE divisions of exact longs.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term"))
+      val vocab = tf(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val top = vocab.orderBy(col("n").desc, col("term")).limit(30)
+        .withColumn("r", row_number().over(wTop))
+      val tot = vocab.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_terms"))
+      top.agg(
+          sum(when(col("r") <= 3, col("n"))).as("top3"),
+          sum(when(col("r") <= 10, col("n"))).as("top10"),
+          sum(col("n")).as("top30"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_terms"), col("total"), col("top3"), col("top10"),
+          col("top30"),
+          (col("top3").cast("double") / col("total")).as("cov3"),
+          (col("top10").cast("double") / col("total")).as("cov10"),
+          (col("top30").cast("double") / col("total")).as("cov30"))
+    }),
+
     // per-source unigram KL drift against the corpus mixture
     "text_unigram_kl" -> ((s, dir) => {
       TextOps.unigramKl(
@@ -1229,6 +1258,25 @@ object Corpus {
         |SELECT t.term, t.n_exact, CAST(MIN(c.c) AS BIGINT) AS n_est
         |FROM top t JOIN cells c ON c.b = (t.h1 + c.r * t.h2) % 256
         |GROUP BY 1, 2 ORDER BY t.n_exact DESC, t.term""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH vocab AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents) GROUP BY term),
+        |top AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+        |  FROM vocab ORDER BY n DESC, term LIMIT 30),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms FROM vocab)
+        |SELECT n_terms, total,
+        |  CAST(SUM(CASE WHEN r <= 3 THEN n END) AS BIGINT) AS top3,
+        |  CAST(SUM(CASE WHEN r <= 10 THEN n END) AS BIGINT) AS top10,
+        |  CAST(SUM(n) AS BIGINT) AS top30,
+        |  CAST(SUM(CASE WHEN r <= 3 THEN n END) AS BIGINT)::DOUBLE / total AS cov3,
+        |  CAST(SUM(CASE WHEN r <= 10 THEN n END) AS BIGINT)::DOUBLE / total AS cov10,
+        |  CAST(SUM(n) AS BIGINT)::DOUBLE / total AS cov30
+        |FROM top CROSS JOIN tot GROUP BY n_terms, total""".stripMargin,
 
     "text_unigram_kl" ->
       """WITH toks AS (

@@ -867,6 +867,34 @@ object Relational {
         .limit(25)
     }),
 
+    // ---- ordered conversion funnel with a 3-day attribution window at
+    // each stage: first view -> first click within the window -> first
+    // purchase within the window, stage reach + conversion ratios.
+    // Three grouped mins, each join keyed on user_id so the shuffles
+    // align; ratios are single IEEE divisions of exact counts.
+    "q69_funnel" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("INTERVAL 3 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("INTERVAL 3 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          (col("n_click").cast("double") / col("n_view")).as("r_click"),
+          (col("n_purchase").cast("double") / col("n_click")).as("r_purchase"))
+    }),
+
     // ---- data profiling (ANALYZE surface): per-column row/null/distinct
     // counts and min/max in ONE scan of the table; doubles go through
     // DECIMAL so the stringified extremes render identically on any
@@ -1214,6 +1242,23 @@ object Relational {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
         |GROUP BY 1, 2
         |ORDER BY total_spend DESC, c_custkey LIMIT 25""".stripMargin,
+
+    "q69_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL 3 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL 3 DAY GROUP BY 1),
+        |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase)
+        |SELECT n_view, n_click, n_purchase,
+        |  n_click::DOUBLE / n_view AS r_click,
+        |  n_purchase::DOUBLE / n_click AS r_purchase
+        |FROM n""".stripMargin,
 
     "q68_profile" ->
       """SELECT * FROM (

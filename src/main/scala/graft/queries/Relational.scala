@@ -895,6 +895,27 @@ object Relational {
           (col("n_purchase").cast("double") / col("n_click")).as("r_purchase"))
     }),
 
+    // ---- weekly cohort retention matrix: users bucketed by signup week,
+    // counted in each later activity week. Week-truncation keeps the
+    // offset arithmetic exact (differences are whole multiples of 7
+    // days); one distinct-activity pass + one user-keyed join.
+    "q70_retention" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_wk"))
+      val activity = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      cohort.join(activity, Seq("user_id"))
+        .filter(col("wk") >= col("cohort_wk"))
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     // ---- data profiling (ANALYZE surface): per-column row/null/distinct
     // counts and min/max in ONE scan of the table; doubles go through
     // DECIMAL so the stringified extremes render identically on any
@@ -1242,6 +1263,18 @@ object Relational {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
         |GROUP BY 1, 2
         |ORDER BY total_spend DESC, c_custkey LIMIT 25""".stripMargin,
+
+    "q70_retention" ->
+      """WITH su AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_wk
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |        FROM events),
+        |j AS (SELECT s.cohort_wk, a.wk, s.user_id
+        |      FROM su s JOIN act a USING (user_id) WHERE a.wk >= s.cohort_wk)
+        |SELECT cohort_wk, CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q69_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events

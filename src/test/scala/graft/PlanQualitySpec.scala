@@ -97,6 +97,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
   }
 
+  test("q69_funnel pushes each stage's event_type filter into its scan") {
+    val p = plan("q69_funnel")
+    Seq("view", "click", "purchase").foreach(t =>
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"stage filter for '$t' not pushed to the events scan:\n$p"))
+  }
+
   test("dedup_bloom_contam probes the bloom before the confirm join") {
     val p = plan("dedup_bloom_contam")
     assert(p.contains("bloom_might_contain"),

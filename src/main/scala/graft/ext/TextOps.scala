@@ -102,6 +102,57 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Okapi BM25 retrieval (Robertson & Spärck Jones; k1=1.2, b=0.75):
+    * score every document against a small (qid, term) query-term table
+    * and return the top-k per query. The standard lexical-retrieval leg
+    * of training-data curation — targeted decontamination, eval-set
+    * neighbor pulls, retrieval-augmented filtering.
+    *
+    * Shape at 100 TB: ONE explode feeds the (doc, term) tf table; doc
+    * length and document frequency are both derived FROM tf (sum / count
+    * per key), so no second pass over the corpus. The query table is
+    * explicitly broadcast — scoring is a map-side hash join against the
+    * tf shuffle, and only docs containing a query term survive it. The
+    * corpus-stats row (N, total length) is a broadcast scalar. Top-k
+    * ranks inside each query's candidate set only. At real scale the tf
+    * table would be materialized once (an inverted index) and reused
+    * across query batches rather than recomputed per call.
+    *
+    * Determinism: each per-term score is one chain of IEEE ops from
+    * exact longs, rounded to 6 dp and summed as DECIMAL(18,6) — the
+    * same contract as [[bigramNll]] — then surfaced as double (lossless:
+    * value*1e6 << 2^53). Ties rank by doc_id.
+    *
+    * Returns (qid, rn, doc_id, n_hit, score), rn = 1..k. */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int = 10): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val num = col("tf").cast("double") * lit(2.2) // k1 + 1
+    val den = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(queryTerms), Seq("term"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", round(idf * (num / den), 6).cast(DecimalType(18, 6)))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("s")).cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("doc_id"), col("n_hit"), col("score"))
+  }
+
   /** Corpus vocabulary: per token, total occurrences and document
     * frequency. One explode + one grouped aggregation (count-distinct on
     * doc_id plans as a two-phase expand-agg, all partials map-side).

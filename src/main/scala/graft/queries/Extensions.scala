@@ -324,6 +324,25 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval: top-10 docs per query for a deterministic query
+    // set — the corpus's top-9 document-frequency terms, three per
+    // query (fixture-independent, oracle-replayable). The query-term
+    // table is broadcast; scoring touches only docs containing a term.
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dfT = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w9 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("term"))
+      val qt = dfT.orderBy(col("df").desc, col("term")).limit(9)
+        .withColumn("rn", row_number().over(w9))
+        .select(when(col("rn") <= 3, 1L).when(col("rn") <= 6, 2L)
+          .otherwise(3L).as("qid"), col("term"))
+      TextOps.bm25TopK(docs, qt).orderBy(col("qid"), col("rn"))
+    }),
+
     // Winnowing fingerprints summarized to scalars. Oracle-checked: the
     // Rabin-Karp k-gram hash (base 257 mod 1e9+7 over char codes) and the
     // rightmost-min window selection are both replayed in DuckDB list
@@ -739,6 +758,37 @@ object Extensions {
         |  FROM posting)
         |SELECT p.a AS i, p.b AS j, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 10 ORDER BY i, j""".stripMargin,
+
+    // BM25: one ln + one IEEE op chain per (doc, query-term), rounded to
+    // 6 dp and summed as DECIMAL(18,6) — the bigram-NLL determinism
+    // contract. Expression association mirrors the Spark side exactly.
+    "text_bm25_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        |qt AS (SELECT CASE WHEN rn <= 3 THEN 1 WHEN rn <= 6 THEN 2 ELSE 3 END AS qid, term
+        |       FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn FROM df)
+        |       WHERE rn <= 9),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * 2.2) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |           (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+        |      6)::DECIMAL(18,6) AS s
+        |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |               CAST(SUM(s) AS DOUBLE) AS score
+        |        FROM scored GROUP BY 1, 2)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rn, doc_id, n_hit, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |      FROM agg)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
 
     "text_tfidf_top" ->
       """WITH terms AS (

@@ -97,6 +97,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
   }
 
+  test("text_bm25_topk broadcasts the query terms; scoring stays join-pruned") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian product in bm25 plan:\n$p")
+    // tf must pre-aggregate map-side before its shuffle
+    assert(p.contains("partial_count"),
+      s"missing map-side partial count for tf:\n$p")
+  }
+
   test("q69_funnel pushes each stage's event_type filter into its scan") {
     val p = plan("q69_funnel")
     Seq("view", "click", "purchase").foreach(t =>

@@ -916,6 +916,36 @@ object Relational {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // ---- rank-function suite: ntile quartiles + percent_rank/cume_dist
+    // per market segment, summarized per quartile. The (price, orderkey)
+    // sort key removes ties, so every rank function is fully
+    // deterministic; percent_rank and cume_dist are single IEEE ratios
+    // of exact longs (identical in any engine). Coverage query for the
+    // rank family — at 100 TB a 5-segment window is a 5-task sort, so
+    // real quantile assignment at scale goes through ops.Layout range
+    // sharding or approx quantiles instead.
+    "q71_rank_suite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo_price"),
+          max(col("o_totalprice")).as("hi_price"),
+          min(col("pr")).as("min_pr"),
+          max(col("cd")).as("max_cd"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    }),
+
     // ---- data profiling (ANALYZE surface): per-column row/null/distinct
     // counts and min/max in ONE scan of the table; doubles go through
     // DECIMAL so the stringified extremes render identically on any
@@ -1263,6 +1293,20 @@ object Relational {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
         |GROUP BY 1, 2
         |ORDER BY total_spend DESC, c_custkey LIMIT 25""".stripMargin,
+
+    "q71_rank_suite" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey))
+        |SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price,
+        |  MIN(pr) AS min_pr, MAX(cd) AS max_cd
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q70_retention" ->
       """WITH su AS (

@@ -153,6 +153,38 @@ object TextOps {
       .select(col("qid"), col("rn"), col("doc_id"), col("n_hit"), col("score"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * word shingles first seen in THAT doc, under the corpus's doc_id
+    * order (crawl/ingest order in a real pipeline). The standard
+    * corpus-redundancy readout — a falling novelty curve says new data
+    * is mostly repeating what the corpus already holds, the signal for
+    * when to stop crawling a source or tighten dedup.
+    *
+    * Shape at 100 TB: one explode → distinct (doc, shingle) pairs; the
+    * first-occurrence index is a grouped MIN keyed by shingle (the same
+    * posting shuffle every [[Dedup]] detector uses, partials map-side);
+    * the join back is shingle-keyed and the per-doc counts combine
+    * map-side. No self-join, no window, no driver state.
+    *
+    * Determinism: counts are exact longs; novelty is a single IEEE
+    * division. Docs with fewer than n tokens have no shingles and are
+    * absent, matching the oracle's empty range.
+    *
+    * Returns (doc_id, n_shingles, n_novel, novelty). */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   /** Corpus vocabulary: per token, total occurrences and document
     * frequency. One explode + one grouped aggregation (count-distinct on
     * doc_id plans as a two-phase expand-agg, all partials map-side).

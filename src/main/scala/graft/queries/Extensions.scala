@@ -324,6 +324,15 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // n-gram novelty curve: per-doc fraction of shingles first seen in
+    // that doc under doc_id (ingest) order — the corpus-redundancy
+    // readout that says when a source stops contributing new content.
+    "text_ngram_novelty" -> ((s, dir) => {
+      TextOps.ngramNovelty(
+        tf(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 retrieval: top-10 docs per query for a deterministic query
     // set — the corpus's top-9 document-frequency terms, three per
     // query (fixture-independent, oracle-replayable). The query-term
@@ -758,6 +767,17 @@ object Extensions {
         |  FROM posting)
         |SELECT p.a AS i, p.b AS j, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 10 ORDER BY i, j""".stripMargin,
+
+    "text_ngram_novelty" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |$shinglesSql,
+         |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh_idx GROUP BY sh)
+         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS novelty
+         |FROM sh_idx s JOIN fo f USING (sh)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // BM25: one ln + one IEEE op chain per (doc, query-term), rounded to
     // 6 dp and summed as DECIMAL(18,6) — the bigram-NLL determinism

@@ -108,6 +108,14 @@ class PlanQualitySpec extends SparkSpec {
       s"missing map-side partial count for tf:\n$p")
   }
 
+  test("text_ngram_novelty is a shingle-keyed posting pipeline, no self-join") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must stay shingle-equi-joined:\n$p")
+    assert(!p.contains("Window"), s"no window needed for novelty:\n$p")
+  }
+
   test("q69_funnel pushes each stage's event_type filter into its scan") {
     val p = plan("q69_funnel")
     Seq("view", "click", "purchase").foreach(t =>

@@ -317,6 +317,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Source-level overlap matrix: Jaccard similarity between every pair
+    * of sources over their distinct word-shingle sets — "how much does
+    * source A repeat source B", the readout that drives mixture design
+    * and cross-source dedup ordering (dedupe the smaller, lower-quality
+    * source against the larger one, not vice versa).
+    *
+    * Shape at 100 TB: shingles collapse to (source, shingle) DISTINCT
+    * pairs FIRST, so every posting list is bounded by the number of
+    * sources (tens), never by document frequency — no df cap needed, no
+    * fat buckets possible. Pair emission is in-task from each posting
+    * (the same linear pipeline as every detector here), the per-source
+    * set sizes are a tiny aggregate joined back at the end (broadcast at
+    * any scale).
+    *
+    * Determinism: exact long counts; jaccard is a single IEEE division.
+    *
+    * Returns (src_a, src_b, n_shared, sz_a, sz_b, jaccard), a < b. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ss = docs
+      .select(col("source"), explode(shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val posting = ss.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    posting
+      .select(explode(orderedPairs(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")),
+        Seq("src_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_shared")))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"), col("jaccard"))
+  }
+
   /** All ordered pairs (a < b by list position) from a sorted posting
     * list of structs. Emitted IN the task holding the posting — the
     * standard MapReduce near-dup shape: pair blowup is local to each

@@ -324,6 +324,15 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // source-overlap matrix: source-pair Jaccard over distinct shingle
+    // sets — posting lists bounded by the source count, so no df cap.
+    "corpus_source_overlap" -> ((s, dir) => {
+      Dedup.sourceOverlap(
+        tf(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source")))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // n-gram novelty curve: per-doc fraction of shingles first seen in
     // that doc under doc_id (ingest) order — the corpus-redundancy
     // readout that says when a source stops contributing new content.
@@ -767,6 +776,27 @@ object Extensions {
         |  FROM posting)
         |SELECT p.a AS i, p.b AS j, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 10 ORDER BY i, j""".stripMargin,
+
+    "corpus_source_overlap" ->
+      """WITH sh_raw AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+        |          FROM documents))),
+        |sizes AS (SELECT source, COUNT(*) AS sz FROM sh_raw GROUP BY 1),
+        |posting AS (SELECT sh, list_sort(list(source)) AS ss
+        |            FROM sh_raw GROUP BY sh HAVING COUNT(*) >= 2),
+        |cand AS (SELECT unnest(flatten(list_transform(range(1, len(ss)), x ->
+        |    list_transform(ss[x+1:], y -> struct_pack(a := ss[x], b := y))))) AS p
+        |  FROM posting),
+        |pairs AS (SELECT p.a AS src_a, p.b AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |          FROM cand GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+        |FROM pairs JOIN sizes sa ON src_a = sa.source
+        |           JOIN sizes sb ON src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "text_ngram_novelty" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents),

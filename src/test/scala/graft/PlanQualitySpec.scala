@@ -108,6 +108,14 @@ class PlanQualitySpec extends SparkSpec {
       s"missing map-side partial count for tf:\n$p")
   }
 
+  test("corpus_source_overlap emits pairs in-task; sizes join back broadcast") {
+    val p = plan("corpus_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"source overlap must not shuffle-join the pair space:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source sizes should broadcast into the pair counts:\n$p")
+  }
+
   test("text_ngram_novelty is a shingle-keyed posting pipeline, no self-join") {
     val p = plan("text_ngram_novelty")
     assert(!p.contains("CartesianProduct") &&

@@ -92,4 +92,29 @@ object Cluster {
       .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
+
+  /** APPLY clustered dedup keeping the BEST member per component by
+    * `score` (descending, doc_id ascending tiebreak) instead of the
+    * min-id member — the production survivor policy: when a cluster
+    * holds a raw crawl, a cleaned re-crawl, and a truncated mirror,
+    * keep the highest-quality copy, whichever id it landed under.
+    *
+    * Shape: components label only docs that appear in a pair, so the
+    * corpus joins the (small) label set left-outer and singletons
+    * become their own cluster without touching the propagation. The
+    * survivor pick is ONE window pass partitioned by cluster — at scale
+    * a single shuffle keyed by cluster_id, with clusters near-clique
+    * sized (tens), never corpus-sized.
+    *
+    * Returns the surviving rows of `docs` plus their cluster_id. */
+  def applyClusterDedupBest(docs: DataFrame, pairs: DataFrame,
+      score: org.apache.spark.sql.Column): DataFrame = {
+    val labeled = docs
+      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(score.desc, col("doc_id"))
+    labeled.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
 }

@@ -106,6 +106,18 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // quality-aware survivor policy: keep the LONGEST member of each
+    // duplicate cluster (tiebreak doc_id) — here the planted "+ extra
+    // token tail" near-dups beat their originals, demonstrating the
+    // survivor really follows the score, not the id.
+    "dedup_apply_best" -> ((s, dir) => {
+      Cluster.applyClusterDedupBest(Extensions.plantedDocs(s, dir),
+          plantedPairs(s, dir), length(col("text")))
+        .select(col("doc_id"), col("cluster_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-exact dedup on the NORMALIZED fingerprint: catches whitespace/
     // punctuation-only reformattings that raw-hash dedup misses. Planted:
     // doc_id%25==7 re-landed with doubled spaces and a trailing "!!"
@@ -900,6 +912,18 @@ object Corpus {
          |SELECT doc_id FROM docs
          |WHERE doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply_best" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |$compsSql,
+         |lab AS (
+         |  SELECT d.doc_id, d.text, COALESCE(c.comp, d.doc_id) AS cluster_id
+         |  FROM docs d LEFT JOIN comps c ON d.doc_id = c.id)
+         |SELECT doc_id, cluster_id, CAST(length(text) AS BIGINT) AS n_chars FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY length(text) DESC, doc_id) AS rn
+         |  FROM lab)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_apply_pairs" ->
       s"""WITH $pairsSql

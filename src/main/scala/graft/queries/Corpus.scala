@@ -106,6 +106,22 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split assignment: hash the CLUSTER id, not the doc
+    // id, so every near-duplicate cluster lands in ONE split — the
+    // standard guard against train/test leakage through near-dups that
+    // per-doc hashing cannot give. Singletons hash their own id (same
+    // as sample_split); only clustered docs move.
+    "sample_split_clustered" -> ((s, dir) => {
+      val labeled = Extensions.plantedDocs(s, dir)
+        .join(Cluster.connectedComponents(plantedPairs(s, dir)),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      Sampling.assignSplits(labeled, col("cluster_id"),
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality-aware survivor policy: keep the LONGEST member of each
     // duplicate cluster (tiebreak doc_id) — here the planted "+ extra
     // token tail" near-dups beat their originals, demonstrating the
@@ -911,6 +927,18 @@ object Corpus {
          |$compsSql
          |SELECT doc_id FROM docs
          |WHERE doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split_clustered" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |$compsSql,
+         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+         |        FROM docs d LEFT JOIN comps c ON d.doc_id = c.id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |    CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+         |  FROM lab)
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_apply_best" ->

@@ -324,6 +324,19 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source token-length histogram (fixed 32-token bins, integer
+    // div — no float log2 whose last-ulp differs across engines): the
+    // sequence-length readout that sizes packBins bins and context
+    // windows. One scan, map-side-combinable counts.
+    "text_length_histogram" -> ((s, dir) => {
+      tf(s, dir, "documents")
+        .select(col("source"), TextOps.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source"), expr("n_tok div 32").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // source-overlap matrix: source-pair Jaccard over distinct shingle
     // sets — posting lists bounded by the source count, so no df cap.
     "corpus_source_overlap" -> ((s, dir) => {
@@ -776,6 +789,14 @@ object Extensions {
         |  FROM posting)
         |SELECT p.a AS i, p.b AS j, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 10 ORDER BY i, j""".stripMargin,
+
+    "text_length_histogram" ->
+      """SELECT source, CAST(n_tok // 32 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        |FROM (SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tok
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "corpus_source_overlap" ->
       """WITH sh_raw AS (

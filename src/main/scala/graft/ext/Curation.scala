@@ -42,6 +42,43 @@ object Curation {
     TextOps.packBins(clean, tokensPerBin, boundarySource = docs)
   }
 
+  /** Per-document curation audit: the FIRST gate of [[curate]] that
+    * removed each doc — 'quality' (gate predicate fails), 'duplicate'
+    * (quality passer but not the min-id member of its normalized
+    * fingerprint group), 'contaminated' (dedup survivor sharing an
+    * n-gram with the benchmark) — or 'kept'. The "why did my document
+    * disappear" surface a production pipeline answers constantly;
+    * mirrors [[curate]]'s gate ORDER exactly, so a doc dropped by two
+    * gates reports the earlier one, same as the pipeline behaves.
+    *
+    * Shape: same pieces as the curate plan — scan-stage quality flag,
+    * one fingerprint-keyed window for the dup rank, survivor shingles
+    * semi-joined against the broadcast benchmark — plus doc_id-keyed
+    * left joins to assemble the verdicts. Nothing new shuffles the
+    * corpus; the audit costs roughly what the pipeline itself costs. */
+  def explainCuration(docs: DataFrame, benchmark: DataFrame,
+      ngram: Int = 8): DataFrame = {
+    val q = docs.select(col("doc_id"), col("text"),
+      TextOps.qualityKeep(col("text")).as("_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.fingerprint(col("text"))).orderBy(col("doc_id"))
+    val ranked = q.filter(col("_q"))
+      .select(col("doc_id"), col("text"))
+      .withColumn("_rn", row_number().over(w))
+    val contam = Dedup.contaminatedIds(
+        ranked.filter(col("_rn") === 1).select(col("doc_id"), col("text")),
+        benchmark, ngram)
+      .withColumn("_c", lit(true))
+    q.select(col("doc_id"), col("_q"))
+      .join(ranked.select(col("doc_id"), col("_rn")), Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("_q"), "quality")
+          .when(col("_rn") > 1, "duplicate")
+          .when(col("_c"), "contaminated")
+          .otherwise("kept").as("reason"))
+  }
+
   /** Snapshot DIFF between two corpus versions: per doc_id, compare the
     * content fingerprint ([[TextOps.fingerprint]] — robust to
     * whitespace/punctuation-only edits) and classify

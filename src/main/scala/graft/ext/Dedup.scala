@@ -117,6 +117,15 @@ object Dedup {
     * size); pass false for an unusually large eval suite and the same
     * plan becomes a shuffled semi join on the shingle key. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, n, broadcastBenchmark),
+      Seq("doc_id"), "left_anti")
+
+  /** The doc ids [[decontaminate]] removes — sharing at least one word
+    * n-gram with the benchmark — exposed for audit surfaces that need
+    * the FLAG rather than the filtered corpus. Same plan: benchmark
+    * shingles broadcast, corpus ONE scan, semi join on the shingle. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
       broadcastBenchmark: Boolean = true): DataFrame = {
     // explode_outer + null filter: see ngramJaccardPairs — plain explode
     // would re-run the shingle expression twice per row in a scan filter
@@ -124,12 +133,11 @@ object Dedup {
       .select(explode_outer(shingles(col("text"), n)).as("sh"))
       .filter(col("sh").isNotNull).distinct()
     val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
-    val contaminated = corpus
+    corpus
       .select(col("doc_id"), explode_outer(shingles(col("text"), n)).as("sh"))
       .filter(col("sh").isNotNull)
       .join(benchSide, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
-    corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** [[decontaminate]] with a Bloom prefilter — same rows, different

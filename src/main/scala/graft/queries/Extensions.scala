@@ -324,6 +324,36 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // MinHash calibration: estimated vs TRUE Jaccard for every pair the
+    // LSH detector emits — the readout that justifies (or retunes) the
+    // band/row parameters before trusting the estimate at scale. True
+    // Jaccard is computed only for the candidate pairs (LSH's whole
+    // point: that set is small), via two doc-keyed joins against the
+    // shingle index.
+    "dedup_minhash_calibration" -> ((s, dir) => {
+      val docs = plantedDocs(s, dir)
+      val est = Dedup.minhashLshPairs(docs)
+      val sh = docs
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = est.select(col("i"), col("j"))
+        .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
+        .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      est.join(inter, Seq("i", "j"), "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("i"), col("sz").as("szi")), Seq("i"))
+        .join(sizes.select(col("doc_id").as("j"), col("sz").as("szj")), Seq("j"))
+        .withColumn("true_jaccard", col("c0").cast("double") /
+          (col("szi") + col("szj") - col("c0")))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("true_jaccard")), 6))
+        .select(col("i"), col("j"), col("est_jaccard"),
+          col("true_jaccard"), col("abs_err"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // per-source token-length histogram (fixed 32-token bins, integer
     // div — no float log2 whose last-ulp differs across engines): the
     // sequence-length readout that sizes packBins bins and context
@@ -559,6 +589,44 @@ object Extensions {
          |JOIN sigs sb ON cand.j = sb.doc_id
          |WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5
          |ORDER BY i, j""".stripMargin
+    },
+
+    "dedup_minhash_calibration" -> {
+      val bandSql = (0 until 4).map { bnd =>
+        val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws('-', $cols)) AS bh FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      val eqSum = (0 until 16)
+        .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $plantedSql,
+         |$shinglesSql,
+         |$minhashSigSql,
+         |bands AS (
+         |  $bandSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT i, j, CAST($eqSum AS DOUBLE) / 16.0 AS est_jaccard
+         |  FROM cand JOIN sigs sa ON cand.i = sa.doc_id
+         |  JOIN sigs sb ON cand.j = sb.doc_id
+         |  WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_idx GROUP BY 1),
+         |inter AS (
+         |  SELECT e.i, e.j, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM est e JOIN sh_idx a ON a.doc_id = e.i
+         |  JOIN sh_idx b ON b.doc_id = e.j AND b.sh = a.sh
+         |  GROUP BY e.i, e.j),
+         |tj AS (
+         |  SELECT e.i, e.j, e.est_jaccard,
+         |    CAST(COALESCE(c, 0) AS DOUBLE) / (si.sz + sj.sz - COALESCE(c, 0)) AS true_jaccard
+         |  FROM est e LEFT JOIN inter USING (i, j)
+         |  JOIN sizes si ON e.i = si.doc_id JOIN sizes sj ON e.j = sj.doc_id)
+         |SELECT i, j, est_jaccard, true_jaccard,
+         |  round(abs(est_jaccard - true_jaccard), 6) AS abs_err
+         |FROM tj ORDER BY i, j""".stripMargin
     },
 
     "dedup_simhash" ->

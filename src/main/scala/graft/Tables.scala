@@ -22,15 +22,21 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores TIMESTAMP(NANOS) which Spark 4 only reads
-    * as long via spark.sql.legacy.parquet.nanosAsLong (set in every
-    * session builder). Normalize to a microsecond TimestampType column —
-    * truncating division, matching DuckDB's ns→us read behavior. */
+  /** The events fixture's `ts` physical type has varied across fixture
+    * generations: TIMESTAMP(NANOS) (read as long via
+    * spark.sql.legacy.parquet.nanosAsLong, set in every session builder)
+    * and timestamp[us] without timezone (read as TIMESTAMP_NTZ under
+    * Spark 4's inferTimestampNTZ default). Normalize every variant to a
+    * microsecond TimestampType column: watermarks and unix_micros require
+    * TIMESTAMP, and under the UTC session timezone the NTZ→LTZ cast is a
+    * value-preserving identity, matching DuckDB's naive-timestamp read. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

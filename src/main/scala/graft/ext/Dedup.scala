@@ -658,4 +658,99 @@ object Dedup {
       .select(blockCols.map(col) ++
         Seq(col(keyCol).as("k1"), col("_k2").as("k2"), col("dist")): _*)
   }
+
+  /** Segment-level (paragraph) dedup, CCNet-style: the corpus is cut into
+    * fixed-width word segments, every segment that already occurred
+    * earlier in the corpus (first occurrence = lowest (doc_id, seg_idx))
+    * is dropped, and each document is reassembled from its surviving
+    * segments. This removes boilerplate shared across documents without
+    * discarding the documents themselves — the per-paragraph complement
+    * of whole-doc [[dedupExact]]. (CCNet dedups on real paragraph breaks;
+    * the fixture corpus has none, so width-`segWords` windows stand in —
+    * the plan is identical either way.)
+    *
+    * Plan shape for 100 TB: segmentation happens AT SCAN with array
+    * functions (no per-word explode, no reassembly join); the only
+    * shuffles are the keep/drop ranking keyed by segment CONTENT (hash
+    * distributed — a window over `seg`, which is fine because each
+    * partition holds many small segment-groups, not one giant one) and
+    * the per-doc reassembly agg. Degenerate corpora where ONE segment
+    * repeats millions of times put that segment's group on one task;
+    * first-occurrence-wins then needs the same split-and-rerank treatment
+    * as simhash fat buckets. Returns (doc_id, n_segs, n_kept, text) for
+    * every input doc — text is '' when every segment was a repeat. */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val segs = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ((size(col("ws")) + (segWords - 1)) / segWords).cast("int") - 1),
+          i => concat_ws(" ", slice(col("ws"), i * segWords + 1, lit(segWords)))))
+          .as(Seq("seg_idx", "seg")))
+    val firstWins = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("rn", row_number().over(firstWins))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("seg_idx"), col("seg"))))),
+          x => x("seg"))).as("text"))
+  }
+
+  /** Directed n-gram CONTAINMENT pairs: for documents i, j sharing
+    * shingles, containment(i → j) = |S_i ∩ S_j| / |S_i| — the fraction
+    * of i's shingle set that also appears in j. Jaccard misses the
+    * doc-inside-doc case (a paragraph quoted into a much larger page
+    * scores near zero on Jaccard but 1.0 on containment); this is the
+    * detector for subset duplication, quote mining, and template
+    * expansion (Broder's original resemblance/containment split).
+    *
+    * Same linear posting-list plan as [[ngramJaccardPairs]] — scan →
+    * posting lists keyed by shingle → local pair emission → pair-count
+    * agg — with both directions emitted from the single undirected
+    * count, so the extra direction costs one array explode, not a second
+    * pipeline. Returns (i, j, containment) with containment(i→j) ≥
+    * `threshold`, i ≠ j. `maxDocFreq` caps hot shingles exactly as in
+    * [[ngramJaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), n)).as("shs"))
+    val capped = if (maxDocFreq == Int.MaxValue) base else {
+      val hot = base.select(explode_outer(col("shs")).as("sh"))
+        .filter(col("sh").isNotNull)
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .agg(collect_list(col("sh")).as("hot"))
+      base.crossJoin(broadcast(hot))
+        .select(col("doc_id"),
+          filter(col("shs"), s => !array_contains(col("hot"), s)).as("shs"))
+    }
+    capped
+      .select(col("doc_id"), size(col("shs")).as("sz"),
+        explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
+      .transform(graft.Tables.fanout)
+      .select(explode(orderedPairs(col("lst"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"),
+        col("p.a.sz").as("sa"), col("p.b.sz").as("sb"))
+      .agg(count(lit(1)).as("c"))
+      // one undirected count row → up to two directed containment rows
+      .select(explode(array(
+        struct(col("a").as("i"), col("b").as("j"),
+          (col("c").cast("double") / col("sa")).as("containment")),
+        struct(col("b").as("i"), col("a").as("j"),
+          (col("c").cast("double") / col("sb")).as("containment")))).as("d"))
+      .select(col("d.i").as("i"), col("d.j").as("j"), col("d.containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

@@ -158,6 +158,21 @@ object Extensions {
         .orderBy(col("i"), col("j"))
     }),
 
+    // paragraph-level dedup over the planted corpus: whole-doc duplicates
+    // lose every segment to their originals; near-dups keep only the
+    // trailing segment their extra tokens land in
+    "dedup_paragraph" -> ((s, dir) => {
+      Dedup.segmentDedup(plantedDocs(s, dir), segWords = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // directed subset-duplication detector: the planted near-dups contain
+    // their originals at ~1.0 even where symmetric Jaccard dips
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(plantedDocs(s, dir), n = 3, threshold = 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(plantedDocs(s, dir), n = 3, threshold = 0.5)
         .orderBy(col("i"), col("j"))
@@ -566,6 +581,41 @@ object Extensions {
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCtesSql
          |SELECT i, j, jaccard FROM jp ORDER BY i, j""".stripMargin,
+
+    "dedup_paragraph" ->
+      s"""WITH $plantedSql,
+         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM docs),
+         |segs AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, (len(ws) + 9) // 10),
+         |    i -> struct_pack(seg_idx := i,
+         |                     seg := array_to_string(ws[i*10+1:(i+1)*10], ' ')))) AS s
+         |  FROM w),
+         |flat AS (SELECT doc_id, s['seg_idx'] AS seg_idx, s['seg'] AS seg FROM segs),
+         |ranked AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM flat)
+         |SELECT doc_id, COUNT(*) AS n_segs,
+         |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+         |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $plantedSql,
+         |$shinglesSql,
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_idx GROUP BY doc_id),
+         |cnt AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+         |  FROM sh_idx a JOIN sh_idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |dirs AS (
+         |  SELECT cnt.i AS i, cnt.j AS j, CAST(c AS DOUBLE) / si.sz AS containment
+         |  FROM cnt JOIN sizes si ON cnt.i = si.doc_id
+         |  UNION ALL
+         |  SELECT cnt.j AS i, cnt.i AS j, CAST(c AS DOUBLE) / sj.sz AS containment
+         |  FROM cnt JOIN sizes sj ON cnt.j = sj.doc_id)
+         |SELECT i, j, containment FROM dirs
+         |WHERE containment >= 0.8 ORDER BY i, j""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       val bandSql = (0 until 4).map { bnd =>

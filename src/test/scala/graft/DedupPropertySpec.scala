@@ -116,4 +116,42 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == expected, s"corpus=$corpus")
     }
   }
+
+  test("segmentDedup == first-occurrence scan over fixed-width segments") {
+    corpora(8, seed = 31L).foreach { corpus =>
+      val segWords = 3
+      // brute force: walk docs in (doc_id, seg_idx) order, keep a segment
+      // only the first time its text is seen anywhere in the corpus
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = corpus.zipWithIndex.map { case (ws, id) =>
+        val words = if (ws.isEmpty) List("") else ws
+        val segs = words.grouped(segWords).map(_.mkString(" ")).toList
+        val kept = segs.filter(seg => seen.add(seg))
+        (id.toLong, segs.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toSet
+      val got = Dedup.segmentDedup(toDf(corpus), segWords)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
+
+  test("containmentPairs == brute-force |A∩B|/|A| in both directions") {
+    corpora(8, seed = 37L).foreach { corpus =>
+      val n = 2
+      val sets = corpus.map(shingleSet(_, n))
+      val expected = (for {
+        i <- corpus.indices; j <- corpus.indices
+        if i != j && sets(i).nonEmpty && sets(j).nonEmpty
+        inter = (sets(i) intersect sets(j)).size
+        if inter > 0
+        cont = inter.toDouble / sets(i).size
+        if cont >= 0.5
+      } yield (i.toLong, j.toLong, cont)).toSet
+      val got = Dedup.containmentPairs(toDf(corpus), n = n, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
 }

@@ -311,6 +311,37 @@ object TextOps {
       .drop("_shard")
   }
 
+  /** Greedy data selection under a global token budget: walk the corpus
+    * in ascending `pr` (priority) order and keep every item whose
+    * running token total STARTS below `budget` — "take the best
+    * documents until the budget is spent", the selection step behind
+    * quality-pruned training mixes (caller encodes quality-descending
+    * order into an ascending unique long `pr`).
+    *
+    * Same two-pass distributed cumsum as [[packBins]] — ordered shards
+    * from sampled boundaries, per-shard subtotals to driver prefix
+    * offsets, shard-local window — so the corpus never serializes
+    * through one task and the result is bit-identical to the
+    * single-window formulation. Expects (…, pr: long unique, n_tokens);
+    * appends `tokens_before` and filters to the selected prefix. */
+  def budgetSelect(items: DataFrame, budget: Long,
+      numShards: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards =
+      if (numShards > 0) numShards
+      else items.sparkSession.sessionState.conf.numShufflePartitions
+    val sharded = items.withColumn("_shard",
+      graft.ops.Layout.orderedShard(items, col("pr"), shards))
+    val offsetOf = graft.ops.Layout.prefixOffsets(sharded, sum(col("n_tokens")))
+    val w = Window.partitionBy(col("_shard")).orderBy(col("pr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("tokens_before",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offsetOf).cast("long"))
+      .filter(col("tokens_before") < budget)
+      .drop("_shard")
+  }
+
   /** Corpus-internal boilerplate score: the fraction of each document's
     * distinct word n-grams that are "common" (appear in ≥ `minDocFreq`
     * distinct docs) — the header/footer/template signal used to strip

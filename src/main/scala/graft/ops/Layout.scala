@@ -208,4 +208,32 @@ object Layout {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Deterministic global shuffle for training export: every row gets a
+    * pseudo-random but REPRODUCIBLE (shard, pos) address — shard from a
+    * salted hash of the key, pos from the hash order within the shard.
+    * Reading shards in order replays one fixed permutation of the corpus
+    * at any parallelism, on any rerun, which is what epoch shuffling
+    * needs and what `orderBy(rand())` cannot give (membership and order
+    * change under retries and AQE re-planning; same discipline as
+    * [[graft.ext.Sampling]]).
+    *
+    * Plan shape: hash + shard at scan, then ONE window partitioned by
+    * shard for the position. Production exports use thousands of shards
+    * (shard ≈ output file ≈ task); the per-shard sort is the same work a
+    * shuffle-write of that shard costs anyway. The salt selects the
+    * epoch permutation — vary it per epoch for fresh document order. */
+  def shuffleShard(df: DataFrame, key: Column, nShards: Int,
+      salt: String = "epoch0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.ext.Dedup.portableHash32(
+      concat(lit(salt), lit(":"), key.cast("string")))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("_h"), key))
+        .cast("long"))
+      .drop("_h")
+  }
 }

@@ -509,6 +509,29 @@ object Corpus {
         .orderBy(col("bin"))
     }),
 
+    // deterministic epoch shuffle: every doc gets a reproducible
+    // (shard, pos) address from a salted hash — replayable permutation,
+    // unlike orderBy(rand())
+    "corpus_shuffle_shard" -> ((s, dir) => {
+      Layout.shuffleShard(
+          t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+          nShards = 8)
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // budget-capped data selection: longest documents first (priority =
+    // n_chars descending, doc_id tiebreak) until the 10k-token budget is
+    // spent — the distributed-cumsum sibling of corpus_pack
+    "corpus_budget_select" -> ((s, dir) => {
+      val items = tf(s, dir, "documents").select(col("doc_id"),
+        ((lit(10000000L) - col("n_chars")) * lit(1000000L) + col("doc_id"))
+          .as("pr"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      TextOps.budgetSelect(items, budget = 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stable global example numbering WITHOUT a global sort: the
     // two-pass range-shard trick (per-shard counts -> driver prefix
     // offsets -> shard-local row_number), plan-guarded against a
@@ -1427,6 +1450,29 @@ object Corpus {
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM packed GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "corpus_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "corpus_budget_select" ->
+      """WITH items AS (
+        |  SELECT doc_id,
+        |    (10000000 - n_chars) * 1000000 + doc_id AS pr,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM items)
+        |SELECT doc_id, n_tokens, tokens_before FROM c
+        |WHERE tokens_before < 10000 ORDER BY doc_id""".stripMargin,
 
     "cdc_latest" ->
       """SELECT user_id, ts, event_type, value FROM (

@@ -105,6 +105,19 @@ class CorpusSpec extends SparkSpec {
       s"unexpected packing: $bins")
   }
 
+  test("budgetSelect keeps the exact greedy prefix at any parallelism") {
+    // priorities scrambled vs doc ids; costs chosen so the budget cuts
+    // mid-corpus: pr order is 4(10), 2(30), 5(25), 1(40), 3(50);
+    // tokens_before 0, 10, 40, 65, 105 -> budget 100 keeps pr <= 4 items
+    val items = Seq(
+      (1L, 40L, 40), (2L, 20L, 30), (3L, 50L, 50), (4L, 10L, 10), (5L, 30L, 25)
+    ).toDF("doc_id", "pr", "n_tokens").repartition(7)
+    val got = graft.ext.TextOps.budgetSelect(items, budget = 100L, numShards = 3)
+      .select("doc_id", "tokens_before").as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 0L, 2L -> 10L, 5L -> 40L, 1L -> 65L),
+      s"unexpected selection: $got")
+  }
+
   test("chunkDocs windows every token with the configured stride and overlap") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens

@@ -146,6 +146,29 @@ class LayoutSpec extends SparkSpec {
     assert(got == expect, "distributed numbering diverged from the global order")
   }
 
+  test("shuffleShard is a reproducible permutation: dense positions, salt-dependent order") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val a = Layout.shuffleShard(df, col("doc_id"), nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // permutation: every key once, every (shard, pos) address unique,
+    // positions dense 1..n_s within each shard
+    assert(a.map(_._1).toSet.size == 1000)
+    assert(a.map(t => (t._2, t._3)).toSet.size == 1000)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) }
+    // rerun (different input partitioning) → identical addresses
+    val b = Layout.shuffleShard(df.repartition(13), col("doc_id"), nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different salt (next epoch) permutes differently
+    val c = Layout.shuffleShard(df, col("doc_id"), nShards = 8, salt = "epoch1")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+  }
+
   test("globalRowNumber is exact on random key sets (negatives, dups of sign, tiny)") {
     // random DISTINCT longs across both signs, several sizes incl. 0 and
     // 1 — the edges the fixture never exercises. Deterministic seeds.

@@ -314,6 +314,16 @@ class PlanQualitySpec extends SparkSpec {
       s"global single-partition window found:\n${df.queryExecution.optimizedPlan}"))
   }
 
+  test("corpus_budget_select cumsums without a global window") {
+    val df = SparkEntry.queries("corpus_budget_select")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected a shard-local window in corpus_budget_select")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "global single-partition window found in corpus_budget_select"))
+  }
+
   test("corpus_rownum numbers globally without a global window") {
     val df = SparkEntry.queries("corpus_rownum")(spark, sf)
     val wins = df.queryExecution.optimizedPlan.collect {

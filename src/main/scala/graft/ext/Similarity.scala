@@ -291,6 +291,49 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Each vector's coordinate along the corpus's dominant (uncentered)
+    * principal direction — the 1-D "embedding spectrum" used to sort,
+    * bucket, or split a corpus by its strongest axis of variation
+    * (center the embeddings first if mean-offset matters). The direction
+    * is the top right-singular vector of the stacked embedding matrix,
+    * found by power iteration: w ← Σᵢ (xᵢ·v) xᵢ, v ← w/‖w‖.
+    *
+    * Shape at 100 TB: one scan per iteration; driver state is `dim`
+    * doubles (same bounded-control-state budget as k-means centroids).
+    * Determinism, so the oracle can hash-match: per-row dot products use
+    * the codegen sequential fold (bit-identical to DuckDB's list_sum
+    * chain), are rounded to 8 dp and cast to DECIMAL before the
+    * cross-row component sums (order-independent exact aggregation), and
+    * the norm is an exact decimal sum of squares on the driver — every
+    * iteration hands BOTH engines bit-identical direction vectors.
+    * Returns (vec_id, proj) with proj rounded to 6 dp. */
+  def powerIterationPC(emb: DataFrame, iters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val dim = e.select(size(col("v")).as("d")).head.getInt(0)
+    var dir = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until iters) {
+      val vlit = array(dir.map(lit): _*)
+      val sums = e
+        .select(round(dot(col("v"), vlit), 8).cast(DecimalType(28, 8)).as("s"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sum((col("s") * col("x")).cast(DecimalType(38, 12)))
+          .cast("double").as("w"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val w = Array.tabulate(dim)(sums)
+      // exact decimal norm²: mirrors the oracle's SUM(CAST(w*w AS
+      // DECIMAL(38,12))) — HALF_UP per-term rounding, order-free sum
+      val n2 = w.map(x => BigDecimal(x * x)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val nrm = math.sqrt(n2)
+      dir = w.map(_ / nrm)
+    }
+    val vlit = array(dir.map(lit): _*)
+    e.select(col("vec_id"), round(dot(col("v"), vlit), 6).as("proj"))
+  }
+
   /** The Lloyd trainer behind [[kMeans]]/[[embedOutliers]]: hash-ordered
     * deterministic init, then per iteration one E-step scan + one
     * decimal-exact M-step aggregation (k×dim driver state). */

@@ -362,6 +362,14 @@ object Corpus {
         .orderBy(col("vec_id"))
     }),
 
+    // dominant-principal-direction projection: power iteration with
+    // decimal-exact component sums; the oracle replays every iteration
+    // (bit-identical direction vectors in both engines)
+    "embed_pca_project" -> ((s, dir) => {
+      Similarity.powerIterationPC(t(s, dir, "embeddings"), iters = 4)
+        .orderBy(col("vec_id"))
+    }),
+
     // embedding-space anomaly gate: same trained centroids as
     // embed_kmeans, distances z-scored per cell from exact decimal
     // moments (oracle replays training AND the gate end-to-end)
@@ -661,6 +669,33 @@ object Corpus {
     * the codegen DotProduct both fold left-to-right), so assignments are
     * bit-identical.
     */
+  /** DuckDB twin of [[Similarity.powerIterationPC]]: replays every power
+    * iteration with the same 8-dp-decimal dot rounding, exact decimal
+    * component sums, exact decimal norm², and IEEE division — the
+    * direction vector entering each iteration is bit-identical to the
+    * Spark side's driver state. */
+  private def pcaOracleSql(iters: Int, dim: Int = 64): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      s"v0 AS (SELECT list_transform(range(1, $dim + 1), i -> 1.0 / sqrt(${dim}.0)) AS vv)")
+    for (i <- 1 to iters) {
+      ctes += s"""s$i AS (
+         |  SELECT e.vec_id, e.v,
+         |    CAST(round(list_sum(list_transform(list_zip(e.v, p.vv), z -> z[1]*z[2])), 8) AS DECIMAL(28,8)) AS s
+         |  FROM e CROSS JOIN v${i - 1} p)""".stripMargin
+      ctes += s"""w$i AS (
+         |  SELECT pos, CAST(SUM(CAST(s * x AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM (SELECT s, i - 1 AS pos, v[i] AS x FROM s$i, UNNEST(range(1, len(v) + 1)) AS t(i))
+         |  GROUP BY pos)""".stripMargin
+      ctes += s"n$i AS (SELECT CAST(SUM(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE) AS n2 FROM w$i)"
+      ctes += s"v$i AS (SELECT (SELECT list(w / sqrt(n$i.n2) ORDER BY pos) FROM w$i, n$i) AS vv)"
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT e.vec_id, round(list_sum(list_transform(list_zip(e.v, p.vv), z -> z[1]*z[2])), 6) AS proj
+         |FROM e CROSS JOIN v$iters p ORDER BY vec_id""".stripMargin
+  }
+
   private def kmeansOracleSql(k: Int, iters: Int): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (
@@ -849,6 +884,8 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     "quality_lr_score" -> lrScoreSql,
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+
+    "embed_pca_project" -> pcaOracleSql(iters = 4),
     "embed_outliers" -> embedOutliersOracleSql(k = 8, iters = 3, sigmas = "2.0"),
 
     "text_bpe_merges" -> bpeOracleSql(nMerges = 10),

@@ -250,6 +250,34 @@ class CorpusSpec extends SparkSpec {
     assert(a1.values.toSet.size >= 5, s"degenerate model: ${a1.values.toSet}")
   }
 
+  test("powerIterationPC is partitioning-invariant and tracks a plain eigensolve") {
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    val a = graft.ext.Similarity.powerIterationPC(emb, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = graft.ext.Similarity.powerIterationPC(emb.repartition(11), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "projection changed under repartitioning")
+    // reference: same power iteration in plain driver-side doubles — the
+    // decimal plumbing must not steer the direction away from it
+    val xs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = xs.head._2.length
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until 4) {
+      val w = Array.fill(dim)(0.0)
+      xs.foreach { case (_, x) =>
+        val s = x.zip(v).map { case (p, q) => p * q }.sum
+        for (p <- 0 until dim) w(p) += s * x(p)
+      }
+      val nrm = math.sqrt(w.map(t => t * t).sum)
+      v = w.map(_ / nrm)
+    }
+    xs.foreach { case (id, x) =>
+      val ref = x.zip(v).map { case (p, q) => p * q }.sum
+      assert(math.abs(a(id) - ref) < 1e-4, s"vec $id: ${a(id)} vs $ref")
+    }
+  }
+
   test("SpaceSaving: exact when capacity suffices, bounded error when it doesn't") {
     // heavily skewed stream: three items own most of the mass (their
     // per-partition frequency must clear n_partition/capacity for the

@@ -34,7 +34,13 @@ object Bench {
     // .count() would let Catalyst prune computed columns (a projection
     // query would "bench" a bare scan). min-of-2 runs suppresses the
     // run-to-run noise of a shared machine.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev affordance mirroring Verify's: SPARK_GRAFT_BENCH_ONLY=a,b
+    // restricts the timed set (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {

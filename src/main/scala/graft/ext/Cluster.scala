@@ -28,13 +28,47 @@ object Cluster {
   /** Components of the undirected graph given by `pairs` (columns `i`,
     * `j`). Returns one row per node appearing in any pair:
     * (doc_id, cluster_id = min node id reachable). Singleton docs (no
-    * pair) are by definition their own cluster and are not emitted. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * pair) are by definition their own cluster and are not emitted.
+    *
+    * Hybrid execution: near-dup edge sets are USUALLY tiny relative to
+    * the corpus (only detected pairs appear), so when the edge count is
+    * at most `driverEdgeLimit` the components come from a driver-side
+    * union-find over the collected edges — one job to count, one to
+    * collect, zero propagation rounds. That threshold bounds driver
+    * memory explicitly (2M edges ≈ 32 MB), the same bounded-control-state
+    * budget as k-means centroids; above it the distributed min-label
+    * propagation below takes over unchanged. Both paths produce the
+    * identical (doc_id, min-reachable-id) labeling (spec-asserted). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
     // pin the pair set first: building the symmetric edge list reads it
     // twice, and for detector output that would re-run the whole blocked
     // candidate pipeline per branch
     val p = pairs.select(col("i"), col("j"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (p.count() <= driverEdgeLimit) {
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (i, j) =>
+        parent.getOrElseUpdate(i, i); parent.getOrElseUpdate(j, j)
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) { if (ri < rj) parent(rj) = ri else parent(ri) = rj }
+      }
+      // roots are already component minima: union always keeps the
+      // smaller root, so find(x) = min reachable id
+      val rows = parent.keysIterator.map(id => (id, find(id))).toSeq
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("doc_id", "cluster_id")
+    }
     val sym = p.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(p.select(col("j").as("src"), col("i").as("dst")))
       .distinct()

@@ -19,6 +19,20 @@ class CorpusSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: driver union-find and distributed propagation agree") {
+    // pseudo-random graph with chains, cliques, and isolated pairs
+    val rng = new scala.util.Random(42)
+    val pairs = (1 to 400).map { _ =>
+      val a = rng.nextInt(200).toLong; val b = rng.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b) + 1) // +1 avoids self-loops
+    }.toDF("i", "j")
+    val fast = Cluster.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Cluster.connectedComponents(pairs, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, "hybrid paths diverged")
+  }
+
   test("applyClusterDedup keeps exactly one survivor per component") {
     val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")

@@ -517,6 +517,44 @@ object Dedup {
       .select(col("i"), col("j"), col("est_jaccard"))
   }
 
+  /** Incremental MinHash-LSH dedup: which BATCH documents near-duplicate
+    * any BASE document — the "dedup tonight's crawl against the standing
+    * corpus" shape, where re-pairing the whole corpus ([[minhashLshPairs]])
+    * would redo work that never changes. The base side reduces to its
+    * (band, band-hash) posting index — in production that index is
+    * precomputed once and reused per batch; here it derives inline from
+    * `base`. One equi-join on the band key (hash-distributed, never a
+    * cross product), candidate dedup, then the signature-agreement
+    * estimate exactly as the intra-corpus detector computes it.
+    * Returns (i = batch doc, j = base doc, est_jaccard ≥ threshold). */
+  def minhashLshAgainst(base: DataFrame, batch: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def withBands(docs: DataFrame, idAs: String, sigAs: String) = {
+      val bandCols = (0 until 4).map { bnd =>
+        struct(lit(bnd).as("band"),
+          when(element_at(col("sig"), 1).isNotNull,
+            md5(concat_ws("-",
+              (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)))
+            .as("bh"))
+      }
+      docs.select(col("doc_id"), minhashSigArray(col("text"), n).as("sig"))
+        .select(col("doc_id").as(idAs), col("sig").as(sigAs),
+          explode_outer(array(bandCols: _*)).as("b"))
+        .filter(col("b.bh").isNotNull)
+        .select(col(idAs), col(sigAs), col("b.band").as("band"),
+          col("b.bh").as("bh"))
+    }
+    withBands(batch, "i", "sigi")
+      .join(withBands(base, "j", "sigj"), Seq("band", "bh"))
+      .select(col("i"), col("j"), col("sigi"), col("sigj"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sigi"), col("sigj"), (x, y) => x === y),
+          eq => eq)).cast("double") / 16.0)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("i"), col("j"), col("est_jaccard"))
+  }
+
   /** 32-bit SimHash over whitespace tokens (multiset — frequency-weighted).
     * bit_i = 1 iff Σ_tokens (2·bit_i(hash(token)) − 1) > 0. Two grouped
     * aggregations; the bit-position explode multiplies rows ×32 but stays

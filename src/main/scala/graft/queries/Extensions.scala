@@ -183,6 +183,21 @@ object Extensions {
         .orderBy(col("i"), col("j"))
     }),
 
+    // incremental crawl dedup: tonight's batch (exact + near copies)
+    // against the standing corpus via the banded signature index — the
+    // corpus is never re-paired against itself
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exact = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val near = base.filter(col("doc_id") % 25 === 13)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token tail")).as("text"))
+      Dedup.minhashLshAgainst(base, exact.unionByName(near),
+          n = 3, threshold = 0.5)
+        .orderBy(col("i"), col("j"))
+    }),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -637,6 +652,50 @@ object Extensions {
          |SELECT i, j, CAST($eqSum AS DOUBLE) / 16.0 AS est_jaccard
          |FROM cand JOIN sigs sa ON cand.i = sa.doc_id
          |JOIN sigs sb ON cand.j = sb.doc_id
+         |WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5
+         |ORDER BY i, j""".stripMargin
+    },
+
+    "dedup_minhash_incremental" -> {
+      def sigChain(src: String, p: String) = {
+        val mins = Dedup.minhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"CAST(min((h * $a + $b) % ${Dedup.MinhashP}) AS BIGINT) AS s$j"
+        }.mkString(",\n    ")
+        s"""${p}sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM $src))),
+           |${p}hashes AS (SELECT doc_id, ${hSql.format("sh")} AS h FROM ${p}sh),
+           |${p}sigs AS (SELECT doc_id,
+           |    $mins
+           |  FROM ${p}hashes GROUP BY doc_id)""".stripMargin
+      }
+      def bandsFor(p: String) = (0 until 4).map { bnd =>
+        val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws('-', $cols)) AS bh FROM ${p}sigs"
+      }.mkString("\n  UNION ALL ")
+      val eqSum = (0 until 16)
+        .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH bse AS (SELECT doc_id, text FROM documents),
+         |btc AS (
+         |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra token tail' AS text
+         |  FROM documents WHERE doc_id % 25 = 13),
+         |${sigChain("bse", "b")},
+         |${sigChain("btc", "t")},
+         |bbands AS (
+         |  ${bandsFor("b")}),
+         |tbands AS (
+         |  ${bandsFor("t")}),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS i, b.doc_id AS j
+         |  FROM tbands t JOIN bbands b ON t.band = b.band AND t.bh = b.bh)
+         |SELECT i, j, CAST($eqSum AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand JOIN tsigs sa ON cand.i = sa.doc_id
+         |JOIN bsigs sb ON cand.j = sb.doc_id
          |WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5
          |ORDER BY i, j""".stripMargin
     },

@@ -117,6 +117,28 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("minhashLshAgainst == banded cross-(batch,base) candidates, estimate from signatures") {
+    corpora(6, seed = 43L).foreach { corpus =>
+      val df = toDf(corpus)
+      val base = df.filter("doc_id % 2 = 0")
+      val batch = df.filter("doc_id % 2 = 1")
+      val sigs = Dedup.minhashSignatures(df, n = 2).collect()
+        .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+      def shareBand(a: Vector[Long], b: Vector[Long]): Boolean =
+        (0 until 4).exists(bd => (0 until 4).forall(r => a(bd * 4 + r) == b(bd * 4 + r)))
+      val expected = (for {
+        i <- sigs.keys if i % 2 == 1
+        j <- sigs.keys if j % 2 == 0
+        if shareBand(sigs(i), sigs(j))
+        est = (0 until 16).count(k => sigs(i)(k) == sigs(j)(k)) / 16.0
+        if est >= 0.5
+      } yield (i, j, est)).toSet
+      val got = Dedup.minhashLshAgainst(base, batch, n = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
+
   test("segmentDedup == first-occurrence scan over fixed-width segments") {
     corpora(8, seed = 31L).foreach { corpus =>
       val segWords = 3

@@ -267,6 +267,29 @@ object Relational {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // ---- rate-anomaly detection: hours whose event count exceeds that
+    // type's mean + 2σ. Hourly counts and the moment sums are exact
+    // integers; mean/σ/z are single IEEE expressions of those sums,
+    // written token-for-token in the oracle, so the flags and z-scores
+    // hash-match. Per-type stats are a tiny broadcast side.
+    "events_anomaly" -> ((s, dir) => {
+      val hourly = graft.Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+          count(lit(1)).as("k"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .withColumn("mean", col("s1").cast("double") / col("k"))
+        .withColumn("sigma",
+          sqrt(col("s2").cast("double") / col("k") - col("mean") * col("mean")))
+        .filter(col("sigma") > 0 &&
+          col("n") > col("mean") + lit(2.0) * col("sigma"))
+        .select(col("event_type"), col("hour"), col("n"),
+          round((col("n") - col("mean")) / col("sigma"), 4).as("z"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // ---- semi-structured JSON extraction from a string column
     "q19_events_json" -> ((s, dir) => {
       graft.Tables.events(s, dir)
@@ -1790,6 +1813,24 @@ object Relational {
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) AS BIGINT) AS s2, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM hourly GROUP BY 1),
+        |scored AS (
+        |  SELECT h.event_type, h.hour, h.n,
+        |    CAST(s1 AS DOUBLE) / k AS mean,
+        |    sqrt(CAST(s2 AS DOUBLE) / k - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k)) AS sigma
+        |  FROM hourly h JOIN st USING (event_type))
+        |SELECT event_type, hour, n, round((n - mean) / sigma, 4) AS z
+        |FROM scored
+        |WHERE sigma > 0 AND n > mean + 2.0 * sigma
+        |ORDER BY event_type, hour""".stripMargin,
 
     "q19_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,

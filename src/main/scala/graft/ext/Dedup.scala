@@ -555,6 +555,29 @@ object Dedup {
       .select(col("i"), col("j"), col("est_jaccard"))
   }
 
+  /** Content-defined chunking of every document: cut positions from
+    * [[graft.functions.CdcBoundaries]] (rolling-hash anchored, so edits
+    * only reflow neighboring chunks), chunk text hashed for identity.
+    * The whole chunk table derives AT SCAN with array functions — no
+    * join, no shuffle before whatever aggregation the caller adds.
+    * Returns (doc_id, chunk_idx, clen, chash). */
+  def cdcChunks(docs: DataFrame, k: Int = 8, divisor: Int = 64): DataFrame = {
+    val ends = array_distinct(concat(
+      graft.functions.CdcBoundaries.cdcBoundaries(col("text"), k, divisor),
+      array(length(col("text")))))
+    docs
+      .select(col("doc_id"), col("text"), ends.as("ends"))
+      .select(col("doc_id"), col("text"),
+        explode(transform(sequence(lit(1), size(col("ends"))), j =>
+          struct((j - 1).as("idx"),
+            when(j === 1, 1).otherwise(element_at(col("ends"), j - 1) + 1)
+              .as("s"),
+            element_at(col("ends"), j).as("e")))).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        (col("c.e") - col("c.s") + 1).cast("long").as("clen"),
+        md5(expr("substring(text, c.s, c.e - c.s + 1)")).as("chash"))
+  }
+
   /** 32-bit SimHash over whitespace tokens (multiset — frequency-weighted).
     * bit_i = 1 iff Σ_tokens (2·bit_i(hash(token)) − 1) > 0. Two grouped
     * aggregations; the bit-position explode multiplies rows ×32 but stays

@@ -183,6 +183,18 @@ object Extensions {
         .orderBy(col("i"), col("j"))
     }),
 
+    // sub-document storage dedup: content-defined chunks shared across
+    // the planted corpus — exact copies share every chunk, near-dups all
+    // but the edited tail region
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      Dedup.cdcChunks(plantedDocs(s, dir), k = 8, divisor = 64)
+        .groupBy(col("chash"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"),
+          max(col("clen")).as("clen"))
+        .filter(col("n") > 1)
+        .orderBy(col("chash"))
+    }),
+
     // incremental crawl dedup: tonight's batch (exact + near copies)
     // against the standing corpus via the banded signature index — the
     // corpus is never re-paired against itself
@@ -654,6 +666,39 @@ object Extensions {
          |JOIN sigs sb ON cand.j = sb.doc_id
          |WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5
          |ORDER BY i, j""".stripMargin
+    },
+
+    "dedup_cdc_chunks" -> {
+      // the rolling k-gram hash h(i) replayed as plain arithmetic: the
+      // same left fold (h*257 + char) % 1000000007 the CdcBoundaries
+      // expression runs, unrolled for k = 8 (fixture text is ASCII, so
+      // ascii() == the JVM char code)
+      val hExpr = (1 until 8).foldLeft("CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)")(
+        (acc, j) => s"(($acc * 257 + ascii(substr(text, CAST(i + $j AS INTEGER), 1))) % 1000000007)")
+      s"""WITH $plantedSql,
+         |pos AS (SELECT doc_id, text, len(text) AS n FROM docs),
+         |bnds AS (
+         |  SELECT doc_id, text,
+         |    list_sort(list_distinct(list_concat(
+         |      list_filter(list_transform(range(1, n - 8 + 2),
+         |        i -> CASE WHEN ($hExpr) % 64 = 0 THEN i + 7 ELSE NULL END),
+         |        x -> x IS NOT NULL),
+         |      [n]))) AS ends
+         |  FROM pos WHERE n >= 1),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, CAST(c['s'] AS INTEGER), CAST(c['e'] - c['s'] + 1 AS INTEGER))) AS chash,
+         |    c['e'] - c['s'] + 1 AS clen
+         |  FROM (
+         |    SELECT doc_id, text, unnest(list_transform(range(1, len(ends) + 1),
+         |      j -> struct_pack(
+         |        s := CASE WHEN j = 1 THEN CAST(1 AS BIGINT)
+         |             ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END,
+         |        e := ends[CAST(j AS INTEGER)]))) AS c
+         |    FROM bnds))
+         |SELECT chash, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(MAX(clen) AS BIGINT) AS clen
+         |FROM ch GROUP BY chash HAVING COUNT(*) > 1 ORDER BY chash""".stripMargin
     },
 
     "dedup_minhash_incremental" -> {

@@ -60,4 +60,28 @@ class WinnowSpec extends SparkSpec {
     assert(exactPairs == expected,
       s"winnow-based dedup missed planted exact dups: $exactPairs != $expected")
   }
+
+  test("cdcBoundaries: cuts match a reference scan; prefix edits only shift, never reflow") {
+    import graft.functions.CdcBoundaries.cdcBoundaries
+    val ss = spark
+    import ss.implicits._
+    def refBounds(s: String, k: Int, d: Int): Seq[Int] =
+      (0 to s.length - k).flatMap { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = (h * 257L + s.charAt(j)) % 1000000007L)
+        if (h % d == 0) Some(i + k) else None
+      }
+    val text = "key agg row scan slow fast table value part hash merge batch " * 12
+    def cuts(t: String): Seq[Int] = Seq((1L, t)).toDF("doc_id", "text")
+      .select(cdcBoundaries(col("text"), 8, 32)).head.getSeq[Int](0)
+    assert(cuts(text) == refBounds(text, 8, 32), "expression diverged from reference")
+    // content anchoring: prepending a prefix shifts every cut that lies
+    // wholly inside the old text by exactly the prefix length — the edit
+    // never reflows downstream chunk boundaries (fixed-width windows do)
+    val prefix = "inserted preamble text "
+    val shifted = cuts(prefix + text)
+      .filter(_ > prefix.length + 8 - 1).map(_ - prefix.length)
+    assert(shifted == cuts(text).filter(_ > 7),
+      "downstream boundaries reflowed after a prefix edit")
+  }
 }

@@ -75,12 +75,16 @@ object Bench {
     // committed BENCH_FULL.json with no signal
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
-    scala.util.Try(java.nio.file.Files.write(
-      java.nio.file.Paths.get(fullPath),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))) match {
-      case scala.util.Failure(e) =>
-        System.err.println(s"[bench] WARNING: could not write $fullPath: $e")
-      case _ => ()
+    // a SPARK_GRAFT_BENCH_ONLY subset probe must never clobber the
+    // committed full-suite record
+    if (only.isEmpty) {
+      scala.util.Try(java.nio.file.Files.write(
+        java.nio.file.Paths.get(fullPath),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))) match {
+        case scala.util.Failure(e) =>
+          System.err.println(s"[bench] WARNING: could not write $fullPath: $e")
+        case _ => ()
+      }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -293,11 +293,18 @@ object TextOps {
       if (numShards > 0) numShards
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     val sampleFrom = Option(boundarySource).getOrElse(docs)
+    // persist the 3-long-per-doc projection: pass 1 (offsets action) and
+    // pass 2 (the window) would otherwise each re-execute the ENTIRE
+    // upstream pipeline — for a curate() caller that is gate + dedup +
+    // decontamination twice over. Spillable, and callers/harnesses clear
+    // caches between queries; at 100 TB this is tens of bytes per doc,
+    // the cheapest frame in the whole pipeline to pin.
     val counted = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .withColumn("_shard",
         graft.ops.Layout.orderedShard(
           sampleFrom.select(col("doc_id")), col("doc_id"), shards))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-shard subtotals -> driver prefix offsets (≤ `shards`
     // longs of state; shared helper with Layout.globalRowNumber)
     val offsetOf = graft.ops.Layout.prefixOffsets(counted, sum(col("n_tokens")))
@@ -330,8 +337,12 @@ object TextOps {
     val shards =
       if (numShards > 0) numShards
       else items.sparkSession.sessionState.conf.numShufflePartitions
+    // same two-pass persist rationale as packBins: pin the tiny sharded
+    // projection so the offsets action and the window pass don't each
+    // re-execute the upstream pipeline
     val sharded = items.withColumn("_shard",
-      graft.ops.Layout.orderedShard(items, col("pr"), shards))
+        graft.ops.Layout.orderedShard(items, col("pr"), shards))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsetOf = graft.ops.Layout.prefixOffsets(sharded, sum(col("n_tokens")))
     val w = Window.partitionBy(col("_shard")).orderBy(col("pr"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -309,7 +309,11 @@ object Similarity {
     * Returns (vec_id, proj) with proj rounded to 6 dp. */
   def powerIterationPC(emb: DataFrame, iters: Int = 4): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // every iteration is its own job over the same widened vectors;
+    // pin them once (vec_id + dim doubles per row, spillable) instead
+    // of re-reading and re-widening the source per iteration
     val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = e.select(size(col("v")).as("d")).head.getInt(0)
     var dir = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 0 until iters) {
@@ -339,6 +343,10 @@ object Similarity {
     * decimal-exact M-step aggregation (k×dim driver state). */
   private def lloydCentroids(e: DataFrame, k: Int,
       iters: Int): Array[Array[Double]] = {
+    // each Lloyd round is its own job over the same widened vectors —
+    // pin them (callers pass the same frame to the final assignment, so
+    // it reuses the cache too; harnesses clear caches between queries)
+    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = e
       .withColumn("h", Dedup.portableHash32(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(k)

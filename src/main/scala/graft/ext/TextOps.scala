@@ -535,12 +535,22 @@ object TextOps {
           slice(col("ws"), lit(1), size(col("ws")) - 1),
           slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
       .select(col("doc_id"), col("tgt"), col("b.0").as("w1"), col("b.1").as("w2"))
-    val stats = bi.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c_raw"), sum(col("tgt")).as("c_tgt"))
+    // collapse to per-doc bigram COUNTS first: the corpus-sized explode
+    // then feeds exactly ONE shuffle, and the two consumers below (model
+    // stats, scoring join) both hash the SAME aggregated table by
+    // (w1, w2) — identical exchanges, so Spark's ReuseExchange runs the
+    // explode once. Scoring multiplies the per-distinct-bigram rounded
+    // log-ratio by the count, which equals summing it per occurrence
+    // EXACTLY (decimal × integer), so the output is unchanged.
+    val bc = bi.groupBy(col("doc_id"), col("tgt"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = bc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c_raw"), sum(col("tgt") * col("cnt")).as("c_tgt"))
     // both totals and the shared vocabulary in one pass over `stats`
     val tot = stats.agg(sum(col("c_raw")).as("n_raw"),
       sum(col("c_tgt")).as("n_tgt"), count(lit(1)).as("vocab"))
-    val scored = bi
+    val scored = bc
       .join(stats, Seq("w1", "w2"))
       .crossJoin(broadcast(tot))
       .withColumn("lw", round(
@@ -548,8 +558,8 @@ object TextOps {
           log((col("c_raw") + lit(1.0)) / (col("n_raw") + col("vocab")).cast("double")), 6)
         .cast(DecimalType(18, 6)))
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("lw")).cast("double").as("log_weight"),
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("lw") * col("cnt")).cast("double").as("log_weight"),
         max(col("tgt")).cast("int").as("is_target"))
   }
 

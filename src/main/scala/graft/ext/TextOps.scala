@@ -483,13 +483,19 @@ object TextOps {
           slice(col("ws"), lit(1), size(col("ws")) - 1),
           slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
       .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    // same restructure as dsirWeights: collapse to per-doc bigram counts
+    // and pin them, so the corpus-sized explode runs once instead of
+    // feeding the model-stats branch and the scoring join separately;
+    // nll × count equals the per-occurrence decimal sum exactly
+    val bc = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val big = bc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
     // vocabulary size = the unigram table's row count — reuses `uni`
     // instead of a second explode over the corpus
     val v = uni.agg(count(lit(1)).as("vocab"))
-    val scored = bi
+    val scored = bc
       .join(big, Seq("w1", "w2"))
       .join(uni, col("w1") === col("w"))
       .crossJoin(broadcast(v))
@@ -498,8 +504,8 @@ object TextOps {
           (col("c1") + col("vocab")).cast("double")), 6)
           .cast(DecimalType(18, 6)))
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("nll")).cast("double").as("sum_nll"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("nll") * col("cnt")).cast("double").as("sum_nll"))
   }
 
   /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ext.TextOps
 
@@ -60,5 +60,50 @@ object DocStreams {
     // null elements and a null verdict must not drop the row
     val docShs = filter(Dedup.shingles(col("text"), n), x => x.isNotNull)
     docs.filter(!arrays_overlap(docShs, lit(shs)))
+  }
+
+  /** Streaming NEAR-dup gate against a static base corpus —
+    * [[graft.ext.Dedup.minhashLshAgainst]]'s streaming twin (equivalence
+    * spec-asserted): drop stream documents whose MinHash signature
+    * agrees with any base signature on ≥ `threshold` of its 16
+    * components, discovered through the banded LSH index.
+    *
+    * STATELESS reformulation, because the batch shape (band join →
+    * candidate distinct → per-doc verdict) needs aggregations a
+    * streaming append query cannot run: instead the stream row keeps its
+    * one-row shape and LEFT-joins the four per-band static indexes
+    * ((band-hash) → list of base signatures in that bucket); the verdict
+    * is then a row-local `exists` over ≤ 4 candidate lists. No shuffle
+    * of the stream beyond the four hash joins, no watermark interaction,
+    * no state store. Fat band-buckets (boilerplate-heavy bases) inflate
+    * the candidate lists — cap them upstream with the same df-discipline
+    * as the batch detectors. */
+  def nearDupGatedStream(docs: DataFrame, base: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.ext.Dedup
+    val minMatch = math.ceil(threshold * 16).toInt
+    val baseSigs = base
+      .select(Dedup.minhashSigArray(col("text"), n).as("bsig"))
+      .filter(element_at(col("bsig"), 1).isNotNull)
+    def bandHash(sig: Column, bnd: Int) =
+      md5(concat_ws("-",
+        (0 until 4).map(r => element_at(sig, bnd * 4 + r + 1)): _*))
+    val withSig = docs.withColumn("_sig",
+      Dedup.minhashSigArray(col("text"), n))
+    val joined = (0 until 4).foldLeft(withSig) { (df, bnd) =>
+      val idx = baseSigs
+        .groupBy(bandHash(col("bsig"), bnd).as(s"_bh$bnd"))
+        .agg(collect_list(col("bsig")).as(s"_cands$bnd"))
+      df.withColumn(s"_bh$bnd",
+          when(element_at(col("_sig"), 1).isNotNull,
+            bandHash(col("_sig"), bnd)))
+        .join(idx, Seq(s"_bh$bnd"), "left")
+    }
+    val anyHit = (0 until 4).map { bnd =>
+      coalesce(exists(col(s"_cands$bnd"), c =>
+        size(filter(zip_with(col("_sig"), c, (x, y) => x === y),
+          e => e)) >= minMatch), lit(false))
+    }.reduce(_ || _)
+    joined.filter(!anyHit).select(docs.columns.map(col): _*)
   }
 }

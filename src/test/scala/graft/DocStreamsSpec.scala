@@ -97,4 +97,39 @@ class DocStreamsSpec extends SparkSpec {
     assert(batchKept == gotFps.length.toLong,
       s"stream kept ${gotFps.length} docs, batch operator kept $batchKept")
   }
+
+  test("streaming near-dup gate drops exactly minhashLshAgainst's hits") {
+    // base = raw corpus; stream = exact copies (every 10th doc), near
+    // copies with a token tail (every 10th+3), and genuinely new docs
+    // (reversed token order breaks the shingle sets)
+    val base = docs
+    val exact = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" extra token tail")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        concat_ws(" ", reverse(TextOps.tokens(col("text")))).as("text"))
+    val batch0 = exact.unionByName(near)
+    val dir = Files.createTempDirectory("neardupstream")
+    graft.sources.ParquetSlices.writeSingleFile(withTs(batch0), dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(withTs(fresh), dir.resolve("b1.parquet"))
+    val src = spark.readStream.schema(withTs(batch0).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = DocStreams.nearDupGatedStream(src, base, n = 3, threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardupgate").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardupgate").select("doc_id").as[Long].collect().sorted
+    val allIn = batch0.unionByName(fresh)
+    val hitIds = Dedup.minhashLshAgainst(base, allIn, n = 3, threshold = 0.5)
+      .select(col("i")).distinct().as[Long].collect().toSet
+    val expect = withTs(allIn).select("doc_id").as[Long].collect()
+      .filterNot(hitIds).sorted
+    assert(got.toSeq == expect.toSeq,
+      s"stream kept ${got.length}, batch gate keeps ${expect.length}")
+    // the planted structure must actually exercise both outcomes
+    assert(hitIds.nonEmpty && expect.nonEmpty, "degenerate planted corpus")
+  }
 }

@@ -430,4 +430,36 @@ class PlanQualitySpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("round-4 detectors never plan a cartesian or nested-loop join") {
+    // containment/incremental/cdc are posting-list or band equi-joins;
+    // a cross product anywhere is the 100 TB failure mode
+    Seq("dedup_containment", "dedup_minhash_incremental", "dedup_cdc_chunks")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$name planned a cross product:\n$p")
+      }
+  }
+
+  test("shuffle-shard and paragraph-dedup windows are always partitioned") {
+    Seq("corpus_shuffle_shard", "dedup_paragraph").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty, s"expected a partitioned window in $name")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"global single-partition window found in $name"))
+    }
+  }
+
+  test("cdc chunking derives at scan: no shuffle before the chunk aggregation") {
+    // one Exchange for the chash groupBy (plus AQE reads) — the chunk
+    // table itself must come straight off the scan
+    val p = plan("dedup_cdc_chunks")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"cdc chunk derivation should not join:\n$p")
+  }
 }

@@ -472,6 +472,17 @@ object Extensions {
         .orderBy(col("i"), col("j"))
     }),
 
+    // REAL image decode, hash-graded: Spark parses P2 bytes with the
+    // Scala netpbm codec; the oracle constructs identical payloads and
+    // parses them with SQL string functions — two independent parsers of
+    // a real image format must agree bit-for-bit
+    "multimodal_pgm_decode" -> ((s, dir) => {
+      Multimodal.pgmFeatures(s,
+        Multimodal.pgmMediaTable(
+          tf(s, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       Multimodal.mediaTable(tf(s, dir, "documents"))
         .select(col("media_id"), col("kind"),
@@ -1099,6 +1110,33 @@ object Extensions {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "multimodal_pgm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 + 8 AS w, doc_id % 4 + 6 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT media_id,
+        |    'P2' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
+        |    array_to_string(list_transform(range(0, w * h),
+        |      i -> (media_id * 37 + i * 101) % 256), ' ') AS payload
+        |  FROM m),
+        |parsed AS (SELECT media_id, regexp_split_to_array(payload, '\s+') AS t FROM p),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(t[2] AS INTEGER) AS width, CAST(t[3] AS INTEGER) AS height,
+        |    list_transform(t[5:], x -> CAST(x AS BIGINT)) AS pix
+        |  FROM parsed)
+        |SELECT media_id, width, height,
+        |  CAST(len(pix) AS BIGINT) AS n_pixels,
+        |  CAST(list_min(pix) AS INTEGER) AS p_min,
+        |  CAST(list_max(pix) AS INTEGER) AS p_max,
+        |  CAST(list_sum(pix) AS DOUBLE) / len(pix) AS p_mean,
+        |  CAST(len(list_filter(pix, x -> x // 64 = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(pix, x -> x // 64 = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(pix, x -> x // 64 = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(pix, x -> x // 64 = 3)) AS BIGINT) AS h3
+        |FROM px ORDER BY media_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -221,6 +221,16 @@ object Multimodal {
           lit("\n255\n"), concat_ws(" ", pixels)).cast("binary").as("payload"))
   }
 
+  private def imageStats(id: Long, img: PgmImage): PgmFeatures = {
+    val n = img.pixels.length
+    val hist = new Array[Long](4)
+    img.pixels.foreach(p => hist(p >> 6) += 1L)
+    PgmFeatures(id, img.width, img.height, n.toLong,
+      img.pixels.min, img.pixels.max,
+      img.pixels.map(_.toLong).sum.toDouble / n,
+      hist(0), hist(1), hist(2), hist(3))
+  }
+
   /** REAL decode + feature extraction over PGM payloads: parse the bytes
     * per partition (payloads never reach the driver), then per-image
     * stats — dimensions, min/max/mean, 4-bin histogram. The mean is the
@@ -231,14 +241,21 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val img = Pgm.decode(bytes)
-        val n = img.pixels.length
-        val hist = new Array[Long](4)
-        img.pixels.foreach(p => hist(p >> 6) += 1L)
-        PgmFeatures(id, img.width, img.height, n.toLong,
-          img.pixels.min, img.pixels.max,
-          img.pixels.map(_.toLong).sum.toDouble / n,
-          hist(0), hist(1), hist(2), hist(3))
+        imageStats(id, Pgm.decode(bytes))
+      })
+      .toDF()
+  }
+
+  /** REAL decode → nearest-neighbor resize → stats: the whole image
+    * kernel chain on actual pixels, per partition. Same output schema as
+    * [[pgmFeatures]], post-resize. */
+  def pgmResizeStats(spark: SparkSession, media: DataFrame,
+      tw: Int, th: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        imageStats(id, Pgm.resizeNearest(Pgm.decode(bytes), tw, th))
       })
       .toDF()
   }

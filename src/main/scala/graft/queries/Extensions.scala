@@ -483,6 +483,15 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // the full real-pixel kernel chain (parse → NN resize → stats); the
+    // oracle replays the resize as SQL index arithmetic over ITS parse
+    "multimodal_pgm_resize" -> ((s, dir) => {
+      Multimodal.pgmResizeStats(s,
+        Multimodal.pgmMediaTable(
+          tf(s, dir, "documents").select(col("doc_id"))), tw = 12, th = 9)
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       Multimodal.mediaTable(tf(s, dir, "documents"))
         .select(col("media_id"), col("kind"),
@@ -1137,6 +1146,38 @@ object Extensions {
         |  CAST(len(list_filter(pix, x -> x // 64 = 2)) AS BIGINT) AS h2,
         |  CAST(len(list_filter(pix, x -> x // 64 = 3)) AS BIGINT) AS h3
         |FROM px ORDER BY media_id""".stripMargin,
+
+    "multimodal_pgm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 + 8 AS w, doc_id % 4 + 6 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT media_id,
+        |    'P2' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
+        |    array_to_string(list_transform(range(0, w * h),
+        |      i -> (media_id * 37 + i * 101) % 256), ' ') AS payload
+        |  FROM m),
+        |parsed AS (SELECT media_id, regexp_split_to_array(payload, '\s+') AS t FROM p),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(t[2] AS INTEGER) AS width, CAST(t[3] AS INTEGER) AS height,
+        |    list_transform(t[5:], x -> CAST(x AS BIGINT)) AS pix
+        |  FROM parsed),
+        |rz AS (
+        |  SELECT media_id, list_transform(range(0, 12 * 9),
+        |    j -> pix[CAST((((j // 12) * height) // 9) * width
+        |                  + (((j % 12) * width) // 12) + 1 AS INTEGER)]) AS rp
+        |  FROM px)
+        |SELECT media_id, CAST(12 AS INTEGER) AS width, CAST(9 AS INTEGER) AS height,
+        |  CAST(len(rp) AS BIGINT) AS n_pixels,
+        |  CAST(list_min(rp) AS INTEGER) AS p_min,
+        |  CAST(list_max(rp) AS INTEGER) AS p_max,
+        |  CAST(list_sum(rp) AS DOUBLE) / len(rp) AS p_mean,
+        |  CAST(len(list_filter(rp, x -> x // 64 = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(rp, x -> x // 64 = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(rp, x -> x // 64 = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(rp, x -> x // 64 = 3)) AS BIGINT) AS h3
+        |FROM rz ORDER BY media_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

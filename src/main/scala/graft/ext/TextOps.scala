@@ -353,6 +353,32 @@ object TextOps {
       .drop("_shard")
   }
 
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * classic gibberish/compression-junk signal: natural prose sits
+    * ~4-4.5 bits, base64 blobs and repeated-char runs fall far outside.
+    * One char explode → (doc, char) counts → per-doc totals join, all
+    * keyed by doc_id (map-side combinable, no global state).
+    * Determinism: each -p·log2(p) term is rounded to 9 dp and summed as
+    * DECIMAL(20,9) — partition-order independent, oracle-hashable.
+    * Returns (doc_id, n_chars, n_syms, entropy). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))).as("ch"))
+    val cnt = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    cnt.join(tot, Seq("doc_id"))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("term",
+        round(-col("p") * log(2.0, col("p")), 9).cast(DecimalType(20, 9)))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_syms"),
+        sum(col("term")).cast("double").as("entropy"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_syms"),
+        col("entropy"))
+  }
+
   /** Corpus-internal boilerplate score: the fraction of each document's
     * distinct word n-grams that are "common" (appear in ≥ `minDocFreq`
     * distinct docs) — the header/footer/template signal used to strip

@@ -476,6 +476,14 @@ object Extensions {
     // Scala netpbm codec; the oracle constructs identical payloads and
     // parses them with SQL string functions — two independent parsers of
     // a real image format must agree bit-for-bit
+    // gibberish/compression-junk gate: character-entropy per doc with
+    // 9-dp decimal term sums (partition-order independent)
+    "text_entropy" -> ((s, dir) => {
+      TextOps.charEntropy(
+          tf(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_pgm_decode" -> ((s, dir) => {
       Multimodal.pgmFeatures(s,
         Multimodal.pgmMediaTable(
@@ -1119,6 +1127,19 @@ object Extensions {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+        |    i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1)
+        |SELECT c2.doc_id, t.n AS n_chars, CAST(COUNT(*) AS BIGINT) AS n_syms,
+        |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 9)
+        |    AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+        |FROM cnt c2 JOIN tot t ON c2.doc_id = t.doc_id
+        |GROUP BY c2.doc_id, t.n ORDER BY c2.doc_id""".stripMargin,
 
     "multimodal_pgm_decode" ->
       """WITH m AS (

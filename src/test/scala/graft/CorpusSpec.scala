@@ -244,6 +244,22 @@ class CorpusSpec extends SparkSpec {
     assert(keep(2L) == 0 && keep(3L) == 0 && keep(4L) == 0)
   }
 
+  test("charEntropy matches closed-form values on known alphabets") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),        // one symbol -> 0 bits
+      (2L, "abababab"),        // two equiprobable -> 1 bit
+      (3L, "abcdabcd"),        // four equiprobable -> 2 bits
+      (4L, "aab")              // p=(2/3,1/3) -> 0.9182958341 bits
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((8L, 1L, 0.0)))
+    assert(got(2L) == ((8L, 2L, 1.0)))
+    assert(got(3L) == ((8L, 4L, 2.0)))
+    assert(got(4L)._1 == 3L && got(4L)._2 == 2L &&
+      math.abs(got(4L)._3 - 0.918295834) < 1e-6)
+  }
+
   test("vocab counts occurrences and document frequency") {
     val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val v = TextOps.vocab(docs).as[(String, Long, Long)].collect()

@@ -46,6 +46,27 @@ object Sampling {
       .filter(col("_rn") <= n).drop("_rn")
   }
 
+  /** Deterministic Gumbel-top-k importance resampling: draw the `k`
+    * items of a weighted corpus as if sampling WITHOUT replacement with
+    * probability ∝ exp(logWeight) — the selection step behind DSIR-style
+    * importance resampling. The Gumbel-max trick makes it a plain top-k:
+    * key = logWeight + Gumbel(0,1) noise; the noise is HASH-derived
+    * (u = (h + ½)/2³², g = −ln(−ln u)) so the "random" draw is a pure
+    * function of the row key — rerun-stable, partitioning-independent,
+    * oracle-checkable, per the module's no-RNG discipline. Plans as
+    * TakeOrderedAndProject: per-partition partial top-k, never a global
+    * sort. Keys round to 6 dp with the row key as tiebreak, so the
+    * selected set is stable against sub-ulp drift. */
+  def gumbelTopK(df: DataFrame, key: Column, logWeight: Column,
+      k: Int): DataFrame = {
+    val u = (Dedup.portableHash32(key.cast("string")) + lit(0.5)) /
+      lit(4294967296.0)
+    val g = -log(-log(u))
+    df.withColumn("gumbel_key", round(logWeight + g, 6))
+      .orderBy(col("gumbel_key").desc, key)
+      .limit(k)
+  }
+
   /** Per-stratum percent rates that reshape the corpus toward a target
     * mixture (shares summing to ~1), downsampling-only: the largest
     * feasible output keeping every stratum at or below its target share

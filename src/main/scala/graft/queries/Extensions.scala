@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, tf}
-import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Quantize, Sampling, Similarity, TextOps}
 
 /** LLM-pipeline extension queries (dedup / similarity / text / multimodal),
   * each oracle-checked against DuckDB.
@@ -142,6 +142,16 @@ object Extensions {
       TextOps.dsirWeights(tf(s, dir, "documents"),
           col("source").isin("src0", "src1", "src2", "src3"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the DSIR SELECTION step: hash-derived Gumbel noise turns weighted
+    // sampling-without-replacement into a deterministic top-k
+    "sample_gumbel_topk" -> ((s, dir) => {
+      val w = TextOps.dsirWeights(tf(s, dir, "documents"),
+        col("source").isin("src0", "src1", "src2", "src3"))
+      Sampling.gumbelTopK(w, col("doc_id"), col("log_weight"), k = 100)
+        .select(col("doc_id"), col("log_weight"), col("gumbel_key"))
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
     }),
 
     "dedup_exact" -> ((s, dir) => {
@@ -971,6 +981,34 @@ object Extensions {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(lw) AS DOUBLE) AS log_weight, CAST(MAX(tgt) AS INT) AS is_target
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_gumbel_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS tgt
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tgt,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |stats AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_raw,
+        |            CAST(SUM(tgt) AS BIGINT) AS c_tgt FROM bi GROUP BY w1, w2),
+        |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+        |          CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+        |          CAST(COUNT(*) AS BIGINT) AS vocab FROM stats),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |    round(ln((c_tgt + 1.0) / CAST(n_tgt + vocab AS DOUBLE))
+        |        - ln((c_raw + 1.0) / CAST(n_raw + vocab AS DOUBLE)), 6)::DECIMAL(18,6) AS lw
+        |  FROM bi JOIN stats USING (w1, w2) CROSS JOIN tot),
+        |dw AS (SELECT doc_id, CAST(SUM(lw) AS DOUBLE) AS log_weight
+        |       FROM scored GROUP BY doc_id)
+        |SELECT doc_id, log_weight,
+        |  round(log_weight + -ln(-ln(
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |      / 4294967296.0)), 6) AS gumbel_key
+        |FROM dw ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
     // Exact columns verified against DuckDB; the within-tol flags are
     // Spark-side assertions the oracle expects to hold (see the query

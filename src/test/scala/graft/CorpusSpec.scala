@@ -466,6 +466,23 @@ class CorpusSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)), "distinct docs must not pair")
   }
 
+  test("gumbelTopK: deterministic, partitioning-invariant, weight-sensitive") {
+    val n = 500
+    val df = (0L until n).map(i => (i, if (i == 123L) 1000.0 else i % 7 * 0.1))
+      .toDF("doc_id", "log_weight")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.gumbelTopK(d, col("doc_id"), col("log_weight"), 50)
+        .select("doc_id").as[Long].collect().toSet
+    val a = run(df)
+    assert(a.size == 50)
+    assert(a == run(df.repartition(13)), "selection changed under repartitioning")
+    assert(a.contains(123L), "a +1000 log-weight item must always be drawn")
+    // Gumbel noise has scale 1: items with +0.6 weight should be clearly
+    // overrepresented vs the lowest band, but not deterministic
+    val top = a.count(_ % 7 == 6); val bottom = a.count(_ % 7 == 0)
+    assert(top > bottom, s"weights not tilting the draw: top=$top bottom=$bottom")
+  }
+
   test("temperatureRates: T=1 keeps everything, T>1 boosts the tail share") {
     val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
       (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, IntDotProduct, Winnow}
+import graft.functions.{CdcBoundaries, DotProduct, IntDotProduct, Winnow}
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")` and
@@ -28,6 +28,14 @@ object GraftFunctions {
     IntDotProduct(exprs.head, exprs(1))
   }
 
+  private[graft] def buildCdc(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(text) => CdcBoundaries(text, k = 8, divisor = 64)
+    case Seq(text, k, d) =>
+      CdcBoundaries(text, intArg(k, "k"), intArg(d, "divisor"))
+    case _ => throw new IllegalArgumentException(
+      s"cdc_boundaries expects (text) or (text, k, divisor), got ${exprs.length} arguments")
+  }
+
   private[graft] def buildWinnow(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(text) => Winnow(text, k = 8, window = 6)
     case Seq(text, k, w) =>
@@ -42,6 +50,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("dot_product", buildDot, "scala_udf")
     reg.createOrReplaceTempFunction("int_dot_product", buildIntDot, "scala_udf")
     reg.createOrReplaceTempFunction("winnow", buildWinnow, "scala_udf")
+    reg.createOrReplaceTempFunction("cdc_boundaries", buildCdc, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
@@ -58,6 +67,8 @@ object GraftFunctions {
     classOf[IntDotProduct].getCanonicalName, "int_dot_product")
   val winnowInfo = new ExpressionInfo(
     classOf[Winnow].getCanonicalName, "winnow")
+  val cdcInfo = new ExpressionInfo(
+    classOf[CdcBoundaries].getCanonicalName, "cdc_boundaries")
 }
 
 /** Session-creation-time injection for spark-submit users:
@@ -74,6 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow"),
       GraftFunctions.winnowInfo,
       (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
+    ext.injectFunction((FunctionIdentifier("cdc_boundaries"),
+      GraftFunctions.cdcInfo,
+      (exprs: Seq[Expression]) => GraftFunctions.buildCdc(exprs)))
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

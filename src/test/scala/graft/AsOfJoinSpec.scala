@@ -123,4 +123,19 @@ class AsOfJoinSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(fp == viaCol)
   }
+
+  test("cdc_boundaries is callable from SQL and matches the Column API") {
+    GraftFunctions.register(spark)
+    val text = "key agg row scan slow fast table value part hash merge batch " * 8
+    val r = spark.sql(
+      s"SELECT cdc_boundaries('$text') AS b, cdc_boundaries('$text', 8, 64) AS b2")
+      .collect()(0)
+    assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+      "default (k=8, divisor=64) must match explicit")
+    val viaCol = spark.range(1).select(
+      graft.functions.CdcBoundaries.cdcBoundaries(
+        org.apache.spark.sql.functions.lit(text)).as("b"))
+      .collect()(0).getSeq[Int](0)
+    assert(r.getSeq[Int](0) == viaCol)
+  }
 }

@@ -384,6 +384,10 @@ object Extensions {
     // shingle index.
     "dedup_minhash_calibration" -> ((s, dir) => {
       val docs = plantedDocs(s, dir)
+      // est and sh each feed several consumers, but measured (twice,
+      // same session) pinning either is a wash-to-loss here: AQE's
+      // runtime stage reuse already covers the diamond, and the cache
+      // write tax per bench run exceeds the recompute saved
       val est = Dedup.minhashLshPairs(docs)
       val sh = docs
         .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))

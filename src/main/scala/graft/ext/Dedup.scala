@@ -731,15 +731,15 @@ object Dedup {
     * the plan is identical either way.)
     *
     * Plan shape for 100 TB: segmentation happens AT SCAN with array
-    * functions (no per-word explode, no reassembly join); the only
-    * shuffles are the keep/drop ranking keyed by segment CONTENT (hash
-    * distributed — a window over `seg`, which is fine because each
-    * partition holds many small segment-groups, not one giant one) and
-    * the per-doc reassembly agg. Degenerate corpora where ONE segment
-    * repeats millions of times put that segment's group on one task;
-    * first-occurrence-wins then needs the same split-and-rerank treatment
-    * as simhash fat buckets. Returns (doc_id, n_segs, n_kept, text) for
-    * every input doc — text is '' when every segment was a repeat. */
+    * functions (no per-word explode); first-occurrence-wins is a
+    * MIN-STRUCT AGGREGATION keyed by segment content — map-side
+    * combinable, so even a degenerate corpus where ONE segment repeats
+    * millions of times reduces to partial minima before the shuffle
+    * (a row_number window over `seg` would funnel that segment's whole
+    * group through one task's sort). The winners table IS the kept
+    * segment set; reassembly is one doc-keyed agg left-joined to the
+    * per-doc totals. Returns (doc_id, n_segs, n_kept, text) for every
+    * input doc — text is '' when every segment was a repeat. */
   def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
     require(segWords >= 1, "segWords must be >= 1")
     val segs = docs
@@ -750,18 +750,21 @@ object Dedup {
             ((size(col("ws")) + (segWords - 1)) / segWords).cast("int") - 1),
           i => concat_ws(" ", slice(col("ws"), i * segWords + 1, lit(segWords)))))
           .as(Seq("seg_idx", "seg")))
-    val firstWins = Window.partitionBy(col("seg"))
-      .orderBy(col("doc_id"), col("seg_idx"))
-    segs
-      .withColumn("rn", row_number().over(firstWins))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_segs"),
-        count(when(col("rn") === 1, 1)).as("n_kept"),
+    // (doc_id, seg_idx) struct-min = first occurrence; skew-immune
+    val kept = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.seg_idx").as("seg_idx"),
+        col("seg"))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(
-            when(col("rn") === 1, struct(col("seg_idx"), col("seg"))))),
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           x => x("seg"))).as("text"))
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
   }
 
   /** Directed n-gram CONTAINMENT pairs: for documents i, j sharing

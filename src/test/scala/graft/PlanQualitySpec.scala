@@ -443,16 +443,28 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
-  test("shuffle-shard and paragraph-dedup windows are always partitioned") {
-    Seq("corpus_shuffle_shard", "dedup_paragraph").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
-      val wins = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      }
-      assert(wins.nonEmpty, s"expected a partitioned window in $name")
-      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
-        s"global single-partition window found in $name"))
+  test("shuffle-shard windows are always partitioned") {
+    val df = SparkEntry.queries("corpus_shuffle_shard")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
+    assert(wins.nonEmpty, "expected a partitioned window in corpus_shuffle_shard")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "global single-partition window found in corpus_shuffle_shard"))
+  }
+
+  test("paragraph dedup is window-free: first-occurrence via min-struct agg") {
+    // a row_number window keyed by segment content would funnel a
+    // degenerate hyper-repeated segment through one task's sort; the
+    // min-struct agg shape reduces it map-side instead
+    val df = SparkEntry.queries("dedup_paragraph")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, "dedup_paragraph should not plan any window")
+    val p = plan("dedup_paragraph")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected a partially-aggregated min in:\n$p")
   }
 
   test("cdc chunking derives at scan: no shuffle before the chunk aggregation") {

@@ -60,21 +60,28 @@ object Curation {
       ngram: Int = 8): DataFrame = {
     val q = docs.select(col("doc_id"), col("text"),
       TextOps.qualityKeep(col("text")).as("_q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(TextOps.fingerprint(col("text"))).orderBy(col("doc_id"))
-    val ranked = q.filter(col("_q"))
-      .select(col("doc_id"), col("text"))
-      .withColumn("_rn", row_number().over(w))
+    // dup rank via fingerprint-keyed MIN agg (map-side combinable, same
+    // skew-immunity rationale as segmentDedup) instead of a row_number
+    // window that would funnel a hyper-duplicated fingerprint's group
+    // through one task's sort
+    val passed = q.filter(col("_q"))
+      .select(col("doc_id"), col("text"),
+        TextOps.fingerprint(col("text")).as("_fp"))
+    val minPerFp = passed.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("_min_id"))
+    val ranked = passed.join(minPerFp, Seq("_fp"))
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") =!= col("_min_id")).as("_dup"))
     val contam = Dedup.contaminatedIds(
-        ranked.filter(col("_rn") === 1).select(col("doc_id"), col("text")),
+        ranked.filter(!col("_dup")).select(col("doc_id"), col("text")),
         benchmark, ngram)
       .withColumn("_c", lit(true))
     q.select(col("doc_id"), col("_q"))
-      .join(ranked.select(col("doc_id"), col("_rn")), Seq("doc_id"), "left")
+      .join(ranked.select(col("doc_id"), col("_dup")), Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!col("_q"), "quality")
-          .when(col("_rn") > 1, "duplicate")
+          .when(col("_dup"), "duplicate")
           .when(col("_c"), "contaminated")
           .otherwise("kept").as("reason"))
   }

@@ -71,12 +71,15 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** APPLY exact dedup: the corpus with one survivor (min doc_id) per
-    * content-hash group. One window pass partitioned by the hash — at
-    * scale this is a single shuffle on a well-distributed 128-bit key. */
+    * content-hash group. Hash-keyed MIN aggregation + semi-join, not a
+    * row_number window: the 128-bit key distributes well across DISTINCT
+    * contents, but real crawls concentrate millions of rows on single
+    * contents (empty pages, error pages) — the min agg reduces those
+    * map-side, where a window would sort the whole group on one task. */
   def dedupExact(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    docs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val withH = docs.withColumn("_h", md5(col("text")))
+    val winners = withH.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+    withH.join(winners, Seq("_h", "doc_id"), "left_semi").drop("_h")
   }
 
   /** INCREMENTAL dedup: dedupe a new `batch` of (doc_id, text) against an

@@ -232,6 +232,18 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // the funnel everyone asks for: per-gate yields, as a rollup of the
+    // per-document audit (so the two can never disagree)
+    "corpus_curate_funnel" -> ((s, dir) => {
+      val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = base.filter(col("doc_id") % 50 === 7)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+      Curation.explainCuration(Extensions.plantedDocs(s, dir), bench)
+        .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("reason"))
+    }),
+
     // INCREMENTAL dedup: a new batch (doc_id%3==0 stands in for today's
     // crawl) dedupes against the existing corpus via its fingerprint
     // index — an anti-join on distinct fingerprints, never a rescan of
@@ -881,6 +893,47 @@ object Corpus {
        |FROM feats f CROSS JOIN w$iters w ORDER BY f.doc_id""".stripMargin
   }
 
+  private lazy val curateExplainSql: String = {
+      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH ${Extensions.plantedSql},
+         |kept AS (
+         |  SELECT doc_id, text FROM docs
+         |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000
+         |    AND CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0
+         |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) >= 0.01
+         |    AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / length(text) <= 0.2),
+         |fpk AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         |    FROM kept)
+         |  GROUP BY fp),
+         |dd AS (SELECT k.doc_id, k.text FROM kept k JOIN fpk USING (doc_id)),
+         |bench AS (
+         |  SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ') AS text
+         |  FROM documents WHERE doc_id % 50 = 7),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM bench)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM dd)),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+         |SELECT d.doc_id,
+         |  CASE WHEN k.doc_id IS NULL THEN 'quality'
+         |       WHEN f.doc_id IS NULL THEN 'duplicate'
+         |       WHEN b.doc_id IS NOT NULL THEN 'contaminated'
+         |       ELSE 'kept' END AS reason
+         |FROM docs d
+         |LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |LEFT JOIN fpk f ON d.doc_id = f.doc_id
+         |LEFT JOIN bad b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "quality_lr_score" -> lrScoreSql,
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
@@ -1188,46 +1241,12 @@ object Corpus {
          |FROM packed GROUP BY 1 ORDER BY bin""".stripMargin
     },
 
-    "corpus_curate_explain" -> {
-      val g8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
-      s"""WITH ${Extensions.plantedSql},
-         |kept AS (
-         |  SELECT doc_id, text FROM docs
-         |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000
-         |    AND CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-         |      / len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0
-         |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-         |      tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
-         |      / len(regexp_split_to_array(trim(text), '\\s+')) >= 0.01
-         |    AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-         |      / length(text) <= 0.2),
-         |fpk AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM (
-         |    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
-         |    FROM kept)
-         |  GROUP BY fp),
-         |dd AS (SELECT k.doc_id, k.text FROM kept k JOIN fpk USING (doc_id)),
-         |bench AS (
-         |  SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ') AS text
-         |  FROM documents WHERE doc_id % 50 = 7),
-         |bsh AS (
-         |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
-         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM bench)),
-         |csh AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6), i -> $g8)) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM dd)),
-         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
-         |SELECT d.doc_id,
-         |  CASE WHEN k.doc_id IS NULL THEN 'quality'
-         |       WHEN f.doc_id IS NULL THEN 'duplicate'
-         |       WHEN b.doc_id IS NOT NULL THEN 'contaminated'
-         |       ELSE 'kept' END AS reason
-         |FROM docs d
-         |LEFT JOIN kept k ON d.doc_id = k.doc_id
-         |LEFT JOIN fpk f ON d.doc_id = f.doc_id
-         |LEFT JOIN bad b ON d.doc_id = b.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "corpus_curate_explain" -> curateExplainSql,
+
+    "corpus_curate_funnel" ->
+      s"""SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM ($curateExplainSql)
+         |GROUP BY reason ORDER BY reason""".stripMargin,
 
     "dedup_incremental" ->
       """WITH fps AS (

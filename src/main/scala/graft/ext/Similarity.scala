@@ -53,6 +53,29 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** HARD-NEGATIVE mining: for each query vector, the top-k most-similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * companion of [[bruteForceTopK]] (positives come from the same
+    * label; the hardest negatives are the cross-label near-misses).
+    * Identical plan shape: corpus scan × broadcast queries, label
+    * inequality fused into the same codegen'd filter as the self-match
+    * guard, per-partition partial top-k via the rank window. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        col("cos"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
   /** Exact MAXIMUM-INNER-PRODUCT top-k — [[bruteForceTopK]] without the
     * normalization: the retrieval form for embeddings whose magnitude
     * carries signal (recommendation scores, unnormalized output heads).

@@ -226,6 +226,13 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // contrastive hard negatives: nearest CROSS-label neighbors per query
+    "embed_hard_negatives" -> ((s, dir) => {
+      val emb = tf(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "embed_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(tf(s, dir, "embeddings"), topN = 20)
     }),
@@ -557,7 +564,20 @@ object Extensions {
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  private val hardNegativesSql =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      |p AS (SELECT qid, qlabel, vec_id, label,
+      |    round(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) / (nrm * qn), 4) AS cos
+      |  FROM n CROSS JOIN q WHERE vec_id <> qid AND label <> qlabel),
+      |r AS (SELECT qid, qlabel, vec_id, label, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
+      |SELECT qid, qlabel, vec_id, label, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "embed_hard_negatives" -> hardNegativesSql,
+
     "dedup_substring_contam" -> substringContamSql,
     // the automaton kernel must produce the identical relation
     "dedup_substring_contam_ac" -> substringContamSql,

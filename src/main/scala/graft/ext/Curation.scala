@@ -51,11 +51,12 @@ object Curation {
     * mirrors [[curate]]'s gate ORDER exactly, so a doc dropped by two
     * gates reports the earlier one, same as the pipeline behaves.
     *
-    * Shape: same pieces as the curate plan — scan-stage quality flag,
-    * one fingerprint-keyed window for the dup rank, survivor shingles
-    * semi-joined against the broadcast benchmark — plus doc_id-keyed
-    * left joins to assemble the verdicts. Nothing new shuffles the
-    * corpus; the audit costs roughly what the pipeline itself costs. */
+    * Shape: same pieces as the curate plan — scan-stage quality flag, a
+    * skew-immune fingerprint-keyed MIN aggregation + equi-join for the
+    * dup verdict, survivor shingles semi-joined against the broadcast
+    * benchmark — plus doc_id-keyed left joins to assemble the verdicts.
+    * Nothing new shuffles the corpus; the audit costs roughly what the
+    * pipeline itself costs. */
   def explainCuration(docs: DataFrame, benchmark: DataFrame,
       ngram: Int = 8): DataFrame = {
     val q = docs.select(col("doc_id"), col("text"),

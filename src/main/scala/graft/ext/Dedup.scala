@@ -77,9 +77,14 @@ object Dedup {
     * contents (empty pages, error pages) — the min agg reduces those
     * map-side, where a window would sort the whole group on one task. */
   def dedupExact(docs: DataFrame): DataFrame = {
-    val withH = docs.withColumn("_h", md5(col("text")))
-    val winners = withH.groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
-    withH.join(winners, Seq("_h", "doc_id"), "left_semi").drop("_h")
+    // min_by over the whole row: ONE skew-immune shuffle AND exactly one
+    // output row per content hash even when the input carries repeated
+    // (doc_id, text) rows (re-ingested shards) — a semi-join against the
+    // winning ids would return every copy of the winner
+    val cols = docs.columns
+    docs.groupBy(md5(col("text")).as("_h"))
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("_r"))
+      .select(col("_r.*"))
   }
 
   /** INCREMENTAL dedup: dedupe a new `batch` of (doc_id, text) against an
@@ -485,6 +490,14 @@ object Dedup {
     * list per (band, bh) (1 shuffle) → local pair emission → distinct
     * (1 shuffle). Signatures ride along in the postings, so the estimate
     * needs no join back against a signature table. */
+  /** md5 band hash of one 4-slot band of a 16-slot MinHash signature —
+    * the ONE construction every banded consumer (intra-corpus pairs,
+    * incremental batch-vs-base, streaming gate) must share, or their
+    * spec-asserted equivalences silently break. */
+  private[graft] def bandHash(sig: Column, bnd: Int): Column =
+    md5(concat_ws("-",
+      (0 until 4).map(r => element_at(sig, bnd * 4 + r + 1)): _*))
+
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // No filter directly on `sig`: predicate pushdown would substitute
     // the whole signature expression into a scan-stage filter and
@@ -495,9 +508,7 @@ object Dedup {
     val bandCols = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         when(element_at(col("sig"), 1).isNotNull,
-          md5(concat_ws("-",
-            (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)))
-          .as("bh"))
+          bandHash(col("sig"), bnd)).as("bh"))
     }
     sigs.select(col("doc_id"), col("sig"),
         explode_outer(array(bandCols: _*)).as("b"))
@@ -536,9 +547,7 @@ object Dedup {
       val bandCols = (0 until 4).map { bnd =>
         struct(lit(bnd).as("band"),
           when(element_at(col("sig"), 1).isNotNull,
-            md5(concat_ws("-",
-              (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)))
-            .as("bh"))
+            bandHash(col("sig"), bnd)).as("bh"))
       }
       docs.select(col("doc_id"), minhashSigArray(col("text"), n).as("sig"))
         .select(col("doc_id").as(idAs), col("sig").as(sigAs),
@@ -569,6 +578,9 @@ object Dedup {
       graft.functions.CdcBoundaries.cdcBoundaries(col("text"), k, divisor),
       array(length(col("text")))))
     docs
+      // empty docs have no chunks (a zero-length 'chunk' would be
+      // md5('') noise in the dedup groups; the oracle filters n >= 1)
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"), ends.as("ends"))
       .select(col("doc_id"), col("text"),
         explode(transform(sequence(lit(1), size(col("ends"))), j =>

@@ -181,6 +181,9 @@ object Multimodal {
       val (w, h, maxval) = (token().toInt, token().toInt, token().toInt)
       require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
         s"pgm: bad dimensions ${w}x$h maxval $maxval")
+      // Long multiply: 65536x65536 would wrap w*h to 0 and "decode" a
+      // zero-pixel image instead of throwing
+      require(w.toLong * h <= Int.MaxValue, s"pgm: dimensions overflow ${w}x$h")
       val n = w * h
       val pixels =
         if (magic == "P2") Array.fill(n)(token().toInt)

@@ -38,43 +38,46 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Exact cosine top-k neighbors for each query vector.
-    * `queries` must be small enough to broadcast (it is hint-broadcast). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qn", norm(col("qv")))
+  /** Shared exact-cosine scoring core: corpus scan × broadcast queries,
+    * self-match guard + any extra predicate fused into one codegen'd
+    * filter, 4-dp rounded cosine, per-partition partial top-k via the
+    * rank window. ONE implementation so the exact-topk and
+    * hard-negative paths cannot drift apart. */
+  private def cosineTopK(c: DataFrame, q: DataFrame, k: Int,
+      extraFilter: Column, outCols: Seq[Column]): DataFrame = {
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      .filter(col("vec_id") =!= col("qid") && extraFilter)
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.select(col("qid"), col("vec_id"), col("cos"), row_number().over(w).as("rk"))
+    scored.select(outCols :+ row_number().over(w).as("rk"): _*)
       .filter(col("rk") <= k)
   }
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * `queries` must be small enough to broadcast (it is hint-broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    cosineTopK(
+      corpus.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", norm(col("v"))),
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("qn", norm(col("qv"))),
+      k, lit(true), Seq(col("qid"), col("vec_id"), col("cos")))
 
   /** HARD-NEGATIVE mining: for each query vector, the top-k most-similar
     * corpus vectors with a DIFFERENT label — the contrastive-training
     * companion of [[bruteForceTopK]] (positives come from the same
     * label; the hardest negatives are the cross-label near-misses).
-    * Identical plan shape: corpus scan × broadcast queries, label
-    * inequality fused into the same codegen'd filter as the self-match
-    * guard, per-partition partial top-k via the rank window. */
-  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("label"), col("embedding").as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("embedding").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
-      .withColumn("cos",
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
-        col("cos"), row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
-  }
+    * Same [[cosineTopK]] core, label inequality fused into the filter. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    cosineTopK(
+      corpus.select(col("vec_id"), col("label"), col("embedding").as("v"))
+        .withColumn("nrm", norm(col("v"))),
+      queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+        .withColumn("qn", norm(col("qv"))),
+      k, col("label") =!= col("qlabel"),
+      Seq(col("qid"), col("qlabel"), col("vec_id"), col("label"), col("cos")))
 
   /** Exact MAXIMUM-INNER-PRODUCT top-k — [[bruteForceTopK]] without the
     * normalization: the retrieval form for embeddings whose magnitude

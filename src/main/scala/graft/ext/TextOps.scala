@@ -337,20 +337,25 @@ object TextOps {
     val shards =
       if (numShards > 0) numShards
       else items.sparkSession.sessionState.conf.numShufflePartitions
-    // same two-pass persist rationale as packBins: pin the tiny sharded
-    // projection so the offsets action and the window pass don't each
-    // re-execute the upstream pipeline
-    val sharded = items.withColumn("_shard",
-        graft.ops.Layout.orderedShard(items, col("pr"), shards))
+    // same two-pass persist rationale as packBins, on the same slim
+    // discipline: the cumsum runs (and persists) a (pr, n_tokens, _shard)
+    // projection — three longs per row, never the caller's payload
+    // columns — and the survivors join back on the unique `pr`, so
+    // column pruning reaches the caller's scan and the boundary-sample
+    // job reads one pruned column
+    val slim = items.select(col("pr"), col("n_tokens"))
+    val sharded = slim.withColumn("_shard",
+        graft.ops.Layout.orderedShard(slim.select(col("pr")), col("pr"), shards))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsetOf = graft.ops.Layout.prefixOffsets(sharded, sum(col("n_tokens")))
     val w = Window.partitionBy(col("_shard")).orderBy(col("pr"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    sharded
+    val selected = sharded
       .withColumn("tokens_before",
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offsetOf).cast("long"))
       .filter(col("tokens_before") < budget)
-      .drop("_shard")
+      .select(col("pr").as("_sel_pr"), col("tokens_before"))
+    items.join(selected, col("pr") === col("_sel_pr")).drop("_sel_pr")
   }
 
   /** Per-document character-level Shannon entropy (bits/char) — the
@@ -362,9 +367,14 @@ object TextOps {
     * DECIMAL(20,9) — partition-order independent, oracle-hashable.
     * Returns (doc_id, n_chars, n_syms, entropy). */
   def charEntropy(docs: DataFrame): DataFrame = {
+    // greatest(len, 1): sequence(1, 0) would count DOWN (same footgun
+    // Dedup.shingles guards); the lone substr('',1,1)='' row an empty
+    // doc then yields is dropped by the length filter, so empty docs
+    // emit no output row — matching the oracle's empty range(1, 1)
     val chars = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(col("text"))),
+      explode(transform(sequence(lit(1), greatest(length(col("text")), lit(1))),
         i => col("text").substr(i, lit(1)))).as("ch"))
+      .filter(length(col("ch")) === 1)
     val cnt = chars.groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))

@@ -82,22 +82,31 @@ object DocStreams {
       threshold: Double = 0.5): DataFrame = {
     import graft.ext.Dedup
     val minMatch = math.ceil(threshold * 16).toInt
-    val baseSigs = base
+    // ONE (band, band-hash) → signature-list index, built from a single
+    // signature pass over the base and PINNED: the four per-band joins
+    // below filter this cached table, so micro-batches after the first
+    // never re-scan the standing corpus (without the persist, each band
+    // join would re-derive the index = 4 base passes per trigger).
+    // Band hashing is Dedup.bandHash — shared with the batch detectors,
+    // so the spec-asserted equivalence cannot drift.
+    val idx = base
       .select(Dedup.minhashSigArray(col("text"), n).as("bsig"))
       .filter(element_at(col("bsig"), 1).isNotNull)
-    def bandHash(sig: Column, bnd: Int) =
-      md5(concat_ws("-",
-        (0 until 4).map(r => element_at(sig, bnd * 4 + r + 1)): _*))
+      .select(col("bsig"), explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          Dedup.bandHash(col("bsig"), bnd).as("bh"))): _*)).as("b"))
+      .groupBy(col("b.band").as("band"), col("b.bh").as("bh"))
+      .agg(collect_list(col("bsig")).as("cands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = docs.withColumn("_sig",
       Dedup.minhashSigArray(col("text"), n))
     val joined = (0 until 4).foldLeft(withSig) { (df, bnd) =>
-      val idx = baseSigs
-        .groupBy(bandHash(col("bsig"), bnd).as(s"_bh$bnd"))
-        .agg(collect_list(col("bsig")).as(s"_cands$bnd"))
+      val slice = idx.filter(col("band") === bnd)
+        .select(col("bh").as(s"_bh$bnd"), col("cands").as(s"_cands$bnd"))
       df.withColumn(s"_bh$bnd",
           when(element_at(col("_sig"), 1).isNotNull,
-            bandHash(col("_sig"), bnd)))
-        .join(idx, Seq(s"_bh$bnd"), "left")
+            Dedup.bandHash(col("_sig"), bnd)))
+        .join(slice, Seq(s"_bh$bnd"), "left")
     }
     val anyHit = (0 until 4).map { bnd =>
       coalesce(exists(col(s"_cands$bnd"), c =>

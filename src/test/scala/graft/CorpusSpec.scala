@@ -258,6 +258,15 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == ((8L, 4L, 2.0)))
     assert(got(4L)._1 == 3L && got(4L)._2 == 2L &&
       math.abs(got(4L)._3 - 0.918295834) < 1e-6)
+    // empty text: NO output row (sequence(1, 0) must not count down and
+    // fabricate stats — mirrors the oracle's empty range)
+    val empty = graft.ext.TextOps.charEntropy(
+      Seq((9L, "")).toDF("doc_id", "text")).count()
+    assert(empty == 0L, "empty doc fabricated an entropy row")
+    // and empty text yields no cdc chunks either (oracle filters n >= 1)
+    val chunks = graft.ext.Dedup.cdcChunks(
+      Seq((9L, "")).toDF("doc_id", "text")).count()
+    assert(chunks == 0L, "empty doc fabricated a zero-length chunk")
   }
 
   test("vocab counts occurrences and document frequency") {

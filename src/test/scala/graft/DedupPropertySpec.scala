@@ -117,6 +117,18 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupExact keeps exactly one row per content even for repeated input rows") {
+    val ss = spark
+    import ss.implicits._
+    // a re-ingested shard: the SAME (doc_id, text) row lands twice
+    val docs = Seq((1L, "alpha beta"), (1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "gamma")).toDF("doc_id", "text")
+    val kept = Dedup.dedupExact(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(kept.size == kept.distinct.size, s"duplicate survivors: $kept")
+    assert(kept.toSet == Set((1L, "alpha beta"), (3L, "gamma")), s"got $kept")
+  }
+
   test("minhashLshAgainst == banded cross-(batch,base) candidates, estimate from signatures") {
     corpora(6, seed = 43L).foreach { corpus =>
       val df = toDf(corpus)

@@ -54,7 +54,8 @@ class PgmSpec extends SparkSpec {
       "P2\n2 2\n255\n0 0 0",        // truncated raster
       "P2\n0 2\n255\n",             // zero width
       "P2\n2 2\n999\n0 0 0 0",      // maxval out of byte range
-      "P2\n2 2\n255\n0 0 0 300")    // pixel beyond maxval
+      "P2\n2 2\n255\n0 0 0 300",    // pixel beyond maxval
+      "P5\n65536 65536\n255\n")     // w*h wraps Int to 0 — must throw, not "decode"
     bad.foreach { s =>
       intercept[IllegalArgumentException](Pgm.decode(s.getBytes("US-ASCII")))
     }

@@ -16,10 +16,10 @@ object GraftFunctions {
     DotProduct(exprs.head, exprs(1))
   }
 
-  private def intArg(e: Expression, name: String): Int = e match {
+  private def intArg(fn: String, e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"winnow: $name must be an integer literal, got $other")
+      s"$fn: $name must be an integer literal, got $other")
   }
 
   private[graft] def buildIntDot(exprs: Seq[Expression]): Expression = {
@@ -31,7 +31,8 @@ object GraftFunctions {
   private[graft] def buildCdc(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(text) => CdcBoundaries(text, k = 8, divisor = 64)
     case Seq(text, k, d) =>
-      CdcBoundaries(text, intArg(k, "k"), intArg(d, "divisor"))
+      CdcBoundaries(text, intArg("cdc_boundaries", k, "k"),
+        intArg("cdc_boundaries", d, "divisor"))
     case _ => throw new IllegalArgumentException(
       s"cdc_boundaries expects (text) or (text, k, divisor), got ${exprs.length} arguments")
   }
@@ -39,7 +40,7 @@ object GraftFunctions {
   private[graft] def buildWinnow(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(text) => Winnow(text, k = 8, window = 6)
     case Seq(text, k, w) =>
-      Winnow(text, intArg(k, "k"), intArg(w, "window"))
+      Winnow(text, intArg("winnow", k, "k"), intArg("winnow", w, "window"))
     case _ => throw new IllegalArgumentException(
       s"winnow expects (text) or (text, k, window), got ${exprs.length} arguments")
   }

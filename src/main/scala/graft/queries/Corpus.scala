@@ -47,6 +47,18 @@ object Corpus {
         .orderBy(col("bigram"))
     }),
 
+    // gate EVALUATION: confusion matrix of the heuristic quality gate
+    // against the length seed label the learned scorer distills — the
+    // precision/recall readout a filter change ships with
+    "quality_confusion" -> ((s, dir) => {
+      tf(s, dir, "documents")
+        .groupBy(
+          when(TextOps.qualityKeep(col("text")), 1).otherwise(0).as("keep"),
+          when(col("n_chars") >= 300, 1).otherwise(0).as("seed"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("keep"), col("seed"))
+    }),
+
     "quality_filter" -> ((s, dir) => {
       TextOps.qualityFlags(tf(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))
@@ -997,6 +1009,23 @@ object Corpus {
         |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents))
         |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
         |FROM bg GROUP BY bigram HAVING COUNT(*) >= 10 ORDER BY bigram""".stripMargin,
+
+    "quality_confusion" ->
+      """WITH f AS (
+        |  SELECT CAST(CASE WHEN
+        |    len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000
+        |    AND CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+        |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) >= 0.01
+        |    AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) <= 0.2
+        |  THEN 1 ELSE 0 END AS INTEGER) AS keep,
+        |    CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS INTEGER) AS seed
+        |  FROM documents)
+        |SELECT keep, seed, COUNT(*) AS n
+        |FROM f GROUP BY keep, seed ORDER BY keep, seed""".stripMargin,
 
     "quality_filter" ->
       """SELECT doc_id,

@@ -93,15 +93,28 @@ object Cluster {
       val nbrMin = sym.join(lbl, sym("dst") === lbl("id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // pointer doubling (shortcutting): also adopt my LABEL's label —
+      // L(L(u)) is always in u's component, and the jump halves chain
+      // distances each round, so convergence is O(log diameter) instead
+      // of O(diameter). Without it a 1000-node near-dup CHAIN (template
+      // drift across a crawl) exceeds maxIter and silently splits.
+      val l2 = lbl.as("a")
+        .join(lbl.as("b"), col("a.comp") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.comp"), col("a.comp")).as("jump_comp"))
+      // localCheckpoint (eager), not persist: the round's frame references
+      // `lbl` FOUR times (join, nbrMin, both l2 legs), so a lazy-lineage
+      // chain would nest the previous round's LOGICAL plan 4^k deep by
+      // round k — Catalyst re-analysis blows up long before the data
+      // does. Checkpointing truncates the logical plan to the cached
+      // blocks each round, keeping analysis O(1) per round; old block
+      // sets are dropped by the context cleaner.
       val stepped = lbl.join(nbrMin, Seq("id"))
+        .join(l2, Seq("id"))
         .select(col("id"),
-          least(col("comp"), col("nbr_comp")).as("comp"),
+          least(col("comp"), col("nbr_comp"), col("jump_comp")).as("comp"),
           col("comp").as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the ONE action per round: materializes the cache and counts moved
-      // labels in the same pass. The new generation (with its harmless
-      // `prev` rider) is pinned before the old one is dropped — otherwise
-      // the lazy lineage re-runs the whole join chain every later round.
+        .localCheckpoint(true)
       val changed = stepped.filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
       labels = stepped

@@ -33,6 +33,18 @@ class CorpusSpec extends SparkSpec {
     assert(fast == dist, "hybrid paths diverged")
   }
 
+  test("distributed CC closes a 2000-node chain within maxIter (pointer doubling)") {
+    // a pure path graph: plain min-label propagation needs diameter
+    // rounds (2000 > maxIter) and would silently split the component;
+    // shortcutting must close it in O(log n) rounds
+    val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("i", "j")
+    val comps = Cluster.connectedComponents(chain, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 2000)
+    assert(comps.values.forall(_ == 0L),
+      s"chain split into ${comps.values.toSet.size} components")
+  }
+
   test("applyClusterDedup keeps exactly one survivor per component") {
     val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")

@@ -358,6 +358,44 @@ object TextOps {
     items.join(selected, col("pr") === col("_sel_pr")).drop("_sel_pr")
   }
 
+  /** Zipf slope of the corpus: ordinary-least-squares fit of
+    * ln(frequency) against ln(rank) over the top `topN` terms — healthy
+    * natural-language corpora sit near −1; templated/generated text
+    * flattens the curve. The corpus-sized work is ONE token count
+    * aggregation + a top-N (TakeOrderedAndProject); the regression then
+    * runs over `topN` rows (the bounded-by-limit regime where a window
+    * is fine), with each x/y/x²/xy term rounded to 9 dp and summed as
+    * DECIMAL so slope and intercept are single IEEE expressions of
+    * exact sums — oracle-hashable. Returns one row
+    * (n_terms, slope, intercept). */
+  def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val top = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topN)
+    val ranked = top
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("c").desc, col("w"))))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val terms = ranked.select(
+      round(col("x"), 9).cast(DecimalType(20, 9)).as("xd"),
+      round(col("y"), 9).cast(DecimalType(20, 9)).as("yd"),
+      round(col("x") * col("x"), 9).cast(DecimalType(20, 9)).as("xxd"),
+      round(col("x") * col("y"), 9).cast(DecimalType(20, 9)).as("xyd"))
+    terms.agg(count(lit(1)).as("n_terms"),
+        sum(col("xd")).cast("double").as("sx"),
+        sum(col("yd")).cast("double").as("sy"),
+        sum(col("xxd")).cast("double").as("sxx"),
+        sum(col("xyd")).cast("double").as("sxy"))
+      .select(col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n_terms"), 6).as("intercept"))
+  }
+
   /** Per-document character-level Shannon entropy (bits/char) — the
     * classic gibberish/compression-junk signal: natural prose sits
     * ~4-4.5 bits, base64 blobs and repeated-char runs fall far outside.

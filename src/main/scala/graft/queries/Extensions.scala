@@ -497,6 +497,11 @@ object Extensions {
     // Scala netpbm codec; the oracle constructs identical payloads and
     // parses them with SQL string functions — two independent parsers of
     // a real image format must agree bit-for-bit
+    // corpus-health check: OLS Zipf slope over the top-100 terms
+    "text_zipf_slope" -> ((s, dir) => {
+      TextOps.zipfSlope(tf(s, dir, "documents").select(col("text")), topN = 100)
+    }),
+
     // gibberish/compression-junk gate: character-entropy per doc with
     // 9-dp decimal term sums (partition-order independent)
     "text_entropy" -> ((s, dir) => {
@@ -1189,6 +1194,27 @@ object Extensions {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_zipf_slope" ->
+      """WITH cnt AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY w),
+        |topt AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 100),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM topt),
+        |t AS (SELECT
+        |  CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(20,9)) AS xd,
+        |  CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(20,9)) AS yd,
+        |  CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(20,9)) AS xxd,
+        |  CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(20,9)) AS xyd
+        |  FROM rk),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
+        |  CAST(SUM(xxd) AS DOUBLE) AS sxx, CAST(SUM(xyd) AS DOUBLE) AS sxy FROM t)
+        |SELECT n_terms,
+        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx) / n_terms, 6) AS intercept
+        |FROM s""".stripMargin,
 
     "text_entropy" ->
       """WITH chars AS (

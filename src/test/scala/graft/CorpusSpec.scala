@@ -256,6 +256,16 @@ class CorpusSpec extends SparkSpec {
     assert(keep(2L) == 0 && keep(3L) == 0 && keep(4L) == 0)
   }
 
+  test("zipfSlope recovers ~-1 on an exact power-law corpus") {
+    // term r appears floor(2000/r) times -> ln f = ln 2000 - ln r + O(rounding)
+    val words = (1 to 50).flatMap(r => Seq.fill(2000 / r)(f"term$r%02d"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = graft.ext.TextOps.zipfSlope(docs, topN = 50).collect()(0)
+    assert(row.getLong(0) == 50L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope not ~-1")
+  }
+
   test("charEntropy matches closed-form values on known alphabets") {
     val docs = Seq(
       (1L, "aaaaaaaa"),        // one symbol -> 0 bits

@@ -262,4 +262,75 @@ object Multimodal {
       })
       .toDF()
   }
+
+  /** dHash-style 56-bit perceptual hash on REAL pixels: NN-resize to an
+    * 8×8 grid, then one bit per horizontal neighbor comparison
+    * (7 per row × 8 rows). 56 bits — not the classic 9×8/64 — keeps the
+    * hash strictly inside a non-negative BIGINT so the oracle can build
+    * the identical value with `1::BIGINT << k` shifts and no sign edge. */
+  def dHash56(img: PgmImage): Long = {
+    val r = Pgm.resizeNearest(img, 8, 8)
+    var h = 0L
+    var k = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (r.pixels(y * 8 + x) > r.pixels(y * 8 + x + 1)) h |= 1L << k
+        k += 1; x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image perceptual hash: decode + hash per partition (payloads
+    * never leave the executor task) → (media_id, phash). */
+  def pgmPhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, dHash56(Pgm.decode(bytes)))
+      })
+      .toDF("media_id", "phash")
+  }
+
+  /** Image near-dup pairs at Hamming distance ≤ `maxDist` over the
+    * perceptual hash — the visual twin of simhash text dedup, and EXACT
+    * for maxDist ≤ 3 by pigeonhole: the 56-bit hash splits into four
+    * 14-bit chunks, and any pair within distance 3 must agree on at
+    * least one chunk, so blocking on (chunk_idx, chunk_value) loses
+    * nothing. Pipeline is the standard posting-list shape (no self-join,
+    * no cartesian): explode 4 chunk rows per image → group to posting
+    * lists → emit ordered pairs IN the task → distance filter AT
+    * emission → distinct to collapse multi-chunk hits.
+    *
+    * `maxBucket` is the 100 TB fat-bucket valve (a flat-color meme
+    * template shared by millions of images = one degenerate posting
+    * list): lists longer than the cap are dropped before pairing, same
+    * df-cap policy as `Dedup.ngramJaccardPairs`. Default uncapped — the
+    * oracle-checked exact semantics. Returns (i, j, dist), i < j. */
+  def phashPairs(spark: SparkSession, media: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist <= 3, s"pigeonhole exactness needs maxDist <= 3, got $maxDist")
+    val hashes = pgmPhash(spark, media)
+    val posting = hashes
+      .select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(lit): _*)).as("c"))
+      .withColumn("chunk",
+        expr("shiftright(phash, c * 14) & 16383"))
+      .groupBy(col("c"), col("chunk"))
+      .agg(sort_array(collect_list(
+        struct(col("media_id"), col("phash")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    val pairs = flatten(transform(sequence(lit(1), size(col("ms")) - 1), i =>
+      transform(slice(col("ms"), i + 1, size(col("ms")) - i), e =>
+        struct(element_at(col("ms"), i).as("a"), e.as("b")))))
+    posting.select(explode(pairs).as("p"))
+      .select(col("p.a.media_id").as("i"), col("p.b.media_id").as("j"),
+        expr("cast(bit_count(p.a.phash ^ p.b.phash) as int)").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -526,6 +526,25 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // REAL perceptual hash (dHash-56 on decoded+resized pixels); oracle
+    // rebuilds the identical 56-bit value from its own SQL-side parse
+    "multimodal_phash" -> ((s, dir) => {
+      Multimodal.pgmPhash(s,
+        Multimodal.pgmMediaTable(
+          tf(s, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("media_id"))
+    }),
+
+    // image near-dup pairs at hamming <= 3 via 4x14-bit pigeonhole
+    // blocking — exact, so the brute-force DuckDB pair scan is a true
+    // oracle; Spark never materializes the quadratic comparison
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      Multimodal.phashPairs(s,
+        Multimodal.pgmMediaTable(
+          tf(s, dir, "documents").select(col("doc_id"))), maxDist = 3)
+        .orderBy(col("i"), col("j"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       Multimodal.mediaTable(tf(s, dir, "documents"))
         .select(col("media_id"), col("kind"),
@@ -1287,6 +1306,70 @@ object Extensions {
         |  CAST(len(list_filter(rp, x -> x // 64 = 2)) AS BIGINT) AS h2,
         |  CAST(len(list_filter(rp, x -> x // 64 = 3)) AS BIGINT) AS h3
         |FROM rz ORDER BY media_id""".stripMargin,
+
+    "multimodal_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 + 8 AS w, doc_id % 4 + 6 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT media_id,
+        |    'P2' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
+        |    array_to_string(list_transform(range(0, w * h),
+        |      i -> (media_id * 37 + i * 101) % 256), ' ') AS payload
+        |  FROM m),
+        |parsed AS (SELECT media_id, regexp_split_to_array(payload, '\s+') AS t FROM p),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(t[2] AS INTEGER) AS width, CAST(t[3] AS INTEGER) AS height,
+        |    list_transform(t[5:], x -> CAST(x AS BIGINT)) AS pix
+        |  FROM parsed),
+        |rz AS (
+        |  SELECT media_id, list_transform(range(0, 8 * 8),
+        |    j -> pix[CAST((((j // 8) * height) // 8) * width
+        |                  + (((j % 8) * width) // 8) + 1 AS INTEGER)]) AS rp
+        |  FROM px)
+        |SELECT media_id,
+        |  CAST(list_sum(list_transform(range(0, 56), k ->
+        |    CASE WHEN rp[CAST((k // 7) * 8 + (k % 7) + 1 AS INTEGER)]
+        |            > rp[CAST((k // 7) * 8 + (k % 7) + 2 AS INTEGER)]
+        |         THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |FROM rz ORDER BY media_id""".stripMargin,
+
+    "multimodal_phash_pairs" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 + 8 AS w, doc_id % 4 + 6 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT media_id,
+        |    'P2' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
+        |    array_to_string(list_transform(range(0, w * h),
+        |      i -> (media_id * 37 + i * 101) % 256), ' ') AS payload
+        |  FROM m),
+        |parsed AS (SELECT media_id, regexp_split_to_array(payload, '\s+') AS t FROM p),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(t[2] AS INTEGER) AS width, CAST(t[3] AS INTEGER) AS height,
+        |    list_transform(t[5:], x -> CAST(x AS BIGINT)) AS pix
+        |  FROM parsed),
+        |rz AS (
+        |  SELECT media_id, list_transform(range(0, 8 * 8),
+        |    j -> pix[CAST((((j // 8) * height) // 8) * width
+        |                  + (((j % 8) * width) // 8) + 1 AS INTEGER)]) AS rp
+        |  FROM px),
+        |hsh AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 56), k ->
+        |      CASE WHEN rp[CAST((k // 7) * 8 + (k % 7) + 1 AS INTEGER)]
+        |              > rp[CAST((k // 7) * 8 + (k % 7) + 2 AS INTEGER)]
+        |           THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM rz)
+        |SELECT a.media_id AS i, b.media_id AS j,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS dist
+        |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY i, j""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -48,6 +48,42 @@ class PgmSpec extends SparkSpec {
     assert(Pgm.resizeNearest(up, 2, 2).pixels.toSeq == img.pixels.toSeq)
   }
 
+  test("phash pigeonhole blocking finds exactly the brute-force pairs") {
+    import org.apache.spark.sql.functions._
+    // random corpus with planted near-dups: pairs of images differing in
+    // a handful of pixels (small hamming), plus unrelated images
+    val rng = new scala.util.Random(7)
+    val imgs = (0 until 60).map { i =>
+      if (i % 3 == 1) {
+        // near-copy of the previous image: flip a few pixels
+        val base = randomImage(i - 1).pixels.clone()
+        (0 until 2).foreach(_ => base(rng.nextInt(base.length)) = rng.nextInt(256))
+        val prev = randomImage(i - 1)
+        (i.toLong, Pgm.encodeP5(PgmImage(prev.width, prev.height, base)))
+      } else (i.toLong, Pgm.encodeP5(randomImage(i)))
+    }
+    val s = spark
+    import s.implicits._
+    val media = imgs.toDF("media_id", "payload")
+    val got = graft.ext.Multimodal.phashPairs(spark, media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same hashes
+    val hs = imgs.map { case (id, b) =>
+      (id, graft.ext.Multimodal.dHash56(Pgm.decode(b)))
+    }
+    val want = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(want.nonEmpty, "planted near-dups must produce pairs")
+    assert(got == want)
+    // plan shape: posting-list pipeline, never a quadratic join
+    val plan = graft.ext.Multimodal.phashPairs(spark, media, maxDist = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"quadratic pair plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"quadratic pair plan:\n$plan")
+  }
+
   test("malformed input throws instead of decoding garbage") {
     val bad = Seq(
       "P3\n2 2\n255\n0 0 0 0",      // wrong magic

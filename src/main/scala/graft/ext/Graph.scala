@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge DataFrames.
+  *
+  * PageRank here is the fixed-iteration, FIXED-POINT variant: ranks are
+  * carried as integer micro-units (1e-9 of total rank mass) and every
+  * per-edge contribution is an integer floor division — no floating
+  * point anywhere in the trajectory, so the result is independent of
+  * partition/summation order and bit-identical across engines. (An
+  * earlier draft rounded IEEE doubles to 9 dp per round; one node per
+  * ~10^5 landed exactly on a half boundary where Spark's
+  * BigDecimal-via-toString HALF_UP and DuckDB's round() disagree — the
+  * same boundary class the bigram-NLL operator hit. Integer fixed-point
+  * removes the boundary instead of narrowing it.) The only float op is
+  * the final presentation divide.
+  *
+  * Scale shape (the part that must survive 100 TB): state per round is
+  * one (node, rank) frame; each iteration is ONE equi-join of the
+  * persisted adjacency (edges + out-degree) against the current ranks
+  * and ONE map-side-combinable sum keyed by dst. Rounds persist their
+  * output and unpersist the previous one, so lineage stays O(1) — no
+  * recursive plan growth, no driver state beyond the scalar node count.
+  */
+object Graph {
+
+  private val Scale = 1000000000L // 1e9 micro-units of rank mass
+
+  /** PageRank over an UNDIRECTED graph given as distinct (a, b) pairs
+    * (each undirected edge listed once; the symmetric closure is built
+    * here). `dampingPct` is the damping factor in integer percent (85 =
+    * the standard 0.85) — integer so the damping multiply stays exact.
+    * Returns (node, rank) with rank surfaced as DOUBLE by one final
+    * presentation divide. Isolated nodes cannot occur: the node set is
+    * defined by the edges, so every node has degree >= 1 and both an
+    * out- and in-edge — every rank row is produced by the aggregation,
+    * no left-join backfill needed. Floor division leaks ≤ deg micro
+    * units of mass per node per round; at 1e9 units that is < 1e-6
+    * relative and, unlike IEEE rounding, identically reproducible. */
+  def pageRank(pairs: DataFrame, iters: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct > 0 && dampingPct < 100,
+      s"dampingPct must be in (0, 100), got $dampingPct")
+    val ed = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = ed.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = adj.select(countDistinct(col("src"))).first().getLong(0)
+    // teleport mass per node, all integer: ((100-d)% of Scale) / n
+    val teleportU = ((100L - dampingPct) * Scale / 100L) / n
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .withColumn("rank_u", lit(Scale / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("rank_u div deg").as("c"))
+      val next = contrib.groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(teleportU) + expr(s"($dampingPct * s) div 100")).as("rank_u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    val out = ranks.select(col("node"),
+      (col("rank_u").cast("double") / lit(Scale.toDouble)).as("rank"))
+    adj.unpersist()
+    out
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, tf}
-import graft.ext.{Dedup, Multimodal, Quantize, Sampling, Similarity, TextOps}
+import graft.ext.{Dedup, Graph, Multimodal, Quantize, Sampling, Similarity, TextOps}
 
 /** LLM-pipeline extension queries (dedup / similarity / text / multimodal),
   * each oracle-checked against DuckDB.
@@ -552,6 +552,18 @@ object Extensions {
           hex(substring(col("payload"), 1, 4)).as("header_hex"),
           sha2(col("payload"), 256).as("payload_sha"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- iterative graph analytics: 3 rounds of fixed-point PageRank
+    // over the undirected customer-supplier trade graph; the oracle
+    // replays the identical integer trajectory as unrolled CTEs
+    "graph_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      Graph.pageRank(e, iters = 3, dampingPct = 85).orderBy(col("node"))
     }),
 
     // ---- blocked fuzzy record linkage: within-(brand,size) part-name
@@ -1306,6 +1318,34 @@ object Extensions {
         |  CAST(len(list_filter(rp, x -> x // 64 = 2)) AS BIGINT) AS h2,
         |  CAST(len(list_filter(rp, x -> x // 64 = 3)) AS BIGINT) AS h3
         |FROM rz ORDER BY media_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      // one unrolled iteration: the EXACT fixed-point trajectory of
+      // Graph.pageRank — integer micro-unit ranks, floor-div
+      // contributions, integer damping; no floats until the final
+      // presentation divide, so no rounding boundary can disagree
+      def it(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT ed.dst AS node,
+           |    CAST(150000000 // nn.n
+           |      + (85 * SUM(r.rank_u // d.deg)) // 100 AS BIGINT) AS rank_u
+           |  FROM ed JOIN $prev r ON ed.src = r.node
+           |  JOIN deg d ON ed.src = d.src CROSS JOIN nn
+           |  GROUP BY ed.dst, nn.n)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, CAST(1000000000 // nn.n AS BIGINT) AS rank_u
+         |  FROM deg CROSS JOIN nn),
+         |${it("r0", "r1")},
+         |${it("r1", "r2")},
+         |${it("r2", "r3")}
+         |SELECT node, CAST(rank_u AS DOUBLE) / 1000000000.0 AS rank
+         |FROM r3 ORDER BY node""".stripMargin
+    },
 
     "multimodal_phash" ->
       """WITH m AS (

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Graph
+
+/** Fixed-point PageRank: hand-computed tiny graph, partition-order
+  * invariance (the whole point of the integer trajectory), mass
+  * conservation up to documented floor leak, and plan shape. */
+class GraphSpec extends SparkSpec {
+
+  private def pairsDf(es: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    es.toDF("a", "b")
+  }
+
+  test("path graph a-b-c matches the hand-computed integer trajectory") {
+    // undirected path 1-2-3: deg(1)=deg(3)=1, deg(2)=2, n=3
+    val got = Graph.pageRank(pairsDf(Seq((1L, 2L), (2L, 3L))), iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // r0 = 1e9/3 = 333333333 each; teleport = 150000000/3 = 50000000
+    // node1: from 2: 333333333 div 2 = 166666666 -> 50000000 + 85*166666666 div 100 = 50000000 + 141666666 = 191666666
+    // node2: from 1 and 3: 333333333 + 333333333 = 666666666 -> 50000000 + 85*666666666 div 100 = 50000000 + 566666666 = 616666666
+    assert(got(1L) == 0.191666666 && got(3L) == 0.191666666)
+    assert(got(2L) == 0.616666666)
+  }
+
+  test("result is invariant to input partitioning (integer fixed point)") {
+    val es = (0L until 400L).map(i => (i % 37, 37 + i % 53))
+    val a = Graph.pageRank(pairsDf(es).repartition(1), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Graph.pageRank(pairsDf(es).repartition(13), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
+  test("rank mass is conserved up to the documented floor leak") {
+    val es = (0L until 300L).map(i => (i % 29, 29 + i % 31))
+    val ranks = Graph.pageRank(pairsDf(es), iters = 3)
+    val total = ranks.agg(sum(col("rank"))).first().getDouble(0)
+    // each node leaks < (deg + 100) / 1e9 per round to floor division;
+    // with 60 nodes x 3 rounds the leak stays well under 1%
+    assert(total > 0.99 && total <= 1.0, s"mass $total")
+  }
+
+  test("per-iteration plan is join + partial-aggregated sum, no cartesian") {
+    val plan = Graph.pageRank(pairsDf(Seq((1L, 2L), (2L, 3L))), iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -145,6 +145,35 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Curriculum ordering: assign every row a global training position
+    * that presents easy examples first — rows are bucketed by fixed
+    * `edges` thresholds on a difficulty score (bucket = number of edges
+    * the score meets; fixed literals, NOT quantiles, so the bucketing is
+    * a stateless scan-stage expression), deterministically shuffled
+    * WITHIN each bucket by a salted hash (a fresh `salt` reshuffles each
+    * epoch without reordering the curriculum itself), and numbered by
+    * [[graft.ops.Layout.globalRowNumber]] — so no global single-task
+    * sort ever happens: the composite (bucket << 32 | hash) key is
+    * range-sharded, counted, prefix-offset, and shard-locally numbered,
+    * with `key` as the uniqueness tiebreak under hash collisions.
+    *
+    * Requires ≤ 2^31 buckets (edges list is small by construction) and a
+    * unique `key`. Appends (bucket, rn). */
+  def curriculumOrder(df: DataFrame, key: Column, difficulty: Column,
+      edges: Seq[Double], salt: String = "cur0"): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      s"edges must be non-empty ascending, got $edges")
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(difficulty >= lit(e), 1).otherwise(0)
+    }
+    val h = Dedup.portableHash32(concat(lit(salt), lit(":"), key.cast("string")))
+    val keyed = df.withColumn("bucket", bucket)
+      .withColumn("_ckey",
+        shiftleft(col("bucket").cast("long"), 32).bitwiseOR(h))
+    graft.ops.Layout.globalRowNumber(keyed, col("_ckey"), tiebreak = Seq(key))
+      .drop("_ckey")
+  }
+
   /** Stratified sample with a per-stratum rate (percent). Rows in strata
     * absent from `rates` are dropped. One case-expression filter — still
     * no shuffle; rebalancing skewed strata (e.g. downsampling the 90%

@@ -256,6 +256,41 @@ object TextOps {
         punctRatio(txt) <= maxPunctRatio
     }
 
+  /** Per-source quantile calibration of a quality score: raw scores are
+    * not comparable across sources (a web crawl's median differs from
+    * books'), so gate each document on its percentile WITHIN its source
+    * — `pctl` = percent_rank (ties share the min rank; 0 for singleton
+    * sources) and `keep` = pctl ≥ `minPctl`, i.e. "drop each source's
+    * worst `minPctl` tail" with one knob that means the same thing for
+    * every source.
+    *
+    * Scale shape: NOT a per-source window over the documents (that
+    * concentrates each source — possibly billions of rows — onto one
+    * task). The empirical CDF is computed on the DISTINCT (source,
+    * score) grid: one grouped count, one window over grid rows (bounded
+    * by score cardinality, not corpus size), then an equi-join back.
+    * Callers must therefore bound the score grid (round the score to a
+    * fixed precision); pctl is exactly percent_rank of the rounded
+    * score. Input: (source, score) + carry-through columns; appends
+    * (pctl, keep). */
+  def calibrateBySource(scored: DataFrame, minPctl: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = dist
+      .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .select(col("source"), col("score"), col("_below"))
+    val nSrc = scored.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    scored.join(cdf, Seq("source", "score"))
+      .join(nSrc, Seq("source"))
+      .withColumn("pctl", when(col("_n") === 1, lit(0.0))
+        .otherwise(col("_below").cast("double") / (col("_n") - 1)))
+      .withColumn("keep", when(col("pctl") >= minPctl, 1).otherwise(0))
+      .drop("_below", "_n")
+  }
+
   /** Greedy sequence packing: assign documents, in deterministic doc_id
     * order, to consecutive bins of ~`tokensPerBin` tokens — the layout
     * step that turns a curated corpus into fixed-budget training

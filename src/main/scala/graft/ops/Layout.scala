@@ -127,14 +127,19 @@ object Layout {
       col("_shard"))
   }
 
-  def globalRowNumber(df: DataFrame, order: Column, numShards: Int = 0): DataFrame = {
+  def globalRowNumber(df: DataFrame, order: Column, numShards: Int = 0,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shards =
       if (numShards > 0) numShards
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val sharded = df.withColumn("_shard", orderedShard(df, order, shards))
     val offsetOf = prefixOffsets(sharded, count(lit(1)))
-    val w = Window.partitionBy(col("_shard")).orderBy(order)
+    // `order` alone must be unique UNLESS `tiebreak` completes the total
+    // order: equal order keys always land in the same shard (the shard
+    // function is a pure function of the key), so a shard-local tiebreak
+    // yields the same global order as a single sort by (order, tiebreak)
+    val w = Window.partitionBy(col("_shard")).orderBy(order +: tiebreak: _*)
     sharded
       .withColumn("rn", (row_number().over(w).cast("long") + offsetOf))
       .drop("_shard")

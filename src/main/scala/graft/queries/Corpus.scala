@@ -64,6 +64,33 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-source score calibration: gate on the percentile WITHIN each
+    // source (drop each source's worst 20%), computed on the distinct
+    // (source, score) grid — never a per-source window over the corpus
+    "quality_calibrated" -> ((s, dir) => {
+      val d = tf(s, dir, "documents")
+      val nTok = TextOps.tokenCount(col("text"))
+      val scored = d.select(col("doc_id"), col("source"),
+        round(length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("double") / nTok, 4).as("score"))
+      TextOps.calibrateBySource(scored, minPctl = 0.2)
+        .select(col("doc_id"), col("source"), col("score"),
+          col("pctl"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // curriculum ordering: easy-to-hard buckets by fixed n_chars edges,
+    // salted-hash shuffle within bucket, distributed global numbering —
+    // no single-task sort anywhere in the plan
+    "corpus_curriculum" -> ((s, dir) => {
+      Sampling.curriculumOrder(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars").cast("double"),
+          edges = Seq(200.0, 400.0, 800.0), salt = "cur0")
+        .select(col("doc_id"), col("bucket"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // learned quality scoring: logistic regression trained by full-batch
     // GD (8 iterations, exact decimal gradient sums) distilling a length
     // criterion (n_chars >= 300 — the one seed signal the synthetic
@@ -1043,6 +1070,31 @@ object Corpus {
         |    / length(text) <= 0.2
         |THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_calibrated" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS score
+        |  FROM documents)
+        |SELECT doc_id, source, score,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY score) AS pctl,
+        |  CAST(CASE WHEN percent_rank() OVER (PARTITION BY source ORDER BY score)
+        |    >= 0.2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "corpus_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST((CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS INTEGER) AS bucket,
+        |    CAST(concat('0x', substr(md5('cur0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CAST(row_number() OVER (ORDER BY (CAST(bucket AS BIGINT) << 32) | h, doc_id)
+        |    AS BIGINT) AS rn
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "sample_hash" ->
       """SELECT doc_id FROM documents

@@ -684,4 +684,48 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall { case (l, a) => l == a },
       "every vector's nearest centroid must be its own label's")
   }
+
+  test("calibrateBySource pctl equals a plain per-source percent_rank") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    val scored = (0 until 300).map { i =>
+      (i.toLong, s"src${i % 4}", (rng.nextInt(40) / 4.0))
+    }.toDF("doc_id", "source", "score") // repeated scores => rank ties
+    val got = TextOps.calibrateBySource(scored, minPctl = 0.25)
+      .select("doc_id", "pctl", "keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val want = scored.withColumn("pctl",
+        percent_rank().over(Window.partitionBy(col("source")).orderBy(col("score"))))
+      .withColumn("keep", when(col("pctl") >= 0.25, 1).otherwise(0))
+      .select("doc_id", "pctl", "keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got == want)
+    // singleton source: percentile 0, dropped by any positive threshold
+    val single = Seq((1L, "only", 3.0)).toDF("doc_id", "source", "score")
+    val s1 = TextOps.calibrateBySource(single, minPctl = 0.2)
+      .select("pctl", "keep").collect().head
+    assert(s1.getDouble(0) == 0.0 && s1.getInt(1) == 0)
+  }
+
+  test("curriculumOrder: buckets are contiguous in rn and salts reshuffle within") {
+    val docs = (0 until 200).map(i => (i.toLong, (i % 1000).toDouble))
+      .toDF("doc_id", "difficulty")
+    val out = Sampling.curriculumOrder(docs, col("doc_id"), col("difficulty"),
+        edges = Seq(50.0, 120.0), salt = "e0")
+      .select("doc_id", "bucket", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // rn is a permutation of 1..n
+    assert(out.map(_._3).sorted.toSeq == (1L to 200L).toSeq)
+    // every bucket-0 position precedes every bucket-1 position, etc.
+    val maxByBucket = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minByBucket = out.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(maxByBucket(0) < minByBucket(1) && maxByBucket(1) < minByBucket(2))
+    // a different salt keeps buckets but permutes order within them
+    val out2 = Sampling.curriculumOrder(docs, col("doc_id"), col("difficulty"),
+        edges = Seq(50.0, 120.0), salt = "e1")
+      .select("doc_id", "bucket", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(t => t._1 -> t._2).toMap == out2.map(t => t._1 -> t._2).toMap)
+    assert(out.map(t => t._1 -> t._3).toMap != out2.map(t => t._1 -> t._3).toMap)
+  }
 }

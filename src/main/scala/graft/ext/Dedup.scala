@@ -372,6 +372,51 @@ object Dedup {
         col("sz_a"), col("sz_b"), col("jaccard"))
   }
 
+  /** Cross-document repeated text spans — the span-level view of exact
+    * duplication (the "deduplicate repeated substrings, not whole
+    * documents" discipline from the training-data dedup literature,
+    * adapted from suffix arrays to the posting-list shape every detector
+    * here uses): a word `n`-gram is DUPLICATED when it occurs in ≥ 2
+    * distinct documents; per document, maximal runs of consecutive
+    * duplicated n-gram positions merge into spans. Returns
+    * (doc_id, start_tok, end_tok, n_dup_grams) — 1-based token
+    * positions, end inclusive — the cut list a span-level deduper or a
+    * contamination auditor consumes.
+    *
+    * Pipeline: positions ride the shingle explode (posexplode, so the
+    * scan stays one pass); ONE shuffle builds per-gram posting lists
+    * carrying (doc_id, pos); lists from ≥ 2 docs explode back to
+    * duplicated positions; runs collapse via the pos−row_number trick
+    * under a per-document window (bounded by document length, never
+    * corpus size). `maxDocFreq` caps posting-list width before the
+    * explode — the same fat-bucket valve as the pair detectors; capped
+    * grams (boilerplate shared by everything) drop out of the span set,
+    * which is the production behavior you want anyway. */
+  def repeatedSpans(docs: DataFrame, n: Int = 5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), posexplode_outer(shingles(col("text"), n)))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+    val posting = grams.groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"),
+        size(collect_set(col("doc_id"))).as("nd"))
+      .filter(col("nd") >= 2 && size(col("ps")) <= maxDocFreq)
+    val dpos = posting
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.pos").as("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dpos
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("end_tok"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        col("n_dup_grams"))
+  }
+
   /** All ordered pairs (a < b by list position) from a sorted posting
     * list of structs. Emitted IN the task holding the posting — the
     * standard MapReduce near-dup shape: pair blowup is local to each

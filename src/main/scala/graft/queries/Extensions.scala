@@ -554,6 +554,13 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // span-level exact dedup: maximal cross-document repeated 5-gram
+    // runs — the cut list a substring-level deduper consumes
+    "dedup_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(plantedDocs(s, dir), n = 5)
+        .orderBy(col("doc_id"), col("start_tok"))
+    }),
+
     // ---- iterative graph analytics: 3 rounds of fixed-point PageRank
     // over the undirected customer-supplier trade graph; the oracle
     // replays the identical integer trajectory as unrolled CTEs
@@ -1318,6 +1325,22 @@ object Extensions {
         |  CAST(len(list_filter(rp, x -> x // 64 = 2)) AS BIGINT) AS h2,
         |  CAST(len(list_filter(rp, x -> x // 64 = 3)) AS BIGINT) AS h3
         |FROM rz ORDER BY media_id""".stripMargin,
+
+    "dedup_repeated_spans" ->
+      s"""WITH $plantedSql,
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM docs),
+         |grams AS (
+         |  SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos,
+         |    unnest(list_transform(range(1, len(ws) - 3),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+         |  FROM toks),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+         |runs AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dpos)
+         |SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 4 AS end_tok,
+         |  COUNT(*) AS n_dup_grams
+         |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin,
 
     "graph_pagerank" -> {
       // one unrolled iteration: the EXACT fixed-point trajectory of

@@ -188,4 +188,31 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == expected, s"corpus=$corpus")
     }
   }
+
+  test("repeatedSpans matches a brute-force span merge on random corpora") {
+    val n = 2 // short grams so random corpora actually collide
+    corpora(10, seed = 53L).foreach { corpus =>
+      // brute force: positions whose n-gram occurs in >= 2 distinct docs,
+      // merged into maximal consecutive runs
+      val grams = corpus.zipWithIndex.flatMap { case (ws, d) =>
+        ws.sliding(n).toList.zipWithIndex.collect {
+          case (g, i) if g.length == n => (d.toLong, i + 1L, g.mkString(" "))
+        }
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expected = grams.filter(g => dup(g._3))
+        .groupBy(_._1).toSeq.flatMap { case (d, ps) =>
+          // consecutive positions share pos - rank: each group is one run
+          ps.map(_._2).sorted.zipWithIndex
+            .groupBy { case (p, idx) => p - idx }
+            .values.map(_.map(_._1))
+            .map(r => (d, r.min, r.max + n - 1, r.size.toLong))
+        }.toSet
+      val got = Dedup.repeatedSpans(toDf(corpus), n = n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
 }

@@ -392,13 +392,19 @@ object Dedup {
     * explode — the same fat-bucket valve as the pair detectors; capped
     * grams (boilerplate shared by everything) drop out of the span set,
     * which is the production behavior you want anyway. */
-  def repeatedSpans(docs: DataFrame, n: Int = 5,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val grams = docs
+  /** (doc_id, pos, g): every word n-gram with its 1-based start token
+    * position — the positional shingle stream [[repeatedSpans]] and
+    * [[applySpanDedup]] share. */
+  private def posGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), posexplode_outer(shingles(col("text"), n)))
       .filter(col("col").isNotNull)
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("g"))
+
+  def repeatedSpans(docs: DataFrame, n: Int = 5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val grams = posGrams(docs, n)
     val posting = grams.groupBy(col("g"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"),
         size(collect_set(col("doc_id"))).as("nd"))
@@ -415,6 +421,55 @@ object Dedup {
         count(lit(1)).as("n_dup_grams"))
       .select(col("doc_id"), col("start_tok"), col("end_tok"),
         col("n_dup_grams"))
+  }
+
+  /** APPLY span-level dedup: cut every duplicated n-gram span from every
+    * document EXCEPT its owner (the min doc_id among documents containing
+    * that gram — the owner keeps all of its own occurrences), then
+    * reassemble the surviving tokens. This is the remove-all-but-one
+    * substring-dedup policy, keyed per gram so overlapping spans resolve
+    * token-by-token: a token is removed iff it is covered by at least one
+    * duplicated gram occurrence whose owner is another document. Returns
+    * (doc_id, n_tokens, n_removed, text_kept) for EVERY input document.
+    *
+    * Scale shape: one posting shuffle keyed by gram (min/width computed
+    * in the same agg), removal positions explode only from non-owner
+    * occurrences of duplicated grams (bounded by the duplication volume,
+    * not the corpus), and the final pass is a left join of the token
+    * stream against the removal set on (doc_id, pos) — co-partitioned by
+    * doc, no skew beyond document length. `maxDocFreq` is the same
+    * boilerplate valve as [[repeatedSpans]]; capped grams are left
+    * uncut. */
+  def applySpanDedup(docs: DataFrame, n: Int = 5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val grams = posGrams(docs, n)
+    val posting = grams.groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"),
+        size(collect_set(col("doc_id"))).as("nd"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2 && size(col("ps")) <= maxDocFreq)
+    val removals = posting
+      .select(col("owner"), explode(col("ps")).as("p"))
+      .filter(col("p.doc_id") =!= col("owner"))
+      .select(col("p.doc_id").as("doc_id"),
+        explode(sequence(col("p.pos"), col("p.pos") + lit(n - 1)))
+          .as("rpos"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode_outer(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("tpos"),
+        col("col").as("tok"))
+    toks
+      .join(removals,
+        toks("doc_id") === removals("doc_id") && col("tpos") === col("rpos"),
+        "left")
+      .groupBy(toks("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rpos").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rpos").isNull,
+            struct(col("tpos"), col("tok"))))),
+          s => s.getField("tok"))).as("text_kept"))
   }
 
   /** All ordered pairs (a < b by list position) from a sorted posting

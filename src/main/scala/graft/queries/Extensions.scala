@@ -561,6 +561,13 @@ object Extensions {
         .orderBy(col("doc_id"), col("start_tok"))
     }),
 
+    // APPLY the span cut list: duplicated 5-gram spans removed everywhere
+    // but their min-doc owner, surviving tokens reassembled
+    "dedup_apply_spans" -> ((s, dir) => {
+      Dedup.applySpanDedup(plantedDocs(s, dir), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- iterative graph analytics: 3 rounds of fixed-point PageRank
     // over the undirected customer-supplier trade graph; the oracle
     // replays the identical integer trajectory as unrolled CTEs
@@ -1341,6 +1348,29 @@ object Extensions {
          |SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 4 AS end_tok,
          |  COUNT(*) AS n_dup_grams
          |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin,
+
+    "dedup_apply_spans" ->
+      s"""WITH $plantedSql,
+         |tsrc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM docs),
+         |grams AS (
+         |  SELECT doc_id, unnest(range(1, len(ws) - 3)) AS pos,
+         |    unnest(list_transform(range(1, len(ws) - 3),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+         |  FROM tsrc),
+         |own AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |rem AS (
+         |  SELECT DISTINCT gr.doc_id, gr.pos + t.k AS rpos
+         |  FROM grams gr JOIN own ON gr.g = own.g AND gr.doc_id <> own.owner,
+         |    range(0, 5) AS t(k)),
+         |toks AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tpos,
+         |  unnest(ws) AS tok FROM tsrc)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |  SUM(CASE WHEN r.rpos IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+         |  COALESCE(string_agg(tok, ' ' ORDER BY t.tpos)
+         |    FILTER (WHERE r.rpos IS NULL), '') AS text_kept
+         |FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.tpos = r.rpos
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "graph_pagerank" -> {
       // one unrolled iteration: the EXACT fixed-point trajectory of

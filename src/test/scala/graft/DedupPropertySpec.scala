@@ -215,4 +215,36 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == expected, s"corpus=$corpus")
     }
   }
+
+  test("applySpanDedup cuts exactly the non-owner-covered tokens") {
+    val n = 2
+    corpora(10, seed = 59L).foreach { corpus =>
+      val grams = corpus.zipWithIndex.flatMap { case (ws, d) =>
+        ws.sliding(n).toList.zipWithIndex.collect {
+          case (g, i) if g.length == n => (d.toLong, i + 1, g.mkString(" "))
+        }
+      }
+      val owner = grams.groupBy(_._3)
+        .collect { case (g, os) if os.map(_._1).distinct.size >= 2 =>
+          g -> os.map(_._1).min }
+      val expected = corpus.zipWithIndex.map { case (ws, di) =>
+        val d = di.toLong
+        val toks = (if (ws.isEmpty) List("") else ws).zipWithIndex
+          .map { case (t, i) => (i + 1, t) }
+        // token removed iff covered by a dup gram occurrence owned elsewhere
+        val removed = grams.collect {
+          case (`d`, p, g) if owner.get(g).exists(_ != d) =>
+            (p until p + n).toSet
+        }.foldLeft(Set.empty[Int])(_ ++ _)
+        val kept = toks.filterNot { case (p, _) => removed(p) }
+        (d, toks.size.toLong, removed.size.toLong,
+          kept.map(_._2).mkString(" "))
+      }.toSet
+      val got = Dedup.applySpanDedup(toDf(corpus), n = n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
 }

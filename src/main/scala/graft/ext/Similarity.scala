@@ -505,6 +505,70 @@ object Similarity {
     emb.join(drop, Seq("vec_id"), "left_anti")
   }
 
+  /** Greedy maximal-marginal-relevance (MMR) selection: pick `k` vectors
+    * that balance relevance to an anchor vector against redundancy with
+    * what is already picked — the diverse-subset step an eval-set or
+    * few-shot-pool builder runs after retrieval. Step t maximizes
+    * `λ·rel(v) − (1−λ)·max_{s∈S} cos(v, s)` (ties → lower vec_id); the
+    * first pick is pure argmax relevance.
+    *
+    * Scale shape: rel is ONE corpus scan (persisted projection of
+    * (vec_id, v, nrm, rel)); each of the k−1 remaining steps is one more
+    * scan with the selected set compiled into a `greatest(...)` of ≤ k
+    * codegen'd dot products (selected vectors are k×dim driver state —
+    * the same bounded-control-state budget as k-means centroids) and a
+    * TakeOrdered(1). Nothing quadratic, nothing driver-side except the
+    * k winners. `lambdaPct` is integer percent so both engines derive
+    * the identical λ double. Determinism: dots are order-fixed folds,
+    * cosines 4-dp rounded, the MMR combination itself left unrounded
+    * (two scalar IEEE ops on identical inputs — re-rounding would only
+    * add a cross-engine half-boundary to disagree on).
+    *
+    * Returns k rows (rk, vec_id, rel, mmr) in selection order. */
+  def mmrSelect(corpus: DataFrame, anchorId: Long, k: Int,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0,100], got $lambdaPct")
+    val spark = corpus.sparkSession
+    val lam = lambdaPct / 100.0
+    val mu = (100 - lambdaPct) / 100.0
+    val e = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") === anchorId)
+      .select(col("v"), col("nrm")).head()
+    val (qv, qn) = (q.getSeq[Double](0), q.getDouble(1))
+    val qvLit = array(qv.map(lit): _*)
+    val scored = e.filter(col("vec_id") =!= anchorId)
+      .withColumn("rel", round(dot(col("v"), qvLit) / (col("nrm") * lit(qn)), 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double, Seq[Double], Double)]
+    for (t <- 1 to k) {
+      val cand =
+        if (picked.isEmpty) scored
+        else scored.filter(!col("vec_id").isin(picked.toSeq.map(_._2): _*))
+      val withMmr =
+        if (picked.isEmpty) cand.withColumn("mmr", col("rel"))
+        else {
+          val maxSim = picked.map { case (_, _, _, _, sv, sn) =>
+            round(dot(col("v"), array(sv.map(lit): _*)) /
+              (col("nrm") * lit(sn)), 4)
+          }.reduce(greatest(_, _))
+          cand.withColumn("mmr", lit(lam) * col("rel") - lit(mu) * maxSim)
+        }
+      val win = withMmr.orderBy(col("mmr").desc, col("vec_id"))
+        .select(col("vec_id"), col("rel"), col("mmr"), col("v"), col("nrm"))
+        .head()
+      picked += ((t, win.getLong(0), win.getDouble(1), win.getDouble(2),
+        win.getSeq[Double](3), win.getDouble(4)))
+    }
+    scored.unpersist()
+    import spark.implicits._
+    picked.toSeq.map { case (rk, id, rel, mmr, _, _) => (rk, id, rel, mmr) }
+      .toDF("rk", "vec_id", "rel", "mmr")
+  }
+
   /** Most-similar within-label pairs (embedding-cosine near-dup with label
     * blocking — the blocking key caps pair growth at scale). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {

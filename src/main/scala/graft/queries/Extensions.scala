@@ -237,6 +237,13 @@ object Extensions {
       Similarity.nearDupPairs(tf(s, dir, "embeddings"), topN = 20)
     }),
 
+    // greedy MMR diverse selection (k scans, driver state = k vectors);
+    // the oracle replays every greedy step as its own CTE
+    "embed_mmr_select" -> ((s, dir) => {
+      Similarity.mmrSelect(tf(s, dir, "embeddings"), anchorId = 0L,
+        k = 5, lambdaPct = 70)
+    }),
+
     // unnormalized retrieval: inner product replaces cosine — magnitude
     // carries signal; same broadcast-queries scan shape
     "ann_mips_topk" -> ((s, dir) => {
@@ -912,6 +919,45 @@ object Extensions {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY i, j""".stripMargin,
 
     "ann_cosine_topk" -> bruteForceTopkSql,
+
+    "embed_mmr_select" -> {
+      // one CTE per greedy step: m_t = per-candidate max similarity to
+      // the t-1 already-picked vectors, p_t = the argmax MMR pick
+      val k = 5
+      val steps = (2 to k).map { t =>
+        val sel = (1 until t).map(i => s"SELECT vec_id FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""sel${t - 1} AS ($sel),
+           |m$t AS (SELECT c.vec_id,
+           |    MAX(round(list_sum(list_transform(list_zip(c.v, s.v), x -> x[1] * x[2]))
+           |      / (c.nrm * s.nrm), 4)) AS ms
+           |  FROM rel c, rel s
+           |  WHERE s.vec_id IN (SELECT vec_id FROM sel${t - 1})
+           |    AND c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  GROUP BY c.vec_id),
+           |p$t AS (SELECT c.vec_id, c.rel, c.v, c.nrm,
+           |    CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m$t.ms AS mmr
+           |  FROM rel c JOIN m$t ON c.vec_id = m$t.vec_id
+           |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+      }
+      val out = (1 to k)
+        .map(t => s"SELECT $t AS rk, vec_id, rel, mmr FROM p$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(list_zip(v, v), x -> x[1] * x[2]))) AS nrm FROM e),
+         |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |rel AS (SELECT n.vec_id, n.v, n.nrm,
+         |  round(list_sum(list_transform(list_zip(n.v, q.qv), x -> x[1] * x[2]))
+         |    / (n.nrm * q.qn), 4) AS rel
+         |  FROM n CROSS JOIN q WHERE n.vec_id <> 0),
+         |p1 AS (SELECT vec_id, rel, v, nrm, rel AS mmr FROM rel
+         |  ORDER BY rel DESC, vec_id LIMIT 1),
+         |${steps.mkString(",\n")}
+         |SELECT CAST(rk AS INTEGER) AS rk, vec_id, rel, mmr FROM (
+         |  $out)
+         |ORDER BY rk""".stripMargin
+    },
 
     "ann_mips_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

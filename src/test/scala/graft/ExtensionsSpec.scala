@@ -401,4 +401,55 @@ class ExtensionsSpec extends SparkSpec {
       got(2).getAs[Double]("dup_bigram_frac") == 0.0 &&
       got(2).getAs[Double]("dup_trigram_frac") == 0.0)
   }
+
+  test("mmrSelect matches the greedy brute force and out-diversifies top-k") {
+    val s = spark
+    import s.implicits._
+    // corpus with a redundant cluster near the anchor: pure relevance
+    // top-k would pick the clones; MMR must not
+    val rng = new scala.util.Random(5)
+    def jitter(base: Array[Double], eps: Double) =
+      base.map(x => x + eps * rng.nextDouble())
+    val anchor = Array(1.0, 0.0, 0.0, 0.0)
+    // clone cluster: most relevant (cos ~0.95) and mutually near-identical;
+    // the diverse candidates are slightly less relevant (cos 0.9) but far
+    // from the clones — MMR must trade the clones for them after one pick
+    val clone = Array(0.95, 0.3122498999, 0.0, 0.0)
+    val rows =
+      (1L, anchor.toSeq) +:                                   // anchor itself (vec_id 1)
+      (2L to 5L).map(i => (i, jitter(clone, 0.005).toSeq)) :+ // clone cluster
+      (6L, Seq(0.9, -0.4358898944, 0.0, 0.0)) :+
+      (7L, Seq(0.9, 0.0, -0.4358898944, 0.0)) :+
+      (8L, Seq(0.0, 1.0, 0.0, 0.0))
+    val emb4 = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb4, anchorId = 1L, k = 3, lambdaPct = 70)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // brute force with Spark's exact arithmetic (round-half-up at 4dp)
+    def r4(x: Double) =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      r4(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val cands = rows.filter(_._1 != 1L)
+    val rel = cands.map { case (id, v) => id -> cos(v, anchor.toSeq) }.toMap
+    val vecOf = cands.toMap
+    var sel = List.empty[Long]
+    val expect = (1 to 3).map { t =>
+      val pick = cands.filter(c => !sel.contains(c._1)).map { case (id, v) =>
+        val mmr =
+          if (sel.isEmpty) rel(id)
+          else 0.7 * rel(id) - 0.3 * sel.map(sid => cos(v, vecOf(sid))).max
+        (id, mmr)
+      }.minBy { case (id, m) => (-m, id) }
+      sel = sel :+ pick._1
+      (t, pick._1, rel(pick._1), pick._2)
+    }
+    assert(got.toSeq == expect)
+    // diversity: the three picks are NOT all from the clone cluster,
+    // though the top-3 by pure relevance are
+    val topRel = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(3).map(_._1)
+    assert(topRel.forall(id => id >= 2 && id <= 5))
+    assert(!got.map(_._2).forall(id => id >= 2 && id <= 5))
+  }
 }

@@ -714,6 +714,102 @@ object TextOps {
         sum(col("term_kl")).cast("double").as("kl"))
   }
 
+  /** PMI collocation mining: adjacent word pairs scored by pointwise
+    * mutual information against the corpus unigram model — the classic
+    * association readout for multi-word expressions ("new york"-style
+    * units a tokenizer or phrase table should keep together).
+    *
+    * Shape at 100 TB: bigram and unigram counts are two grouped
+    * aggregations over the exploded corpus (both map-side combinable);
+    * scoring joins the unigram table onto the bigram table KEYED BY WORD
+    * twice (AQE broadcasts when the vocabulary is small; at a
+    * 10⁸-term vocabulary both legs become ordinary shuffled equi-joins —
+    * never a cross product). Corpus totals ride along as one broadcast
+    * scalar row. `minCount` is the df-valve: hapax bigrams carry no
+    * statistical signal and would dominate the output (PMI's known
+    * low-frequency bias), so they're cut before the join.
+    *
+    * Determinism: PMI = ln of a quotient of IEEE divisions of exact
+    * longs, computed in one fixed expression order and rounded to 6 dp —
+    * identical bits in any engine, at any parallelism; (pmi DESC, w1,
+    * w2) is a total order so the top-k slice is stable.
+    *
+    * Returns the top `k` (w1, w2, n, pmi) pairs with n >= minCount. */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("ws"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+      .select(col("b.0").as("w1"), col("b.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // totals in one pass over each (already tiny) count table
+    val tb = bi.agg(sum(col("n")).as("tot_b"))
+    val tu = uni.agg(sum(col("c")).as("tot_u"))
+    val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
+    val u2 = uni.select(col("w").as("w2"), col("c").as("c2"))
+    bi.filter(col("n") >= minCount)
+      .join(u1, Seq("w1")).join(u2, Seq("w2"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tu))
+      // p(ab) / (p(a)·p(b)) as a fixed chain of IEEE divisions of exact
+      // longs — the SQL twin mirrors this op-for-op
+      .withColumn("pmi", round(log(
+        (col("n").cast("double") / col("tot_b")) /
+          ((col("c1").cast("double") / col("tot_u")) *
+            (col("c2").cast("double") / col("tot_u")))), 6))
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * LANGUAGE, documents split into head / middle / tail terciles of
+    * their bigram-LM mean NLL — the standard "keep head+middle, drop
+    * tail" curation signal, language-normalized so high-resource
+    * languages don't swamp the threshold.
+    *
+    * Shape at 100 TB: the per-document score comes from [[bigramNll]]
+    * (one corpus explode, decimal-exact sums); the tercile position is
+    * computed like [[calibrateBySource]] — a cumulative count over the
+    * DISTINCT (lang, score) grid (bounded by the score grid, not the
+    * corpus) joined back, never a per-language window over all
+    * documents. Ranks follow percent_rank semantics (ties share the
+    * count of rows strictly below), so the SQL twin is a plain
+    * percent_rank window.
+    *
+    * Returns (doc_id, lang, n_bigrams, ppl_score, pctl, bucket) for
+    * documents with at least one bigram. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramNll(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("ppl_score",
+        round(col("sum_nll") / col("n_bigrams"), 6))
+    val dist = scored.groupBy(col("lang"), col("ppl_score"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = dist
+      .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .select(col("lang"), col("ppl_score"), col("_below"))
+    val nLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("_n"))
+    scored.join(cdf, Seq("lang", "ppl_score"))
+      .join(nLang, Seq("lang"))
+      .withColumn("pctl", when(col("_n") === 1, lit(0.0))
+        .otherwise(col("_below").cast("double") / (col("_n") - 1)))
+      // tercile edges compared as pctl*3 vs integer literals — the same
+      // single IEEE multiply in both engines (a `pctl < 1.0/3` literal
+      // would be decimal division in DuckDB and bits could differ)
+      .withColumn("bucket",
+        when(col("pctl") * 3 < 1, "head")
+          .when(col("pctl") * 3 < 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("ppl_score"), col("pctl"), col("bucket"))
+  }
+
   /** One-pass per-document stats table over a (doc_id, text) frame.
     * The token array and every token-derived count are computed exactly
     * once per row (bound into the `_ts` struct); only the single-use

@@ -632,6 +632,72 @@ object Corpus {
         .orderBy(col("n").desc, col("ctx"), col("next_event")).limit(100)
     }),
 
+    // first-order Markov transition matrix over per-user event streams:
+    // counts + row-normalized probabilities per (prev -> next) pair —
+    // the behavioral-prior readout next to events_trajectories' pattern
+    // table. One lag window on the natural user_id partitioning; the
+    // probability normalizer is a window over the ALREADY-AGGREGATED
+    // k×k transition table (bounded by event-type cardinality, not the
+    // log), so the corpus shuffles exactly once.
+    "events_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev"), col("event_type").as("nxt"))
+        .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("n"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
+      trans
+        .withColumn("p", col("n").cast("double") / sum(col("n")).over(wp))
+        .orderBy(col("prev"), col("nxt"))
+    }),
+
+    // PMI collocation mining: adjacent-pair association strength against
+    // the unigram model, df-capped (n >= 5) to kill PMI's hapax bias
+    "text_pmi_bigrams" -> ((s, dir) => {
+      TextOps.pmiBigrams(
+        tf(s, dir, "documents").select(col("doc_id"), col("text")),
+        minCount = 5L, k = 50)
+    }),
+
+    // CCNet-style per-LANGUAGE perplexity terciles (head/middle/tail) of
+    // the bigram-LM mean NLL — the language-normalized "drop the tail"
+    // curation signal; tercile position from the distinct score grid
+    // (percent_rank semantics), never a per-language corpus window
+    "quality_ccnet_buckets" -> ((s, dir) => {
+      TextOps.ccnetBuckets(tf(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // tokenizer fertility readout under the trained BPE merges: per
+    // source, subword pieces per whitespace word and characters per
+    // piece — the compression-rate evidence a tokenizer change ships
+    // with. Encode is [[Bpe.segment]]'s scan-speed column fold; the
+    // aggregation is three exact long sums per source; the oracle
+    // re-learns the merges and replays the whole encode in CTEs.
+    "text_fertility" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val merges = graft.ext.Bpe.train(
+        docs.select(col("doc_id"), col("text")), nMerges = 10)
+      docs.select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("w"),
+          size(split(graft.ext.Bpe.segment(col("text"), merges), " "))
+            .cast("long").as("p"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("ch"))
+        .groupBy(col("source"))
+        .agg(sum(col("w")).as("n_words"), sum(col("p")).as("n_pieces"),
+          sum(col("ch")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_pieces").cast("double") / col("n_words"))
+        .withColumn("chars_per_piece",
+          col("n_chars").cast("double") / col("n_pieces"))
+        .orderBy(col("source"))
+    }),
+
     // snapshot diff between corpus versions: deletions (id%10=3),
     // content edits (id%5=1), additions (id%25=0 re-keyed) — classified
     // purely by fingerprint comparison over a slim full-outer join
@@ -890,6 +956,44 @@ object Corpus {
        |FROM docenc d $joins ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of the text_fertility query: re-learns the merges via
+    * [[bpeCtes]], replays [[graft.ext.Bpe.segment]]'s replace chain per
+    * document (same sentinel layout as [[bpeEncodeOracleSql]]), then
+    * aggregates exact long sums per source; the two ratios are single
+    * IEEE divisions of those exact sums. */
+  private def fertilityOracleSql(nMerges: Int): String = {
+    def find(a: String) =
+      s"' ' || split_part($a.pair, ' ', 1) || '  ' || split_part($a.pair, ' ', 2) || ' '"
+    def repl(a: String) =
+      s"' ' || split_part($a.pair, ' ', 1) || split_part($a.pair, ' ', 2) || ' '"
+    val chain = (0 until nMerges).foldLeft("d.syms") { (acc, k) =>
+      s"replace($acc, ${find(s"m$k")}, ${repl(s"m$k")})"
+    }
+    val joins = (0 until nMerges).map(k => s"CROSS JOIN t$k m$k").mkString(" ")
+    s"""WITH ${bpeCtes(nMerges)},
+       |docenc AS (
+       |  SELECT source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS ch,
+       |    array_to_string(list_transform(
+       |      regexp_split_to_array(trim(text), '\\s+'),
+       |      wd -> '  ' || array_to_string(list_transform(range(1, len(wd) + 1), i -> wd[i]), '  ') || '  '),
+       |    '') AS syms
+       |  FROM documents),
+       |enc AS (
+       |  SELECT source, w, ch,
+       |    CAST(len(regexp_split_to_array(
+       |      trim(regexp_replace($chain, ' +', ' ', 'g')), '\\s+')) AS BIGINT) AS p
+       |  FROM docenc d $joins)
+       |SELECT source,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(p) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS fertility,
+       |  CAST(SUM(ch) AS DOUBLE) / CAST(SUM(p) AS BIGINT) AS chars_per_piece
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // DuckDB twin of [[Classifier.lrTrainScore]] (4 GD iterations,
   // lr = 1.0): the weight trajectory is unrolled into one CTE pair per
   // iteration — g<i> computes the exact DECIMAL(20,9) gradient sums under
@@ -982,6 +1086,80 @@ object Corpus {
 
     "text_bpe_merges" -> bpeOracleSql(nMerges = 10),
     "text_bpe_encode" -> bpeEncodeOracleSql(nMerges = 10),
+    "text_fertility" -> fertilityOracleSql(nMerges = 10),
+
+    // Mirrors the events_transitions window+agg chain; the probability is
+    // one IEEE division of exact counts (the window SUM promotes to
+    // HUGEINT in DuckDB but converts to binary64 exactly at these scales)
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type)
+        |SELECT prev, nxt, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev) AS p
+        |FROM c ORDER BY prev, nxt""".stripMargin,
+
+    // Mirrors TextOps.pmiBigrams: identical IEEE division chain inside
+    // ln, rounded to 6 dp; (pmi DESC, w1, w2) is a total order
+    "text_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY w1, w2),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+        |tb AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_b FROM bc),
+        |tu AS (SELECT CAST(SUM(c) AS BIGINT) AS tot_u FROM uc)
+        |SELECT w1, w2, n,
+        |  round(ln((CAST(n AS DOUBLE) / tot_b)
+        |    / ((CAST(c1.c AS DOUBLE) / tot_u) * (CAST(c2.c AS DOUBLE) / tot_u))), 6) AS pmi
+        |FROM bc JOIN uc c1 ON bc.w1 = c1.w JOIN uc c2 ON bc.w2 = c2.w
+        |CROSS JOIN tb CROSS JOIN tu
+        |WHERE n >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Mirrors TextOps.ccnetBuckets: the text_bigram_nll scoring chain,
+    // then percent_rank per language (== the Spark side's grid CDF with
+    // min-rank tie semantics); tercile edges compared as pctl*3 vs
+    // integer literals so neither engine touches decimal division
+    "quality_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |c1t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+        |bigt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM c1t),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |    round(-ln((c12 + 1.0) / CAST(c1 + vocab AS DOUBLE)), 6)::DECIMAL(18,6) AS nll
+        |  FROM bi JOIN bigt USING (w1, w2) JOIN c1t ON bi.w1 = c1t.w CROSS JOIN v),
+        |doc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(nll) AS DOUBLE) AS sum_nll
+        |  FROM scored GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, lang, n_bigrams,
+        |    round(sum_nll / n_bigrams, 6) AS ppl_score
+        |  FROM doc d JOIN documents USING (doc_id)),
+        |pr AS (
+        |  SELECT doc_id, lang, n_bigrams, ppl_score,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY ppl_score) AS pctl
+        |  FROM sc)
+        |SELECT doc_id, lang, n_bigrams, ppl_score, pctl,
+        |  CASE WHEN pctl * 3 < 1 THEN 'head'
+        |       WHEN pctl * 3 < 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM pr ORDER BY doc_id""".stripMargin,
 
     // replays mixtureRates end-to-end: per-source counts, the largest
     // feasible downsample-only scale (min n_s/share_s), percent rates

@@ -728,4 +728,71 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(t => t._1 -> t._2).toMap == out2.map(t => t._1 -> t._2).toMap)
     assert(out.map(t => t._1 -> t._3).toMap != out2.map(t => t._1 -> t._3).toMap)
   }
+
+  test("pmiBigrams scores a planted collocation with the closed-form PMI") {
+    // 6 docs of "new york" + one "p q": B(new,york)=6, tot_b=7,
+    // U(new)=U(york)=6, tot_u=14 -> lift=(6/7)/((6/14)^2), pmi=ln(lift)
+    val docs = ((1 to 6).map(i => (i.toLong, "new york")) :+ (7L, "p q"))
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiBigrams(docs, minCount = 5L, k = 10).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "new" && r.getString(1) == "york" && r.getLong(2) == 6L)
+    val expect = BigDecimal(math.log((6.0 / 7) / ((6.0 / 14) * (6.0 / 14))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expect, s"pmi ${r.getDouble(3)} != $expect")
+  }
+
+  test("ccnetBuckets partitions each language into ordered terciles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val out = TextOps.ccnetBuckets(docs)
+      .select("lang", "ppl_score", "pctl", "bucket")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    assert(out.nonEmpty)
+    // buckets follow the tercile edges exactly, and scores never cross
+    // bucket boundaries out of order within a language
+    out.foreach { case (_, _, pctl, b) =>
+      val want = if (pctl * 3 < 1) "head" else if (pctl * 3 < 2) "middle" else "tail"
+      assert(b == want, s"pctl $pctl bucketed $b, want $want")
+    }
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      def scores(b: String) = rows.filter(_._4 == b).map(_._2)
+      for {
+        lo <- Seq("head" -> "middle", "middle" -> "tail")
+        hi = scores(lo._2) if hi.nonEmpty
+        l = scores(lo._1) if l.nonEmpty
+      } assert(l.max <= hi.min,
+        s"$lang: ${lo._1} max ${l.max} > ${lo._2} min ${hi.min}")
+      // languages with enough docs get all three buckets
+      if (rows.length >= 9)
+        assert(Set("head", "middle", "tail").subsetOf(rows.map(_._4).toSet))
+    }
+  }
+
+  test("events_transitions probabilities are row-stochastic per prev state") {
+    val q = graft.queries.Corpus.queries("events_transitions")
+    val rows = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val psum = rs.map(_._3).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$prev rows sum to $psum")
+      val tot = rs.map(_._2).sum
+      rs.foreach { case (_, n, p) =>
+        assert(p == n.toDouble / tot, s"$prev p $p != $n/$tot") }
+    }
+  }
+
+  test("text_fertility reports >= 1 piece per word and exact ratio columns") {
+    val out = graft.queries.Corpus.queries("text_fertility")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, p, ch) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p >= w, s"source ${r.getString(0)}: $p pieces < $w words")
+      assert(r.getDouble(4) == p.toDouble / w)
+      assert(r.getDouble(5) == ch.toDouble / p)
+    }
+  }
 }

@@ -714,6 +714,91 @@ object TextOps {
         sum(col("term_kl")).cast("double").as("kl"))
   }
 
+  /** Kneser–Ney-smoothed bigram NLL (Kneser & Ney 1995; Chen & Goodman
+    * 1999's fixed-discount "interpolated KN") — the stronger perplexity
+    * signal for quality filtering: the backoff weight of a context is
+    * its CONTINUATION diversity, not its raw frequency, so formulaic
+    * boilerplate ("click here to …") scores as unsurprising while
+    * genuinely novel text does not.
+    *
+    * All four model statistics come from the ONE global bigram count
+    * table (itself one explode + one grouped agg over the corpus):
+    * context totals and right-diversity are a groupBy(w1), left-
+    * diversity a groupBy(w2), the bigram-type total one count — every
+    * leg map-side combinable, none touching the corpus again. Scoring
+    * re-joins them onto the per-doc bigram counts keyed by word.
+    *
+    * Determinism: the probability is one fixed chain of IEEE ops on
+    * exact longs (casts written out so the SQL twin can mirror them
+    * token-for-token — bare `0.75 * bigint` would go DECIMAL in
+    * DuckDB); each occurrence's -ln p is rounded to 6 dp and summed as
+    * DECIMAL(18,6), so per-doc totals are partition-order independent.
+    *
+    * Returns (doc_id, n_bigrams, kn_nll) for docs with >= 1 bigram.
+    * Only corpus-attested bigrams are scored (c12 >= 1 > d), so the
+    * max(c-d, 0) clamp never binds. */
+  def knNll(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val d = lit(discount)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val bi = toks
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val bc = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val big = bc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+    // context frequency + right continuation diversity in one pass
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("ctx"), count(lit(1)).as("fol"))
+    val bwd = big.groupBy(col("w2")).agg(count(lit(1)).as("bwd"))
+    val btot = big.agg(count(lit(1)).as("btot"))
+    val p = (col("c12").cast("double") - d) / col("ctx") +
+      d * col("fol") / col("ctx") * (col("bwd").cast("double") / col("btot"))
+    bc.join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(bwd, Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .withColumn("nll", round(-log(p), 6).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("nll") * col("cnt")).cast("double").as("kn_nll"))
+  }
+
+  /** Population-stability-index drift between two epochs of a binned
+    * score distribution — the standard "did my curation gate / corpus
+    * mix shift" monitor: psi = Σ_bins (p - q)·ln(p/q) with add-one
+    * smoothing over the union bin grid (so a bin present in only one
+    * epoch contributes a finite term instead of ln 0).
+    *
+    * Shape at 100 TB: ONE grouped aggregation over (epoch, bin) — the
+    * corpus collapses to at most 2×|bins| rows before anything joins;
+    * the per-epoch totals and the psi reduction run on that tiny grid.
+    * Each term is rounded to 9 dp and summed as DECIMAL(20,9) —
+    * partition-order independent, like every float that reaches an
+    * oracle hash here.
+    *
+    * `epoch` must be a 0/1 column; `bin` an integral bin id. Returns
+    * one row (n_bins, n_a, n_b, psi). */
+  def psiDrift(rows: DataFrame, epoch: Column, bin: Column): DataFrame = {
+    val cnt = rows.select(epoch.as("e"), bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("e") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("e") === 1, 1L).otherwise(0L)).as("nb"))
+    val tot = cnt.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+      count(lit(1)).as("nbins"))
+    val p = (col("na") + lit(1)).cast("double") / (col("ta") + col("nbins"))
+    val q = (col("nb") + lit(1)).cast("double") / (col("tb") + col("nbins"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("term",
+        round((p - q) * log(p / q), 9).cast(DecimalType(20, 9)))
+      .agg(max(col("nbins")).as("n_bins"),
+        max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        sum(col("term")).cast("double").as("psi"))
+  }
+
   /** PMI collocation mining: adjacent word pairs scored by pointwise
     * mutual information against the corpus unigram model — the classic
     * association readout for multi-word expressions ("new york"-style

@@ -698,6 +698,50 @@ object Corpus {
         .orderBy(col("source"))
     }),
 
+    // Kneser–Ney-smoothed bigram NLL — the continuation-diversity
+    // perplexity signal next to the add-one text_bigram_nll; all model
+    // statistics derive from ONE global bigram count table
+    "text_kn_nll" -> ((s, dir) => {
+      TextOps.knNll(
+          tf(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PSI distribution drift between two corpus epochs (doc_id parity as
+    // the stand-in) over 100-char length bins — the "did my corpus mix
+    // shift" monitor; one grouped agg collapses the corpus to the bin
+    // grid before any arithmetic
+    "quality_psi" -> ((s, dir) => {
+      TextOps.psiDrift(tf(s, dir, "documents"),
+        (col("doc_id") % 2).cast("int"),
+        expr("n_chars div 100"))
+    }),
+
+    // effective sample size of the DSIR importance weights — the "how
+    // many docs is my reweighted corpus really worth" readout that
+    // decides whether a resample is viable; weights are max-shifted
+    // before exp so the estimator is overflow-safe at any corpus size,
+    // and each exp term is rounded to 9 dp and summed as DECIMAL so the
+    // two sums are partition-order independent
+    "sample_ess" -> ((s, dir) => {
+      val wts = TextOps.dsirWeights(
+        tf(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
+        col("source").isin("src0", "src1", "src2", "src3"))
+      val m = wts.agg(max(col("log_weight")).as("mx"))
+      wts.crossJoin(broadcast(m))
+        .select(
+          round(exp(col("log_weight") - col("mx")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("e1"),
+          round(exp((col("log_weight") - col("mx")) * 2), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("e2"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e1")).cast("double").as("s1"),
+          sum(col("e2")).cast("double").as("s2"))
+        .select(col("n_docs"),
+          (col("s1") * col("s1") / col("s2")).as("ess"),
+          (col("s1") * col("s1") / col("s2") / col("n_docs")).as("ess_frac"))
+    }),
+
     // snapshot diff between corpus versions: deletions (id%10=3),
     // content edits (id%5=1), additions (id%25=0 re-keyed) — classified
     // purely by fingerprint comparison over a slim full-outer join
@@ -1160,6 +1204,91 @@ object Corpus {
         |  CASE WHEN pctl * 3 < 1 THEN 'head'
         |       WHEN pctl * 3 < 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM pr ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.knNll: interpolated Kneser–Ney with d=0.75; the
+    // probability chain's casts are written out so neither engine slips
+    // into decimal arithmetic; per-occurrence -ln p rounded to 6 dp and
+    // summed as DECIMAL(18,6) via cnt-weighting
+    "text_kn_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM bi GROUP BY doc_id, w1, w2),
+        |big AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12 FROM bc GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS ctx,
+        |          CAST(COUNT(*) AS BIGINT) AS fol FROM big GROUP BY w1),
+        |bwd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS bwd FROM big GROUP BY w2),
+        |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS btot FROM big),
+        |scored AS (
+        |  SELECT bc.doc_id, bc.cnt,
+        |    round(-ln((CAST(c12 AS DOUBLE) - 0.75) / ctx
+        |      + 0.75 * CAST(fol AS DOUBLE) / ctx * (CAST(bwd AS DOUBLE) / btot)),
+        |      6)::DECIMAL(18,6) AS nll
+        |  FROM bc JOIN big USING (w1, w2) JOIN ctx USING (w1) JOIN bwd USING (w2)
+        |  CROSS JOIN btot)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(nll * cnt) AS DOUBLE) AS kn_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.psiDrift over doc_id-parity epochs and 100-char
+    // length bins: add-one smoothing on the union bin grid, 9-dp decimal
+    // term sums
+    "quality_psi" ->
+      """WITH cnt AS (
+        |  SELECT n_chars // 100 AS bin,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM documents GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+        |          CAST(COUNT(*) AS BIGINT) AS nbins FROM cnt),
+        |terms AS (
+        |  SELECT nbins, ta, tb,
+        |    round((CAST(na + 1 AS DOUBLE) / (ta + nbins) - CAST(nb + 1 AS DOUBLE) / (tb + nbins))
+        |      * ln((CAST(na + 1 AS DOUBLE) / (ta + nbins)) / (CAST(nb + 1 AS DOUBLE) / (tb + nbins))),
+        |      9)::DECIMAL(20,9) AS term
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT MAX(nbins) AS n_bins, MAX(ta) AS n_a, MAX(tb) AS n_b,
+        |  CAST(SUM(term) AS DOUBLE) AS psi
+        |FROM terms""".stripMargin,
+
+    // Mirrors the sample_ess query: the sample_dsir_weights per-doc
+    // log-weight chain, max-shifted exp terms rounded to 9 dp, decimal
+    // sums, then the ESS ratio as one fixed IEEE chain
+    "sample_ess" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS tgt
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tgt,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |stats AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_raw,
+        |            CAST(SUM(tgt) AS BIGINT) AS c_tgt FROM bi GROUP BY w1, w2),
+        |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+        |          CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+        |          CAST(COUNT(*) AS BIGINT) AS vocab FROM stats),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |    round(ln((c_tgt + 1.0) / CAST(n_tgt + vocab AS DOUBLE))
+        |        - ln((c_raw + 1.0) / CAST(n_raw + vocab AS DOUBLE)), 6)::DECIMAL(18,6) AS lw
+        |  FROM bi JOIN stats USING (w1, w2) CROSS JOIN tot),
+        |docw AS (SELECT doc_id, CAST(SUM(lw) AS DOUBLE) AS log_weight
+        |         FROM scored GROUP BY doc_id),
+        |m AS (SELECT MAX(log_weight) AS mx FROM docw),
+        |e AS (
+        |  SELECT round(exp(log_weight - mx), 9)::DECIMAL(28,9) AS e1,
+        |    round(exp((log_weight - mx) * 2), 9)::DECIMAL(28,9) AS e2
+        |  FROM docw CROSS JOIN m),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(e1) AS DOUBLE) AS s1, CAST(SUM(e2) AS DOUBLE) AS s2 FROM e)
+        |SELECT n_docs, s1 * s1 / s2 AS ess, s1 * s1 / s2 / n_docs AS ess_frac
+        |FROM s""".stripMargin,
 
     // replays mixtureRates end-to-end: per-source counts, the largest
     // feasible downsample-only scale (min n_s/share_s), percent rates

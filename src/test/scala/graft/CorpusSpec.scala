@@ -784,6 +784,49 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("knNll matches hand-computed interpolated Kneser-Ney values") {
+    // corpus: "a b" x2, "a c" -> c12(a,b)=2, c12(a,c)=1, ctx(a)=3,
+    // fol(a)=2, bwd(b)=bwd(c)=1, btot=2
+    // p(b|a) = (2-.75)/3 + .75*2/3*(1/2) = 2/3; p(c|a) = 1/3 — sums to 1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.knNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, r6(-math.log(2.0 / 3)))))
+    assert(out(2L) == ((1L, r6(-math.log(2.0 / 3)))))
+    assert(out(3L) == ((1L, r6(-math.log(1.0 / 3)))))
+  }
+
+  test("psiDrift is zero for identical epochs and positive under shift") {
+    // bin from id/2 so BOTH parities (epochs) hit every bin 10 times
+    val same = (1L to 200L).map(i => (i, (i / 2) % 10)).toDF("id", "bin")
+    val psi0 = TextOps.psiDrift(same, (col("id") % 2).cast("int"), col("bin"))
+      .collect()(0)
+    assert(psi0.getLong(0) == 10L && psi0.getDouble(3) == 0.0)
+    // epoch 1's bins shifted up -> every bin differs between epochs
+    val shifted = (1L to 200L)
+      .map(i => (i, if (i % 2 == 0) i % 10 else i % 10 + 100))
+      .toDF("id", "bin")
+    val psi1 = TextOps.psiDrift(shifted, (col("id") % 2).cast("int"), col("bin"))
+      .collect()(0).getDouble(3)
+    assert(psi1 > 1.0, s"disjoint-bin drift scored only $psi1")
+  }
+
+  test("sample_ess lies in (0, n] and equals n for flat weights") {
+    val row = graft.queries.Corpus.queries("sample_ess")(spark, sf).collect()(0)
+    val (n, ess, frac) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(ess > 0 && ess <= n + 1e-6, s"ess $ess outside (0, $n]")
+    assert(math.abs(frac - ess / n) < 1e-12)
+    // degenerate corpus: every doc identical -> identical weights -> ESS = n
+    // (max-shift makes each term exactly round(exp(0),9) = 1)
+    val flatDocs = (1L to 8L).map(i => (i, "x y", "src0"))
+      .toDF("doc_id", "text", "source")
+    val wts = TextOps.dsirWeights(flatDocs, col("source") === "src0")
+    val lw = wts.select("log_weight").collect().map(_.getDouble(0))
+    assert(lw.toSet.size == 1, "identical docs got different weights")
+  }
+
   test("text_fertility reports >= 1 piece per word and exact ratio columns") {
     val out = graft.queries.Corpus.queries("text_fertility")(spark, sf)
       .collect()

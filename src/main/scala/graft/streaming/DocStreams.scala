@@ -1,8 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.ext.TextOps
+
+/** One emitted trending-terms counter (Update mode: the latest emission
+  * per (shard, term) is the current sketch row; counts only grow, so
+  * "latest" = max count). */
+final case class TrendingTerm(shard: Int, term: String, count: Long, err: Long)
 
 /** Streaming document curation: the incremental twin of
   * [[graft.ext.Curation]] for a continuously-arriving corpus — the shape
@@ -78,6 +84,72 @@ object DocStreams {
     * no state store. Fat band-buckets (boilerplate-heavy bases) inflate
     * the candidate lists — cap them upstream with the same df-discipline
     * as the batch detectors. */
+  /** STREAMING heavy hitters — trending terms over an unbounded document
+    * stream with BOUNDED state: the streaming twin of the batch
+    * [[graft.functions.SpaceSaving]] aggregator (same eviction rule, so
+    * the exact-regime equivalence is spec-asserted).
+    *
+    * Sharding makes it scale: terms hash-partition across `shards` keyed
+    * states, and because a term lives in exactly ONE shard, the union of
+    * the shard sketches IS the global sketch — no cross-shard merge, no
+    * global state. Total state is ≤ shards × capacity counters forever,
+    * independent of stream length or vocabulary size; per trigger each
+    * shard first collapses its arriving terms to local counts (order-
+    * independent), then applies them in sorted term order, so emissions
+    * are deterministic for a given micro-batch slicing.
+    *
+    * Guarantees inherited from SpaceSaving, per shard over its substream:
+    * true count ∈ [count − err, count]; any term with frequency >
+    * substream/capacity is present. Update-mode output: each trigger
+    * re-emits the current counters of shards that received data; the
+    * live sketch at the sink is the latest row per (shard, term) —
+    * counts are monotone, so `max(count)` group-wise reconstructs it.
+    *
+    * Input needs a `text` column; `docs` may carry anything else. */
+  def trendingTerms(spark: SparkSession, docs: DataFrame,
+      capacity: Int = 64, shards: Int = 8): Dataset[TrendingTerm] = {
+    import spark.implicits._
+    require(capacity > 0 && shards > 0)
+
+    // same +k eviction rule as SpaceSaving.reduce applied k times: a
+    // resident term adds k; a newcomer inherits the evicted minimum
+    def addK(buf: Map[String, (Long, Long)], item: String,
+        k: Long): Map[String, (Long, Long)] =
+      buf.get(item) match {
+        case Some((c, e)) => buf.updated(item, (c + k, e))
+        case None if buf.size < capacity => buf.updated(item, (k, 0L))
+        case None =>
+          val (minItem, (minC, _)) = buf.minBy { case (i, (c, _)) => (c, i) }(
+            Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+          (buf - minItem).updated(item, (minC + k, minC))
+      }
+
+    def update(shard: Int, rows: Iterator[(Int, String)],
+        state: GroupState[Map[String, (Long, Long)]]): Iterator[TrendingTerm] = {
+      // collapse the trigger's arrivals first (order-independent), then
+      // apply in sorted term order -> deterministic within a trigger
+      val batchCounts = rows.foldLeft(Map.empty[String, Long]) {
+        case (m, (_, t)) => m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+      val next = batchCounts.toSeq.sortBy(_._1)
+        .foldLeft(state.getOption.getOrElse(Map.empty[String, (Long, Long)])) {
+          case (buf, (t, k)) => addK(buf, t, k)
+        }
+      state.update(next)
+      next.toSeq.sortBy { case (i, (c, _)) => (-c, i) }
+        .map { case (i, (c, e)) => TrendingTerm(shard, i, c, e) }
+        .iterator
+    }
+
+    docs.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .select(pmod(hash(col("term")), lit(shards)).cast("int").as("shard"),
+        col("term"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   def nearDupGatedStream(docs: DataFrame, base: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     import graft.ext.Dedup

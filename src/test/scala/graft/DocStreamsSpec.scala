@@ -132,4 +132,57 @@ class DocStreamsSpec extends SparkSpec {
     // the planted structure must actually exercise both outcomes
     assert(hitIds.nonEmpty && expect.nonEmpty, "degenerate planted corpus")
   }
+
+  test("streaming trending terms match exact batch counts when capacity suffices") {
+    val half0 = docs.filter(col("doc_id") % 2 === 0)
+    val half1 = docs.filter(col("doc_id") % 2 === 1)
+    val dir = Files.createTempDirectory("trendstream")
+    graft.sources.ParquetSlices.writeSingleFile(half0, dir.resolve("b0.parquet"))
+    graft.sources.ParquetSlices.writeSingleFile(half1, dir.resolve("b1.parquet"))
+    val src = spark.readStream.schema(half0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = DocStreams.trendingTerms(spark, src, capacity = 256, shards = 4)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trend").start()
+    q.processAllAvailable(); q.stop()
+    // Update-mode sink accumulates per-trigger emissions; counts are
+    // monotone, so max(count) per (shard, term) is the live sketch
+    val sketch = spark.table("trend")
+      .groupBy("shard", "term")
+      .agg(max("count").as("count"), max("err").as("err"))
+    // exact regime: no evictions anywhere -> err = 0 and counts exact
+    assert(sketch.filter(col("err") =!= 0).count() == 0, "evictions in exact regime")
+    val got = sketch.select("term", "count").as[(String, Long)].collect().toMap
+    val want = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(got == want, s"sketch ${got.size} terms, batch ${want.size}")
+    // a term must live in exactly one shard
+    val multi = spark.table("trend").select("shard", "term").distinct()
+      .groupBy("term").count().filter(col("count") > 1).count()
+    assert(multi == 0, "term appeared in multiple shards")
+  }
+
+  test("streaming trending terms keep bounded state and honest error bounds") {
+    // skewed single-trigger stream: 'hot' x40, 'warm' x9, singles x5
+    val words = Seq.fill(40)("hot") ++ Seq.fill(9)("warm") ++
+      Seq("a", "b", "c", "d", "e")
+    val batch = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("trendbound")
+    graft.sources.ParquetSlices.writeSingleFile(batch, dir.resolve("b0.parquet"))
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = DocStreams.trendingTerms(spark, src, capacity = 2, shards = 1)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trendbound").start()
+    q.processAllAvailable(); q.stop()
+    // one trigger -> the emission IS the current sketch: ≤ capacity rows
+    val rows = spark.table("trendbound")
+      .select("term", "count", "err").as[(String, Long, Long)].collect()
+    assert(rows.length <= 2, s"state exceeded capacity: ${rows.toSeq}")
+    // the >n/capacity term is guaranteed present, with true count inside
+    // [count - err, count]
+    val hot = rows.find(_._1 == "hot").getOrElse(fail("hot term evicted"))
+    assert(hot._2 >= 40L && hot._2 - hot._3 <= 40L,
+      s"hot bound violated: count=${hot._2} err=${hot._3}")
+  }
 }

@@ -799,6 +799,57 @@ object TextOps {
         sum(col("term")).cast("double").as("psi"))
   }
 
+  /** Robust (median/MAD) outlier gate over an integral per-document
+    * score — the quality filter that survives heavy-tailed score
+    * distributions where mean/σ gates move with the outliers they're
+    * supposed to catch: flag docs with |score − median| > k·MAD
+    * (k = 4.4478 ≈ 3σ under normality via the 1.4826 consistency
+    * constant).
+    *
+    * EXACT median WITHOUT a global sort: the corpus collapses to its
+    * DISTINCT score grid (one map-side-combinable agg), the grid gets a
+    * cumulative count (a window over the grid — bounded by score
+    * cardinality, not the corpus), and the median is the unique grid row
+    * whose cumulative range covers index (n−1) div 2 — the same
+    * lower-median order statistic DuckDB's quantile_disc(0.5) selects.
+    * The MAD repeats the trick on |score − median| (grid no larger than
+    * the first). Total: two grid aggregations + two one-row broadcasts;
+    * nothing corpus-sized ever sorts or shuffles beyond the grid
+    * collapse.
+    *
+    * Integral scores keep every deviation exact; the only float is the
+    * final k·MAD threshold (one IEEE multiply, mirrored in SQL).
+    *
+    * Returns (doc_id, score, med, mad, is_outlier). */
+  def madOutliers(rows: DataFrame, score: Column,
+      k: Double = 4.4478): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(vals: DataFrame): DataFrame = {
+      // vals: one column `_s` (long); grid-CDF order-statistic selection
+      val grid = vals.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
+      val w = Window.orderBy(col("_s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = grid.withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+      val tot = grid.agg(sum(col("_c")).as("_n"))
+      // target index (n-1) div 2; floor keeps it integral after the
+      // double division (exact below 2^53)
+      val idx = floor((col("_n") - 1) / 2)
+      cum.crossJoin(broadcast(tot))
+        .filter(col("_below") <= idx && idx < col("_below") + col("_c"))
+        .select(col("_s").as("_med"))
+    }
+    val s = rows.withColumn("_s", score.cast("long"))
+    val med = lowerMedian(s.select(col("_s")))
+    val withMed = s.crossJoin(broadcast(med))
+    val mad = lowerMedian(withMed.select(abs(col("_s") - col("_med")).as("_s")))
+      .select(col("_med").as("_mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("doc_id"), col("_s").as("score"),
+        col("_med").as("med"), col("_mad").as("mad"),
+        (abs(col("_s") - col("_med")) >
+          lit(k) * col("_mad").cast("double")).as("is_outlier"))
+  }
+
   /** PMI collocation mining: adjacent word pairs scored by pointwise
     * mutual information against the corpus unigram model — the classic
     * association readout for multi-word expressions ("new york"-style

@@ -742,6 +742,16 @@ object Corpus {
           (col("s1") * col("s1") / col("s2") / col("n_docs")).as("ess_frac"))
     }),
 
+    // robust median/MAD outlier gate over document length — the
+    // heavy-tail-safe quality filter; EXACT median via grid-CDF order
+    // statistics (two tiny grid aggs), never a global sort
+    "quality_mad_outliers" -> ((s, dir) => {
+      TextOps.madOutliers(
+          tf(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // snapshot diff between corpus versions: deletions (id%10=3),
     // content edits (id%5=1), additions (id%25=0 re-keyed) — classified
     // purely by fingerprint comparison over a slim full-outer join
@@ -1254,6 +1264,18 @@ object Corpus {
         |SELECT MAX(nbins) AS n_bins, MAX(ta) AS n_a, MAX(tb) AS n_b,
         |  CAST(SUM(term) AS DOUBLE) AS psi
         |FROM terms""".stripMargin,
+
+    // Mirrors TextOps.madOutliers: quantile_disc(0.5) IS the lower-median
+    // order statistic the grid-CDF selects (index (n-1) div 2, verified);
+    // the threshold multiply casts MAD to DOUBLE on both sides
+    "quality_mad_outliers" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS sc FROM documents),
+        |med AS (SELECT quantile_disc(sc, 0.5) AS med FROM s),
+        |mad AS (SELECT quantile_disc(abs(sc - med), 0.5) AS mad
+        |        FROM s CROSS JOIN med)
+        |SELECT doc_id, sc AS score, med, mad,
+        |  abs(sc - med) > 4.4478 * CAST(mad AS DOUBLE) AS is_outlier
+        |FROM s CROSS JOIN med CROSS JOIN mad ORDER BY doc_id""".stripMargin,
 
     // Mirrors the sample_ess query: the sample_dsir_weights per-doc
     // log-weight chain, max-shifted exp terms rounded to 9 dp, decimal

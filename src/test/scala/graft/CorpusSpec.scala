@@ -827,6 +827,28 @@ class CorpusSpec extends SparkSpec {
     assert(lw.toSet.size == 1, "identical docs got different weights")
   }
 
+  test("madOutliers selects the exact lower median and flags only extremes") {
+    // scores 1..9 plus a planted 1000: median of 10 values = 5 (lower
+    // middle of 1..9,1000), deviations |s-5| -> sorted 0..4,995 ->
+    // MAD = 2 (index (10-1) div 2 = 4 of [0,1,1,2,2,3,3,4,4,995])
+    val rows = ((1L to 9L).map(i => (i, i)) :+ (10L, 1000L))
+      .toDF("doc_id", "n_chars")
+    val out = TextOps.madOutliers(rows, col("n_chars")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L)._1 == 5L, s"median ${out(1L)._1} != 5")
+    assert(out(1L)._2 == 2L, s"mad ${out(1L)._2} != 2")
+    // threshold = 4.4478 * 2 = 8.8956: only the 1000 is flagged
+    assert(out(10L)._3, "planted outlier not flagged")
+    assert(out.filter(_._2._3).keySet == Set(10L),
+      s"flagged ${out.filter(_._2._3).keys}")
+    // even-count lower median: [1,2,3,4] -> 2
+    val even = (1L to 4L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val med = TextOps.madOutliers(even, col("n_chars"))
+      .select("med").distinct().collect()(0).getLong(0)
+    assert(med == 2L, s"even-count lower median $med != 2")
+  }
+
   test("text_fertility reports >= 1 piece per word and exact ratio columns") {
     val out = graft.queries.Corpus.queries("text_fertility")(spark, sf)
       .collect()

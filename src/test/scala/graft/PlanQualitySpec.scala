@@ -474,4 +474,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"cdc chunk derivation should not join:\n$p")
   }
+
+  test("text_kn_nll joins model stats keyed by word — never a cartesian") {
+    val p = plan("text_kn_nll")
+    assert(!p.contains("CartesianProduct"), s"KN scoring went cartesian:\n$p")
+    // the bigram-type total is the only 1-row side: broadcast, not shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row btot should broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"count legs must pre-aggregate map-side:\n$p")
+  }
+
+  test("quality_mad_outliers windows only the score GRID, never the corpus") {
+    val df = SparkEntry.queries("quality_mad_outliers")(spark, sf)
+    // every Window in the plan must sit ABOVE an aggregation (the grid
+    // collapse) — a window directly over the scan would be the global
+    // sort this operator exists to avoid
+    df.queryExecution.executedPlan.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        val belowAgg = w.collectLeaves().isEmpty || w.find {
+          case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+          case _ => false
+        }.isDefined
+        assert(belowAgg, s"WindowExec runs over un-aggregated corpus rows:\n$w")
+      case _ =>
+    }
+    val p = plan("quality_mad_outliers")
+    assert(!p.contains("SortMergeJoin"),
+      s"median/MAD must broadcast their 1-row sides:\n$p")
+  }
+
+  test("quality_psi collapses the corpus to the bin grid in one aggregation") {
+    val p = plan("quality_psi")
+    assert(!p.contains("Join") || !p.contains("SortMergeJoin"),
+      s"psi should only cross-join the 1-row totals:\n$p")
+    assert(p.contains("partial_sum"),
+      s"bin counts must pre-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"psi needs no window at all:\n$p")
+  }
 }

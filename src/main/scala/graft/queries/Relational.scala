@@ -290,6 +290,47 @@ object Relational {
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // ---- forward-fill (last-observation-carried-forward): sensor-style
+    // null repair per user via IGNORE NULLS last_value over the natural
+    // user_id partitioning — nulls planted deterministically on 'error'
+    // rows so the carry-forward provably fires. Values pass through
+    // untouched, so the doubles hash bit-for-bit.
+    "events_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("v"), col("v_filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- lag-7 autocorrelation of the daily event count (weekly
+    // seasonality readout). Daily counts, their moment sums, and the
+    // aligned-pair cross sums are all exact longs; the pairing is an
+    // equi-join on date+7 (no window, no sort); r is one fixed IEEE
+    // chain over the exact sums, mirrored token-for-token in the oracle.
+    "events_autocorr" -> ((s, dir) => {
+      val daily = graft.Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      val a = daily.select(col("d"), col("x").as("ax"))
+      val b = daily.select(col("d").as("bd"), col("x").as("bx"))
+      val pstats = a.join(b, date_add(col("d"), 7) === col("bd"))
+        .agg(count(lit(1)).as("np"), sum(col("ax") * col("bx")).as("c"),
+          sum(col("ax")).as("sh"), sum(col("bx")).as("st"))
+      val xb = col("s1").cast("double") / col("n")
+      stats.crossJoin(pstats)
+        .select(col("n").as("n_days"), col("np").as("n_pairs"),
+          round(((col("c").cast("double") - xb * (col("sh") + col("st")) +
+            col("np") * (xb * xb)) /
+            (col("s2").cast("double") - xb * col("s1"))), 6).as("r7"))
+    }),
+
     // ---- semi-structured JSON extraction from a string column
     "q19_events_json" -> ((s, dir) => {
       graft.Tables.events(s, dir)
@@ -1831,6 +1872,40 @@ object Relational {
         |FROM scored
         |WHERE sigma > 0 AND n > mean + 2.0 * sigma
         |ORDER BY event_type, hour""".stripMargin,
+
+    // Mirrors events_forward_fill: same planted nulls, same IGNORE NULLS
+    // running last_value; values pass through untouched so doubles
+    // hash bit-for-bit
+    "events_forward_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM ev ORDER BY user_id, event_id""".stripMargin,
+
+    // Mirrors events_autocorr: exact long sums, date+7 equi-join pairing,
+    // the same fixed IEEE chain for r
+    "events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+        |    CAST(SUM(x * x) AS BIGINT) AS s2 FROM daily),
+        |ps AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS c,
+        |    CAST(SUM(a.x) AS BIGINT) AS sh, CAST(SUM(b.x) AS BIGINT) AS st
+        |  FROM daily a JOIN daily b ON a.d + 7 = b.d)
+        |SELECT n AS n_days, np AS n_pairs,
+        |  round((CAST(c AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (sh + st)
+        |      + np * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+        |    / (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * s1), 6) AS r7
+        |FROM st CROSS JOIN ps""".stripMargin,
 
     "q19_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,

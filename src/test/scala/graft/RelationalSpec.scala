@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * invariants that survive refactors.
   */
 class RelationalSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
 
   test("every query runs and every oracle key has a query") {
     val qs = SparkEntry.queries
@@ -51,5 +52,41 @@ class RelationalSpec extends SparkSpec {
     val df = SparkEntry.queries("q16_outer_join")(spark, sf)
     val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
     assert(df.count() == nCust)
+  }
+
+  test("events_forward_fill carries the last non-null and leaves leading nulls") {
+    val df = SparkEntry.queries("events_forward_fill")(spark, sf)
+    // non-null observations pass through unchanged
+    assert(df.filter(col("v").isNotNull && col("v") =!= col("v_filled"))
+      .count() == 0)
+    // the planted nulls exist and (almost) all get repaired; a null fill
+    // is only legal before a user's first observation
+    val nulls = df.filter(col("v").isNull)
+    assert(nulls.count() > 0, "no nulls planted — fill never exercised")
+    assert(nulls.filter(col("v_filled").isNotNull).count() > 0,
+      "carry-forward never fired")
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .withColumn("seen", count(col("v")).over(wMin))
+    val leading = ev.filter(col("v").isNull && col("seen") === 0)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val unfilled = df.filter(col("v_filled").isNull)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(unfilled == leading,
+      s"unfilled rows ${unfilled.size} != leading-null rows ${leading.size}")
+  }
+
+  test("events_autocorr returns a valid correlation and exact pair accounting") {
+    val row = SparkEntry.queries("events_autocorr")(spark, sf).collect()(0)
+    val (n, np, r) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(np == math.max(0L, n - 7),
+      s"dense daily fixture should pair all but 7 days: $np vs ${n - 7}")
+    assert(r >= -1.0000001 && r <= 1.0000001, s"r7 $r outside [-1, 1]")
   }
 }

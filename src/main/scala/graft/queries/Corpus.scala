@@ -145,6 +145,19 @@ object Corpus {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // duplicate-cluster SIZE histogram: how big do near-dup families get
+    // — the readout that decides between pair-apply and cluster-apply
+    // (and exposes boilerplate mega-clusters). Two grouped counts over
+    // the (already tiny) component table.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      Cluster.connectedComponents(plantedPairs(s, dir))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_id")).as("id_sum"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // leakage-safe split assignment: hash the CLUSTER id, not the doc
     // id, so every near-duplicate cluster lands in ONE split — the
     // standard guard against train/test leakage through near-dups that
@@ -742,6 +755,36 @@ object Corpus {
           (col("s1") * col("s1") / col("s2") / col("n_docs")).as("ess_frac"))
     }),
 
+    // quality-gate ABLATION: per sub-rule, how many docs it rejects and
+    // how many ONLY it rejects — the evidence for loosening/tightening
+    // individual Gopher thresholds. One corpus pass computes all four
+    // rule verdicts; the 4x2 readout unpivots via stack.
+    "quality_gate_ablation" -> ((s, dir) => {
+      val txt = col("text")
+      val nTok = TextOps.tokenCount(txt)
+      val meanLen =
+        length(regexp_replace(trim(txt), "\\s+", "")).cast("double") / nTok
+      val flags = tf(s, dir, "documents").select(
+        nTok.between(10, 5000).as("r1"),
+        meanLen.between(2.0, 12.0).as("r2"),
+        (TextOps.stopRatio(txt, TextOps.defaultStopwords) >= 0.01).as("r3"),
+        (TextOps.punctRatio(txt) <= 0.2).as("r4"))
+      def fails(k: Int) = sum(when(!col(s"r$k"), 1L).otherwise(0L)).as(s"f$k")
+      def unique(k: Int) = sum(when((1 to 4).map(i =>
+          if (i == k) !col(s"r$i") else col(s"r$i")).reduce(_ && _), 1L)
+        .otherwise(0L)).as(s"u$k")
+      flags
+        .agg(fails(1), fails(2), fails(3), fails(4),
+          unique(1), unique(2), unique(3), unique(4))
+        .select(expr(
+          """stack(4,
+            |  'token_range',  f1, u1,
+            |  'mean_tok_len', f2, u2,
+            |  'stop_ratio',   f3, u3,
+            |  'punct_ratio',  f4, u4) AS (rule, n_fail, n_unique_fail)""".stripMargin))
+        .orderBy(col("rule"))
+    }),
+
     // robust median/MAD outlier gate over document length — the
     // heavy-tail-safe quality filter; EXACT median via grid-CDF order
     // statistics (two tiny grid aggs), never a global sort
@@ -1264,6 +1307,46 @@ object Corpus {
         |SELECT MAX(nbins) AS n_bins, MAX(ta) AS n_a, MAX(tb) AS n_b,
         |  CAST(SUM(term) AS DOUBLE) AS psi
         |FROM terms""".stripMargin,
+
+    // Mirrors dedup_cluster_sizes over the shared recursive-CC oracle
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |$compsSql,
+         |csize AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM comps GROUP BY comp)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(comp) AS BIGINT) AS id_sum
+         |FROM csize GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    // Mirrors quality_gate_ablation: the quality_filter oracle's four
+    // sub-rule expressions, aggregated once and unpivoted
+    "quality_gate_ablation" ->
+      """WITH f AS (
+        |  SELECT
+        |    len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000 AS r1,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0 AS r2,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) >= 0.01 AS r3,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) <= 0.2 AS r4
+        |  FROM documents),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        |  CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+        |  CAST(SUM(CASE WHEN NOT r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |  CAST(SUM(CASE WHEN r1 AND NOT r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+        |  CAST(SUM(CASE WHEN r1 AND r2 AND NOT r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+        |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS u4
+        |  FROM f)
+        |SELECT 'token_range' AS rule, f1 AS n_fail, u1 AS n_unique_fail FROM a
+        |UNION ALL SELECT 'mean_tok_len', f2, u2 FROM a
+        |UNION ALL SELECT 'stop_ratio', f3, u3 FROM a
+        |UNION ALL SELECT 'punct_ratio', f4, u4 FROM a
+        |ORDER BY rule""".stripMargin,
 
     // Mirrors TextOps.madOutliers: quantile_disc(0.5) IS the lower-median
     // order statistic the grid-CDF selects (index (n-1) div 2, verified);

@@ -193,6 +193,30 @@ object Extensions {
         .orderBy(col("i"), col("j"))
     }),
 
+    // detector AGREEMENT matrix: exact n-gram Jaccard vs MinHash-LSH over
+    // the same corpus/threshold — the recall-vs-cost evidence for
+    // choosing the production detector (minhash_only = estimator false
+    // positives; jaccard_only = banding misses). A full-outer join of two
+    // EDGE SETS (both ≪ corpus), then one grouped count.
+    "dedup_detector_agreement" -> ((s, dir) => {
+      val docs = plantedDocs(s, dir)
+      val jp = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+        .select(col("i"), col("j"), lit(true).as("in_j"))
+      val mh = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.5)
+        .select(col("i").as("mi"), col("j").as("mj"), lit(true).as("in_m"))
+      jp.join(mh, col("i") === col("mi") && col("j") === col("mj"), "full_outer")
+        .select(coalesce(col("i"), col("mi")).as("pi"),
+          coalesce(col("j"), col("mj")).as("pj"),
+          coalesce(col("in_j"), lit(false)).as("in_j"),
+          coalesce(col("in_m"), lit(false)).as("in_m"))
+        .groupBy(when(col("in_j") && col("in_m"), "both")
+          .when(col("in_j"), "jaccard_only")
+          .otherwise("minhash_only").as("verdict"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("pi") + col("pj")).as("id_sum"))
+        .orderBy(col("verdict"))
+    }),
+
     // sub-document storage dedup: content-defined chunks shared across
     // the planted corpus — exact copies share every chunk, near-dups all
     // but the edited tail region
@@ -785,6 +809,42 @@ object Extensions {
          |JOIN sigs sb ON cand.j = sb.doc_id
          |WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5
          |ORDER BY i, j""".stripMargin
+    },
+
+    // Shares jp verbatim with the jaccard/cluster oracles and rebuilds
+    // the minhash leg on the SAME sh_idx, so the two detectors can never
+    // drift apart between this oracle and their own
+    "dedup_detector_agreement" -> {
+      val bandSql = (0 until 4).map { bnd =>
+        val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws('-', $cols)) AS bh FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      val eqSum = (0 until 16)
+        .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $jaccardPairsCtesSql,
+         |$minhashSigSql,
+         |bands AS (
+         |  $bandSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |mh AS (
+         |  SELECT i, j FROM cand
+         |  JOIN sigs sa ON cand.i = sa.doc_id
+         |  JOIN sigs sb ON cand.j = sb.doc_id
+         |  WHERE CAST($eqSum AS DOUBLE) / 16.0 >= 0.5),
+         |merged AS (
+         |  SELECT COALESCE(a.i, b.i) AS pi, COALESCE(a.j, b.j) AS pj,
+         |    a.i IS NOT NULL AS in_j, b.i IS NOT NULL AS in_m
+         |  FROM jp a FULL OUTER JOIN mh b ON a.i = b.i AND a.j = b.j)
+         |SELECT CASE WHEN in_j AND in_m THEN 'both'
+         |            WHEN in_j THEN 'jaccard_only'
+         |            ELSE 'minhash_only' END AS verdict,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(pi + pj) AS BIGINT) AS id_sum
+         |FROM merged GROUP BY 1 ORDER BY verdict""".stripMargin
     },
 
     "dedup_cdc_chunks" -> {

@@ -7,6 +7,7 @@ import java.util.UUID
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -86,7 +87,8 @@ private[v2] class SampleItemsScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val count: Long = {
     val c = options.get("count")
@@ -146,23 +148,57 @@ private[v2] class SampleItemsScanBuilder(options: CaseInsensitiveStringMap)
   // each slice is capped at `limit`, the global limit still applies above
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = {
-    val now = Option(options.get("frozenNow"))
-      .map(s => LocalDateTime.parse(
-        s, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
-      .getOrElse(LocalDateTime.now())
-    new SampleItemsScan(
-      count, slices, required, residues, lo, hi, limit,
-      now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")),
-      "Item_" + now.format(DateTimeFormatter.ofPattern("yyyyMMhhmm")),
-      options.getBoolean("deterministicIds", false),
-      // minted ONCE per scan on the driver: production ids are random
-      // across queries but a pure function of (seed, i) within one, so a
-      // recomputed partition (executor loss, cache eviction, second
-      // action) reproduces identical ids — java.util.UUID.randomUUID in
-      // the reader would silently break that, which is why Spark's own
-      // uuid() expression is seeded per query
-      idSeed = new java.security.SecureRandom().nextLong())
+  // ---- COMPLETE aggregate pushdown: COUNT(*) / COUNT(i) / MIN(i) /
+  // MAX(i) over the (already filter-narrowed) keyspace have CLOSED FORMS
+  // — the generator answers them in O(1) on the driver without ever
+  // producing a row. The template every range-addressable external feed
+  // (object-store manifest, keyed REST API) should follow: an aggregate
+  // a source can answer from metadata must not scan.
+  private var pushedAggs: Option[Array[aggregate.AggregateFunc]] = None
+
+  private def isI(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0).equalsIgnoreCase("i")
+      case _ => false
+    }
+
+  private def canHandle(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && limit < 0 &&
+      agg.aggregateExpressions.forall {
+        case _: aggregate.CountStar => true
+        case c: aggregate.Count => !c.isDistinct && isI(c.column)
+        case m: aggregate.Min => isI(m.column)
+        case m: aggregate.Max => isI(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    canHandle(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    canHandle(agg) && { pushedAggs = Some(agg.aggregateExpressions); true }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(funcs) =>
+      new SampleItemsAggScan(funcs, residues, lo, hi)
+    case None =>
+      val now = Option(options.get("frozenNow"))
+        .map(s => LocalDateTime.parse(
+          s, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+        .getOrElse(LocalDateTime.now())
+      new SampleItemsScan(
+        count, slices, required, residues, lo, hi, limit,
+        now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")),
+        "Item_" + now.format(DateTimeFormatter.ofPattern("yyyyMMhhmm")),
+        options.getBoolean("deterministicIds", false),
+        // minted ONCE per scan on the driver: production ids are random
+        // across queries but a pure function of (seed, i) within one, so a
+        // recomputed partition (executor loss, cache eviction, second
+        // action) reproduces identical ids — java.util.UUID.randomUUID in
+        // the reader would silently break that, which is why Spark's own
+        // uuid() expression is seeded per query
+        idSeed = new java.security.SecureRandom().nextLong())
   }
 }
 
@@ -202,6 +238,73 @@ private[v2] class SampleItemsScan(
         new SampleItemsReader(p.asInstanceOf[SampleItemsSlice])
     }
 }
+
+/** Closed-form answers for a pushed COUNT/MIN/MAX aggregation: one
+  * partition emitting ONE pre-computed row, no generation at all. The
+  * keyspace is {i ∈ [lo, hi] : i mod 3 ∈ residues} after filter
+  * pushdown, so each statistic is modular arithmetic on the bounds. */
+private[v2] class SampleItemsAggScan(
+    funcs: Array[aggregate.AggregateFunc], residues: Set[Int],
+    lo: Long, hi: Long) extends Scan with Batch {
+
+  // first/last key of residue r inside [lo, hi], if any
+  private def first(r: Int): Option[Long] = {
+    val f = lo + ((r - lo % 3 + 3) % 3)
+    if (f <= hi) Some(f) else None
+  }
+  private def last(r: Int): Option[Long] = {
+    val l = hi - ((hi % 3 - r + 3) % 3)
+    if (l >= lo) Some(l) else None
+  }
+  private def residCount(r: Int): Long =
+    first(r).map(f => (hi - f) / 3 + 1).getOrElse(0L)
+
+  private val totalCount: Long =
+    if (hi < lo) 0L else residues.toSeq.map(residCount).sum
+  private val minI: Option[Long] =
+    if (hi < lo) None else residues.toSeq.flatMap(first).minOption
+  private val maxI: Option[Long] =
+    if (hi < lo) None else residues.toSeq.flatMap(last).maxOption
+
+  private val values: Array[Any] = funcs.map {
+    case _: aggregate.CountStar => totalCount
+    case _: aggregate.Count => totalCount // i is never null
+    case _: aggregate.Min => minI.orNull
+    case _: aggregate.Max => maxI.orNull
+    case f => throw new IllegalStateException(s"unpushable aggregate $f")
+  }
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: aggregate.CountStar, k) =>
+      StructField(s"agg$k", LongType, nullable = false)
+    case (_: aggregate.Count, k) =>
+      StructField(s"agg$k", LongType, nullable = false)
+    case (_, k) => StructField(s"agg$k", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSampleItemsAgg(pushed=[${funcs.map(_.toString).mkString(", ")}], " +
+      s"range=[$lo,$hi], residues=${residues.toSeq.sorted.mkString("{", ",", "}")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SampleItemsAggRow(values))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val row = p.asInstanceOf[SampleItemsAggRow].values
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(row))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[v2] case class SampleItemsAggRow(values: Array[Any]) extends InputPartition
 
 private[v2] case class SampleItemsSlice(
     lo: Long, hi: Long, residues: Array[Int], dateStr: String,

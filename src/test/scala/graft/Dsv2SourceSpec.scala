@@ -90,4 +90,36 @@ class Dsv2SourceSpec extends SparkSpec {
       .orderBy("i").select("id").collect().map(_.getString(0)).toSeq
     assert(first != other, "ids unexpectedly constant across scans")
   }
+
+  test("COUNT/MIN/MAX push down completely: closed-form answer, no row generation") {
+    val df = dsv2(3000000)
+      .filter(col("LogicalPartition") === "Partition_B" && col("i") > 100)
+      .agg(count(lit(1)).as("n"), min(col("i")).as("lo"), max(col("i")).as("hi"))
+    val p = planOf(df)
+    assert(p.contains("GraftSampleItemsAgg"),
+      s"aggregation did not reach the source:\n$p")
+    val row = df.collect()(0)
+    // i in 101..3000000 with i % 3 == 1: first 103, last 2999998
+    assert(row.getLong(0) == (2999998L - 103L) / 3 + 1, row.toString)
+    assert(row.getLong(1) == 103L && row.getLong(2) == 2999998L, row.toString)
+    // completeness cross-check at a size where full generation is cheap
+    val small = dsv2(299)
+      .filter(col("LogicalPartition").isin("Partition_A", "Partition_C"))
+    val fast = small.agg(count(lit(1)), min(col("i")), max(col("i"))).collect()(0)
+    val slow = small.collect().map(_.getAs[Long]("i"))
+    assert(fast.getLong(0) == slow.length.toLong)
+    assert(fast.getLong(1) == slow.min && fast.getLong(2) == slow.max)
+  }
+
+  test("aggregate pushdown declines gracefully when it cannot answer exactly") {
+    // grouped aggregation: not pushed — the source must still be correct
+    val g = dsv2(300).groupBy("LogicalPartition").agg(count(lit(1)).as("n"))
+    assert(!planOf(g).contains("GraftSampleItemsAgg"))
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("Partition_A" -> 100L, "Partition_B" -> 100L, "Partition_C" -> 100L))
+    // LIMIT composed under the aggregate: closed form would overcount
+    val l = dsv2(300).limit(7).agg(count(lit(1)).as("n"))
+    assert(!planOf(l).contains("GraftSampleItemsAgg"))
+    assert(l.collect()(0).getLong(0) == 7L)
+  }
 }

@@ -755,6 +755,35 @@ object Corpus {
           (col("s1") * col("s1") / col("s2") / col("n_docs")).as("ess_frac"))
     }),
 
+    // CORPUS CARD: the one-stop dataset datasheet (docs/tokens/chars,
+    // exact-dup rate via distinct fingerprints, quality yield, language
+    // mix) — what a training-data release ships with. ONE pass computes
+    // every per-doc signal; the fingerprint distinct is the only second
+    // shuffle; ratios are single IEEE divisions of exact longs.
+    "corpus_card" -> ((s, dir) => {
+      val base = tf(s, dir, "documents").select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("tok"),
+        col("n_chars"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        when(TextOps.qualityKeep(col("text")), 1L).otherwise(0L).as("keep"))
+      val g = base.agg(count(lit(1)).as("docs"), sum(col("tok")).as("toks"),
+        sum(col("n_chars")).as("chars"),
+        countDistinct(col("fp")).as("fps"), sum(col("keep")).as("keeps"))
+      val global = g.selectExpr(
+        """stack(5,
+          |  'docs',   docs,  CAST(NULL AS DOUBLE),
+          |  'tokens', toks,  CAST(NULL AS DOUBLE),
+          |  'chars',  chars, CAST(NULL AS DOUBLE),
+          |  'distinct_fingerprints', fps,   CAST(fps AS DOUBLE) / docs,
+          |  'quality_keep',          keeps, CAST(keeps AS DOUBLE) / docs
+          |) AS (metric, n, ratio)""".stripMargin)
+      val langs = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(g.select(col("docs"))))
+        .select(concat(lit("lang_"), col("lang")).as("metric"), col("n"),
+          (col("n").cast("double") / col("docs")).as("ratio"))
+      global.unionByName(langs).orderBy(col("metric"))
+    }),
+
     // quality-gate ABLATION: per sub-rule, how many docs it rejects and
     // how many ONLY it rejects — the evidence for loosening/tightening
     // individual Gopher thresholds. One corpus pass computes all four
@@ -1307,6 +1336,58 @@ object Corpus {
         |SELECT MAX(nbins) AS n_bins, MAX(ta) AS n_a, MAX(tb) AS n_b,
         |  CAST(SUM(term) AS DOUBLE) AS psi
         |FROM terms""".stripMargin,
+
+    // Mirrors corpus_card: same per-doc signals (quality_filter oracle's
+    // gate expression, shared fingerprint definition), exact sums,
+    // single-division ratios
+    "corpus_card" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |    n_chars,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        |    CASE WHEN
+        |      len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000
+        |      AND CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+        |      AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+')) >= 0.01
+        |      AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |        / length(text) <= 0.2
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM documents),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+        |        CAST(SUM(tok) AS BIGINT) AS toks,
+        |        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |        CAST(COUNT(DISTINCT fp) AS BIGINT) AS fps,
+        |        CAST(SUM(keep) AS BIGINT) AS keeps FROM base)
+        |SELECT metric, n, ratio FROM (
+        |  SELECT 'docs' AS metric, docs AS n, CAST(NULL AS DOUBLE) AS ratio FROM g
+        |  UNION ALL SELECT 'tokens', toks, CAST(NULL AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'chars', chars, CAST(NULL AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'distinct_fingerprints', fps,
+        |    CAST(fps AS DOUBLE) / docs FROM g
+        |  UNION ALL SELECT 'quality_keep', keeps,
+        |    CAST(keeps AS DOUBLE) / docs FROM g
+        |  UNION ALL
+        |  SELECT 'lang_' || lang, CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS DOUBLE) / MAX(docs)
+        |  FROM base CROSS JOIN g GROUP BY lang)
+        |ORDER BY metric""".stripMargin,
+
+    // Mirrors graph_degrees over the pagerank oracle's edge derivation
+    "graph_degrees" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |d AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |    (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY node)
+        |SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(node) AS BIGINT) AS id_sum
+        |FROM d GROUP BY deg ORDER BY degree""".stripMargin,
 
     // Mirrors dedup_cluster_sizes over the shared recursive-CC oracle
     "dedup_cluster_sizes" ->

@@ -611,6 +611,23 @@ object Extensions {
       Graph.pageRank(e, iters = 3, dampingPct = 85).orderBy(col("node"))
     }),
 
+    // degree distribution of the same trade graph — the first thing to
+    // read before ANY iterative graph algorithm (hub detection sizes the
+    // skew risk of every join-based propagation round). Undirected
+    // degrees from ONE symmetric explode + two grouped counts.
+    "graph_degrees" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))
+        .orderBy(col("degree"))
+    }),
+
     // ---- blocked fuzzy record linkage: within-(brand,size) part-name
     // pairs at edit distance <= 8 — the equi-join on the blocking key
     // bounds the quadratic comparison to block-local pairs

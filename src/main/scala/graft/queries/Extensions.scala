@@ -548,6 +548,18 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio codec: deterministic PCM encoded as actual RIFF/WAVE
+    // bytes, decoded by the chunk-walking parser, reduced to exact
+    // integer stats + one sqrt. The oracle recomputes every statistic
+    // from the sample FORMULA — codec round-trip and arithmetic check
+    // each other (byte-layout conformance is golden-vector spec-gated).
+    "multimodal_wav_decode" -> ((s, dir) => {
+      Multimodal.wavFeatures(s,
+        Multimodal.wavMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("media_id"))
+    }),
+
     // the full real-pixel kernel chain (parse → NN resize → stats); the
     // oracle replays the resize as SQL index arithmetic over ITS parse
     "multimodal_pgm_resize" -> ((s, dir) => {
@@ -1423,6 +1435,34 @@ object Extensions {
         |  CAST(len(list_filter(pix, x -> x // 64 = 2)) AS BIGINT) AS h2,
         |  CAST(len(list_filter(pix, x -> x // 64 = 3)) AS BIGINT) AS h3
         |FROM px ORDER BY media_id""".stripMargin,
+
+    // Mirrors multimodal_wav_decode from the sample FORMULA (never the
+    // bytes): v(i) = ((id*31 + i*17) % 2048) - 1024 over n = 256 +
+    // (id%7)*64 samples at 8 kHz; zero crossings via lag per clip
+    "multimodal_wav_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+        |s AS (
+        |  SELECT media_id, n, i,
+        |    (media_id * 31 + i * 17) % 2048 - 1024 AS v
+        |  FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM m)),
+        |zc AS (
+        |  SELECT media_id, CAST(SUM(CASE WHEN prev IS NOT NULL
+        |      AND (prev < 0) != (v < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |  FROM (SELECT media_id, v,
+        |          lag(v) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        |        FROM s)
+        |  GROUP BY media_id),
+        |agg AS (
+        |  SELECT media_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+        |    CAST(MAX(abs(v)) AS INTEGER) AS peak,
+        |    CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |    CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        |  FROM s GROUP BY media_id)
+        |SELECT a.media_id, n_samples, CAST(8000 AS INTEGER) AS sample_rate,
+        |  n_samples * 1000 // 8000 AS duration_ms, peak, zc AS zero_crossings,
+        |  sum_abs, sum_sq, sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
+        |FROM agg a JOIN zc USING (media_id) ORDER BY a.media_id""".stripMargin,
 
     "multimodal_pgm_resize" ->
       """WITH m AS (

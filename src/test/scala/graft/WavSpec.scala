@@ -1,0 +1,96 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.ext.Multimodal.{Wav, WavClip}
+
+/** Byte-level conformance of the REAL WAV codec: the golden vector is
+  * hand-written from the RIFF spec (every byte a literal, independent of
+  * the encoder's ByteBuffer construction), so a matched encode/decode
+  * bug pair cannot silently cancel the way a pure round-trip test would
+  * allow. */
+class WavSpec extends SparkSpec {
+
+  private val goldenSamples =
+    Array[Short](0, 1000, -1000, Short.MaxValue, Short.MinValue)
+
+  /** Canonical 44-byte-header PCM16 mono file at 8 kHz holding
+    * goldenSamples — all 54 bytes written out by hand. */
+  private val goldenBytes: Array[Byte] = Array(
+    'R', 'I', 'F', 'F',             // RIFF magic
+    46, 0, 0, 0,                    // riff size = 36 + 10
+    'W', 'A', 'V', 'E',
+    'f', 'm', 't', ' ',
+    16, 0, 0, 0,                    // fmt chunk size
+    1, 0,                           // PCM
+    1, 0,                           // mono
+    0x40, 0x1F, 0, 0,               // 8000 Hz
+    0x80, 0x3E, 0, 0,               // byte rate 16000
+    2, 0,                           // block align
+    16, 0,                          // bits per sample
+    'd', 'a', 't', 'a',
+    10, 0, 0, 0,                    // data size = 5 samples * 2
+    0x00, 0x00,                     // 0
+    0xE8, 0x03,                     // 1000
+    0x18, 0xFC,                     // -1000
+    0xFF, 0x7F,                     // 32767
+    0x00, 0x80                      // -32768
+  ).map(_.toByte)
+
+  test("encoder reproduces the hand-written golden bytes exactly") {
+    val got = Wav.encode(WavClip(8000, goldenSamples))
+    assert(got.toSeq == goldenBytes.toSeq,
+      s"byte ${got.toSeq.zip(goldenBytes).indexWhere(p => p._1 != p._2)} differs")
+  }
+
+  test("decoder recovers rate and samples from the golden bytes") {
+    val clip = Wav.decode(goldenBytes)
+    assert(clip.sampleRate == 8000)
+    assert(clip.samples.toSeq == goldenSamples.toSeq)
+  }
+
+  test("decoder walks past unknown chunks (and their odd-size pad byte)") {
+    // splice a 3-byte junk chunk (padded to 4) between fmt and data
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 7, 8, 9, 0)
+    val spliced = goldenBytes.take(36) ++ junk ++ goldenBytes.drop(36)
+    // riff size field is now stale — real readers tolerate that
+    val clip = Wav.decode(spliced)
+    assert(clip.samples.toSeq == goldenSamples.toSeq)
+  }
+
+  test("decoder rejects malformed files with specific errors") {
+    def err(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](Wav.decode(bytes)).getMessage
+    assert(err("OGGS".getBytes ++ goldenBytes.drop(4)).contains("RIFF"))
+    assert(err(goldenBytes.take(30)).contains("overruns"))
+    // data chunk ahead of fmt must fail, not NPE
+    val noFmt = goldenBytes.take(12) ++ goldenBytes.drop(36)
+    assert(err(noFmt).contains("before fmt"))
+    // odd data size
+    val odd = goldenBytes.clone(); odd(40) = 9
+    assert(err(odd).toLowerCase.contains("odd") || err(odd).contains("overruns"))
+  }
+
+  test("round-trip holds for arbitrary clips") {
+    val s = Array.tabulate(777)(i => ((i * 2731 + 17) % 65536 - 32768).toShort)
+    val clip = WavClip(44100, s)
+    val back = Wav.decode(Wav.encode(clip))
+    assert(back.sampleRate == 44100 && back.samples.toSeq == s.toSeq)
+  }
+
+  test("wavFeatures matches the closed-form statistics for a fixture id") {
+    val docs = spark.range(5, 6).toDF("doc_id") // media_id 5
+    val out = Multimodal.wavFeatures(spark,
+      Multimodal.wavMediaTable(spark, docs)).collect()(0)
+    val id = 5L
+    val n = (256 + (id % 7) * 64).toInt
+    val v = Array.tabulate(n)(i => ((id * 31 + i.toLong * 17) % 2048 - 1024).toInt)
+    assert(out.getLong(1) == n.toLong)
+    assert(out.getInt(2) == 8000 && out.getLong(3) == n * 1000L / 8000)
+    assert(out.getInt(4) == v.map(math.abs).max)
+    assert(out.getLong(5) ==
+      v.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+    assert(out.getLong(6) == v.map(x => math.abs(x).toLong).sum)
+    assert(out.getLong(7) == v.map(x => x.toLong * x).sum)
+    assert(out.getDouble(8) == math.sqrt(out.getLong(7).toDouble / n))
+  }
+}

@@ -432,6 +432,61 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL linear-interpolation resample in INTEGER arithmetic — the
+    * audio twin of [[Pgm.resizeNearest]]: output j maps to the exact
+    * rational source position j·srcRate/targetRate; the interpolated
+    * value is (s[k]·(R−f) + s[k+1]·f) quot R with R = targetRate and
+    * f the position's fractional numerator. No floats anywhere, so the
+    * kernel is bit-reproducible and the oracle replays it as plain
+    * SQL integer arithmetic (both sides truncate toward zero). */
+  def resampleLinear(clip: WavClip, targetRate: Int): WavClip = {
+    require(targetRate > 0, "resample target rate must be positive")
+    val s = clip.samples
+    val n = s.length
+    val m = (n.toLong * targetRate / clip.sampleRate).toInt
+    val out = new Array[Short](m)
+    var j = 0
+    while (j < m) {
+      val num = j.toLong * clip.sampleRate
+      val k = (num / targetRate).toInt
+      val f = num % targetRate
+      val a = s(k).toLong
+      val b = s(math.min(k + 1, n - 1)).toLong
+      out(j) = ((a * (targetRate - f) + b * f) / targetRate).toShort
+      j += 1
+    }
+    WavClip(targetRate, out)
+  }
+
+  /** decode → integer-exact resample → stats: the full audio kernel
+    * chain on real bytes, per partition; same schema as [[wavFeatures]]. */
+  def wavResampleStats(spark: SparkSession, media: DataFrame,
+      targetRate: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val clip = resampleLinear(Wav.decode(bytes), targetRate)
+        val s = clip.samples
+        var sumAbs = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          val a = math.abs(v)
+          sumAbs += a; sumSq += v.toLong * v
+          if (a > peak) peak = a
+          if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        val n = s.length.toLong
+        WavFeatures(id, n, clip.sampleRate,
+          if (clip.sampleRate == 0) 0L else n * 1000L / clip.sampleRate,
+          peak, zc, sumAbs, sumSq,
+          if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+      })
+      .toDF()
+  }
+
   /** Image near-dup pairs at Hamming distance ≤ `maxDist` over the
     * perceptual hash — the visual twin of simhash text dedup, and EXACT
     * for maxDist ≤ 3 by pigeonhole: the 56-bit hash splits into four

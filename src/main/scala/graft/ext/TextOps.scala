@@ -821,23 +821,30 @@ object TextOps {
     * final k·MAD threshold (one IEEE multiply, mirrored in SQL).
     *
     * Returns (doc_id, score, med, mad, is_outlier). */
+  /** EXACT lower median of an integral column WITHOUT a global sort:
+    * grid-CDF order-statistic selection — collapse to the distinct value
+    * grid (one map-side-combinable agg), cumulative count over the grid
+    * (window bounded by value cardinality, not row count), pick the grid
+    * row covering index (n−1) div 2. Same order statistic as DuckDB's
+    * quantile_disc(0.5). Returns a 1-row frame (`_med`). */
+  private[graft] def lowerMedian(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // vals: one column `_s` (long)
+    val grid = vals.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+    val tot = grid.agg(sum(col("_c")).as("_n"))
+    // target index (n-1) div 2; floor keeps it integral after the
+    // double division (exact below 2^53)
+    val idx = floor((col("_n") - 1) / 2)
+    cum.crossJoin(broadcast(tot))
+      .filter(col("_below") <= idx && idx < col("_below") + col("_c"))
+      .select(col("_s").as("_med"))
+  }
+
   def madOutliers(rows: DataFrame, score: Column,
       k: Double = 4.4478): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def lowerMedian(vals: DataFrame): DataFrame = {
-      // vals: one column `_s` (long); grid-CDF order-statistic selection
-      val grid = vals.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
-      val w = Window.orderBy(col("_s"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = grid.withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
-      val tot = grid.agg(sum(col("_c")).as("_n"))
-      // target index (n-1) div 2; floor keeps it integral after the
-      // double division (exact below 2^53)
-      val idx = floor((col("_n") - 1) / 2)
-      cum.crossJoin(broadcast(tot))
-        .filter(col("_below") <= idx && idx < col("_below") + col("_c"))
-        .select(col("_s").as("_med"))
-    }
     val s = rows.withColumn("_s", score.cast("long"))
     val med = lowerMedian(s.select(col("_s")))
     val withMed = s.crossJoin(broadcast(med))

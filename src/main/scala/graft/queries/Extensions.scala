@@ -560,6 +560,18 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // the full audio kernel chain: decode → INTEGER-exact linear
+    // resample (8 kHz → 5.5 kHz, no floats anywhere) → stats; the oracle
+    // replays the interpolation as plain integer arithmetic over the
+    // sample formula — both engines truncate toward zero
+    "multimodal_wav_resample" -> ((s, dir) => {
+      Multimodal.wavResampleStats(s,
+        Multimodal.wavMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))),
+        targetRate = 5500)
+        .orderBy(col("media_id"))
+    }),
+
     // the full real-pixel kernel chain (parse → NN resize → stats); the
     // oracle replays the resize as SQL index arithmetic over ITS parse
     "multimodal_pgm_resize" -> ((s, dir) => {
@@ -1461,6 +1473,40 @@ object Extensions {
         |  FROM s GROUP BY media_id)
         |SELECT a.media_id, n_samples, CAST(8000 AS INTEGER) AS sample_rate,
         |  n_samples * 1000 // 8000 AS duration_ms, peak, zc AS zero_crossings,
+        |  sum_abs, sum_sq, sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
+        |FROM agg a JOIN zc USING (media_id) ORDER BY a.media_id""".stripMargin,
+
+    // Mirrors multimodal_wav_resample: the integer interpolation
+    // (a·(R−f) + b·f) // R replayed per output sample from the formula
+    "multimodal_wav_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+        |o AS (
+        |  SELECT media_id, n, mm, j,
+        |    (j * 8000) // 5500 AS k, (j * 8000) % 5500 AS f
+        |  FROM (SELECT media_id, n, n * 5500 // 8000 AS mm,
+        |          unnest(range(0, n * 5500 // 8000)) AS j FROM m)),
+        |sv AS (
+        |  SELECT media_id, mm, j,
+        |    (((media_id * 31 + k * 17) % 2048 - 1024) * (5500 - f)
+        |     + ((media_id * 31 + LEAST(k + 1, n - 1) * 17) % 2048 - 1024) * f)
+        |      // 5500 AS v
+        |  FROM o),
+        |zc AS (
+        |  SELECT media_id, CAST(SUM(CASE WHEN prev IS NOT NULL
+        |      AND (prev < 0) != (v < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |  FROM (SELECT media_id, v,
+        |          lag(v) OVER (PARTITION BY media_id ORDER BY j) AS prev
+        |        FROM sv)
+        |  GROUP BY media_id),
+        |agg AS (
+        |  SELECT media_id, CAST(MAX(mm) AS BIGINT) AS n_samples,
+        |    CAST(MAX(abs(v)) AS INTEGER) AS peak,
+        |    CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |    CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        |  FROM sv GROUP BY media_id)
+        |SELECT a.media_id, n_samples, CAST(5500 AS INTEGER) AS sample_rate,
+        |  n_samples * 1000 // 5500 AS duration_ms, peak, zc AS zero_crossings,
         |  sum_abs, sum_sq, sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
         |FROM agg a JOIN zc USING (media_id) ORDER BY a.media_id""".stripMargin,
 

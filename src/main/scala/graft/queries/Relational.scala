@@ -331,6 +331,29 @@ object Relational {
             (col("s2").cast("double") - xb * col("s1"))), 6).as("r7"))
     }),
 
+    // ---- EXACT median time-to-convert (first view → first later
+    // purchase, whole seconds): the funnel's latency readout with the
+    // same sort-free grid-CDF order statistic as quality_mad_outliers —
+    // the per-user delta table collapses to its distinct-seconds grid,
+    // nothing corpus-sized sorts.
+    "events_convert_median" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("p_ts"))
+      val deltas = p.select(
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+          .cast("long")).as("_um"))
+        .selectExpr("_um div 1000000 AS _s")
+      deltas.agg(count(lit(1)).as("n_users"))
+        .crossJoin(graft.ext.TextOps.lowerMedian(deltas)
+          .select(col("_med").as("median_s")))
+    }),
+
     // ---- semi-structured JSON extraction from a string column
     "q19_events_json" -> ((s, dir) => {
       graft.Tables.events(s, dir)
@@ -1906,6 +1929,24 @@ object Relational {
         |      + np * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
         |    / (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * s1), 6) AS r7
         |FROM st CROSS JOIN ps""".stripMargin,
+
+    // Mirrors events_convert_median; quantile_disc(0.5) is the same
+    // lower-median order statistic as the grid-CDF selection
+    "events_convert_median" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT (epoch_us(p_ts) - epoch_us(v_ts)) // 1000000 AS sec
+        |  FROM p JOIN v USING (user_id))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(quantile_disc(sec, 0.5) AS BIGINT) AS median_s
+        |FROM d""".stripMargin,
 
     "q19_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,

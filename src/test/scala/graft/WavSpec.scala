@@ -77,6 +77,16 @@ class WavSpec extends SparkSpec {
     assert(back.sampleRate == 44100 && back.samples.toSeq == s.toSeq)
   }
 
+  test("resampleLinear: identity at equal rates, exact midpoints at 2x") {
+    val clip = WavClip(8000, Array[Short](0, 100, -100, 31))
+    assert(Multimodal.resampleLinear(clip, 8000).samples.toSeq ==
+      clip.samples.toSeq)
+    // 2x upsample: even outputs are the sources, odd are (a+b) quot 2
+    // (truncation toward zero, so (100 + -100)/2 = 0 and (-100+31)/2 = -34)
+    val up = Multimodal.resampleLinear(clip, 16000).samples.toSeq
+    assert(up == Seq[Short](0, 50, 100, 0, -100, -34, 31, 31), up.toString)
+  }
+
   test("wavFeatures matches the closed-form statistics for a fixture id") {
     val docs = spark.range(5, 6).toDF("doc_id") // media_id 5
     val out = Multimodal.wavFeatures(spark,

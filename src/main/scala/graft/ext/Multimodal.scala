@@ -487,6 +487,62 @@ object Multimodal {
       .toDF()
   }
 
+  /** Integer "energy-delta" acoustic fingerprint — the audio twin of
+    * [[dHash56]]: frame the clip (`frame` samples per frame, tail
+    * dropped), per-frame energy as an EXACT long Σv², one bit per
+    * consecutive-frame comparison (energy rising = 1). Robust to uniform
+    * gain-free copies, fully integer → bit-reproducible and
+    * SQL-replayable. Returns (n_frames, fp). */
+  def audioFingerprint(clip: WavClip, frame: Int = 32): (Int, Long) = {
+    require(frame > 0, "frame must be positive")
+    val s = clip.samples
+    val nf = s.length / frame
+    val e = new Array[Long](nf)
+    var k = 0
+    while (k < nf) {
+      var acc = 0L; var i = k * frame
+      val end = i + frame
+      while (i < end) { val v = s(i).toLong; acc += v * v; i += 1 }
+      e(k) = acc; k += 1
+    }
+    var fp = 0L
+    k = 0
+    while (k < nf - 1) { if (e(k + 1) > e(k)) fp |= 1L << k; k += 1 }
+    (nf, fp)
+  }
+
+  /** Per-clip acoustic fingerprints: decode + fingerprint per partition
+    * → (media_id, n_frames, fp). */
+  def wavFingerprints(spark: SparkSession, media: DataFrame,
+      frame: Int = 32): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (nf, fp) = audioFingerprint(Wav.decode(bytes), frame)
+        (id, nf, fp)
+      })
+      .toDF("media_id", "n_frames", "fp")
+  }
+
+  /** PLANTED wav corpus: the fixture clips plus exact re-encoded copies
+    * of every 25th id (+200000) — the sample formula keys on
+    * media_id mod 200000, so a copy is bit-identical audio under a new
+    * id. Drives the fingerprint-collision dedup query. */
+  def plantedWavMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").as("media_id"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("media_id")))
+    ids.as[Long].mapPartitions(_.map { id =>
+      val base = id % 200000
+      val n = (256 + (base % 7) * 64).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((base * 31 + i.toLong * 17) % 2048) - 1024).toShort)
+      (id, Wav.encode(WavClip(8000, samples)))
+    }).toDF("media_id", "payload")
+  }
+
   /** Image near-dup pairs at Hamming distance ≤ `maxDist` over the
     * perceptual hash — the visual twin of simhash text dedup, and EXACT
     * for maxDist ≤ 3 by pigeonhole: the 56-bit hash splits into four

@@ -560,6 +560,33 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // acoustic fingerprints over the PLANTED wav corpus (exact audio
+    // copies under new ids): per-clip integer energy-delta bits
+    "multimodal_wav_fp" -> ((s, dir) => {
+      Multimodal.wavFingerprints(s,
+        Multimodal.plantedWavMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))), frame = 16)
+        .orderBy(col("media_id"))
+    }),
+
+    // audio dedup CANDIDATE pairs: fingerprint equality over the planted
+    // corpus — an equi-join on the fp value (hash-blocked, never a
+    // cartesian). Planted exact copies provably collide (spec-gated);
+    // like any perceptual hash the collisions are candidates for an
+    // exact confirm pass, not verdicts — same contract as LSH buckets.
+    "multimodal_wav_fp_pairs" -> ((s, dir) => {
+      val fps = Multimodal.wavFingerprints(s,
+        Multimodal.plantedWavMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))), frame = 16)
+      val a = fps.select(col("media_id").as("i"), col("n_frames"), col("fp"))
+      val b = fps.select(col("media_id").as("j"),
+        col("n_frames").as("nfb"), col("fp").as("fpb"))
+      a.join(b, col("fp") === col("fpb") &&
+          col("n_frames") === col("nfb") && col("i") < col("j"))
+        .select(col("i"), col("j"), col("fp"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // the full audio kernel chain: decode → INTEGER-exact linear
     // resample (8 kHz → 5.5 kHz, no floats anywhere) → stats; the oracle
     // replays the interpolation as plain integer arithmetic over the
@@ -1475,6 +1502,60 @@ object Extensions {
         |  n_samples * 1000 // 8000 AS duration_ms, peak, zc AS zero_crossings,
         |  sum_abs, sum_sq, sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
         |FROM agg a JOIN zc USING (media_id) ORDER BY a.media_id""".stripMargin,
+
+    // Mirrors multimodal_wav_fp from the sample formula (base keys the
+    // planted copies): exact frame energies, rising-energy bits
+    "multimodal_wav_fp" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id FROM documents
+        |  UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT media_id, media_id % 200000 AS base,
+        |    256 + (media_id % 200000 % 7) * 64 AS n FROM ids),
+        |s AS (
+        |  SELECT media_id, i // 16 AS k,
+        |    (base * 31 + i * 17) % 2048 - 1024 AS v
+        |  FROM (SELECT media_id, base, n, unnest(range(0, n)) AS i FROM m)),
+        |e AS (
+        |  SELECT media_id, k, CAST(SUM(v * v) AS BIGINT) AS e
+        |  FROM s GROUP BY media_id, k),
+        |b AS (
+        |  SELECT media_id, CASE WHEN
+        |      lead(e) OVER (PARTITION BY media_id ORDER BY k) > e
+        |    THEN (1::BIGINT << k) ELSE 0 END AS bit
+        |  FROM e)
+        |SELECT media_id, CAST(COUNT(*) AS INTEGER) AS n_frames,
+        |  CAST(SUM(bit) AS BIGINT) AS fp
+        |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Mirrors multimodal_wav_fp_pairs: self-join the fingerprint table
+    "multimodal_wav_fp_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id FROM documents
+        |  UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id % 25 = 0),
+        |m AS (
+        |  SELECT media_id, media_id % 200000 AS base,
+        |    256 + (media_id % 200000 % 7) * 64 AS n FROM ids),
+        |s AS (
+        |  SELECT media_id, i // 16 AS k,
+        |    (base * 31 + i * 17) % 2048 - 1024 AS v
+        |  FROM (SELECT media_id, base, n, unnest(range(0, n)) AS i FROM m)),
+        |e AS (
+        |  SELECT media_id, k, CAST(SUM(v * v) AS BIGINT) AS e
+        |  FROM s GROUP BY media_id, k),
+        |b AS (
+        |  SELECT media_id, CASE WHEN
+        |      lead(e) OVER (PARTITION BY media_id ORDER BY k) > e
+        |    THEN (1::BIGINT << k) ELSE 0 END AS bit
+        |  FROM e),
+        |fpt AS (
+        |  SELECT media_id, CAST(COUNT(*) AS INTEGER) AS n_frames,
+        |    CAST(SUM(bit) AS BIGINT) AS fp
+        |  FROM b GROUP BY media_id)
+        |SELECT a.media_id AS i, b.media_id AS j, a.fp
+        |FROM fpt a JOIN fpt b
+        |  ON a.fp = b.fp AND a.n_frames = b.n_frames AND a.media_id < b.media_id
+        |ORDER BY i, j""".stripMargin,
 
     // Mirrors multimodal_wav_resample: the integer interpolation
     // (a·(R−f) + b·f) // R replayed per output sample from the formula

@@ -87,6 +87,21 @@ class WavSpec extends SparkSpec {
     assert(up == Seq[Short](0, 50, 100, 0, -100, -34, 31, 31), up.toString)
   }
 
+  test("acoustic fingerprint: planted exact copies always collide") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val pairs = graft.queries.Extensions
+      .queries("multimodal_wav_fp_pairs")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + 200000)),
+        s"planted copy pair ($id, ${id + 200000}) missing")
+    }
+  }
+
   test("wavFeatures matches the closed-form statistics for a fixture id") {
     val docs = spark.range(5, 6).toDF("doc_id") // media_id 5
     val out = Multimodal.wavFeatures(spark,

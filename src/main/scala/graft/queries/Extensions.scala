@@ -560,6 +560,18 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // REAL video: deterministic frames encoded as actual YUV4MPEG2
+    // bytes, decoded by the real container parser, reduced to exact
+    // SAD-based scene cuts; the oracle recomputes everything from the
+    // pixel formula (the construction guarantees within-scene SAD = 48
+    // and cut SAD >= 4272, so the threshold can't flake)
+    "multimodal_y4m_cuts" -> ((s, dir) => {
+      Multimodal.y4mSceneCuts(s,
+        Multimodal.y4mMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("media_id"))
+    }),
+
     // acoustic fingerprints over the PLANTED wav corpus (exact audio
     // copies under new ids): per-clip integer energy-delta bits
     "multimodal_wav_fp" -> ((s, dir) => {
@@ -1502,6 +1514,30 @@ object Extensions {
         |  n_samples * 1000 // 8000 AS duration_ms, peak, zc AS zero_crossings,
         |  sum_abs, sum_sq, sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
         |FROM agg a JOIN zc USING (media_id) ORDER BY a.media_id""".stripMargin,
+
+    // Mirrors multimodal_y4m_cuts from the pixel formula: SAD per
+    // consecutive frame pair via an f/f+1 self-join on the pixel grid
+    "multimodal_y4m_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 4 AS nf FROM documents),
+        |px AS (
+        |  SELECT media_id, nf, f, i,
+        |    (media_id * 37 + (f // 3) * 911 + i * 101) % 200 + (f % 3) AS y
+        |  FROM (SELECT media_id, nf, unnest(range(0, nf)) AS f FROM m),
+        |       (SELECT unnest(range(0, 48)) AS i)),
+        |sad AS (
+        |  SELECT a.media_id, b.f,
+        |    CAST(SUM(abs(b.y - a.y)) AS BIGINT) AS sad
+        |  FROM px a JOIN px b
+        |    ON a.media_id = b.media_id AND a.i = b.i AND b.f = a.f + 1
+        |  GROUP BY a.media_id, b.f)
+        |SELECT m.media_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(COALESCE(SUM(CASE WHEN sad > 768 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+        |  CAST(COALESCE(SUM(CASE WHEN sad > 768 THEN f ELSE 0 END), 0) AS BIGINT) AS cut_idx_sum,
+        |  CAST(COALESCE(SUM(sad), 0) AS BIGINT) AS sad_total
+        |FROM m LEFT JOIN sad USING (media_id)
+        |GROUP BY m.media_id, nf ORDER BY m.media_id""".stripMargin,
 
     // Mirrors multimodal_wav_fp from the sample formula (base keys the
     // planted copies): exact frame energies, rising-energy bits

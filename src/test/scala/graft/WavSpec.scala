@@ -102,6 +102,51 @@ class WavSpec extends SparkSpec {
     }
   }
 
+  test("Y4M: encoder matches the hand-written golden bytes; decoder inverts") {
+    import graft.ext.Multimodal.{Y4m, Y4mVideo}
+    val v = Y4mVideo(2, 2, Array(Array(10, 20, 30, 40), Array(50, 60, 70, 80)))
+    val golden: Array[Byte] =
+      ("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n" +
+        "FRAME\n").getBytes("US-ASCII") ++
+        Array[Byte](10, 20, 30, 40) ++ Array[Byte](128.toByte, 128.toByte) ++
+        "FRAME\n".getBytes("US-ASCII") ++
+        Array[Byte](50, 60, 70, 80) ++ Array[Byte](128.toByte, 128.toByte)
+    assert(Y4m.encode(v).toSeq == golden.toSeq)
+    val back = Y4m.decode(golden)
+    assert(back.width == 2 && back.height == 2 && back.frames.length == 2)
+    assert(back.frames(0).toSeq == Seq(10, 20, 30, 40))
+    assert(back.frames(1).toSeq == Seq(50, 60, 70, 80))
+  }
+
+  test("Y4M decoder: real-reader tolerances and rejections") {
+    import graft.ext.Multimodal.Y4m
+    def b(s: String, tail: Array[Byte] = Array()): Array[Byte] =
+      s.getBytes("US-ASCII") ++ tail
+    // unknown header tags and FRAME parameters are skipped
+    val tolerant = b("YUV4MPEG2 W2 H2 F30000:1001 Xcustom C420mpeg2\n" +
+      "FRAME Ixyz\n", Array[Byte](1, 2, 3, 4, 9, 9))
+    val v = Y4m.decode(tolerant)
+    assert(v.frames(0).toSeq == Seq(1, 2, 3, 4))
+    def err(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](Y4m.decode(bytes)).getMessage
+    assert(err(b("MPEG4 W2 H2\nFRAME\n")).contains("magic"))
+    assert(err(b("YUV4MPEG2 W2 H2 C444\nFRAME\n")).contains("colorspace"))
+    assert(err(b("YUV4MPEG2 W3 H2\nFRAME\n")).contains("even"))
+    assert(err(b("YUV4MPEG2 W2 H2\nFRAME\n", Array[Byte](1, 2)))
+      .contains("truncated"))
+  }
+
+  test("y4mSceneCuts detects exactly the planted scene boundaries") {
+    val docs = spark.range(7, 9).toDF("doc_id") // nf = 4+7%4=7 and 4+8%4=4
+    val out = Multimodal.y4mSceneCuts(spark,
+      Multimodal.y4mMediaTable(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    // cuts sit at f = 3, 6, ... (scene = f div 3 changes)
+    assert(out(7L) == ((7, 2L, 3L + 6L)), out(7L).toString)
+    assert(out(8L) == ((4, 1L, 3L)), out(8L).toString)
+  }
+
   test("wavFeatures matches the closed-form statistics for a fixture id") {
     val docs = spark.range(5, 6).toDF("doc_id") // media_id 5
     val out = Multimodal.wavFeatures(spark,

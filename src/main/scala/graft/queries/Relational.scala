@@ -626,6 +626,49 @@ object Relational {
         .orderBy(col("status"), col("priority"))
     }),
 
+    // ---- SQL FILTER-clause aggregates: per-group conditional
+    // aggregation without a self-join or CASE pyramid — one pass, every
+    // filtered leg map-side combinable
+    "q72_filter_agg" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders_fa")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  COUNT(*) AS n,
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(18,2)) AS total_o,
+          |  MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS max_p
+          |FROM v_orders_fa
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ---- GROUPING_ID over a cube: the bitmask that tells subtotal rows
+    // apart from genuine NULL group keys — required for correct rollup
+    // consumption downstream
+    "q73_grouping_id" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("gid"), col("g_status"))
+        .orderBy(col("gid"), col("status"), col("priority"))
+    }),
+
+    // ---- posexplode: position-preserving array flattening (token
+    // positions are load-bearing for span-level ops)
+    "q74_posexplode" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          posexplode(split(concat_ws(" ", col("p_name"), col("p_type")), " ")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+          col("col").as("word"))
+        .filter(length(col("word")) >= 5)
+        .orderBy(col("p_partkey"), col("pos"))
+    }),
+
     // ---- TPC-H Q7 shape: bidirectional nation-pair volume with
     // a disjunctive pair predicate over broadcast dims
     "q32_volume_shipping" -> ((s, dir) => {
@@ -1929,6 +1972,38 @@ object Relational {
         |      + np * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
         |    / (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * s1), 6) AS r7
         |FROM st CROSS JOIN ps""".stripMargin,
+
+    "q72_filter_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(18,2)) AS total_o,
+        |  MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS max_p
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // GROUPING() bitmask convention matches Spark's grouping_id():
+    // leftmost argument is the most significant bit
+    "q73_grouping_id" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q74_posexplode" ->
+      """SELECT p_partkey, CAST(i - 1 AS BIGINT) AS pos,
+        |  parts[CAST(i AS INTEGER)] AS word
+        |FROM (
+        |  SELECT p_partkey, string_split(p_name || ' ' || p_type, ' ') AS parts,
+        |    unnest(range(1, len(string_split(p_name || ' ' || p_type, ' ')) + 1)) AS i
+        |  FROM part)
+        |WHERE length(parts[CAST(i AS INTEGER)]) >= 5
+        |ORDER BY p_partkey, pos""".stripMargin,
 
     // Mirrors events_convert_median; quantile_disc(0.5) is the same
     // lower-median order statistic as the grid-CDF selection

@@ -666,6 +666,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** One kept frame per detected scene. */
+  final case class SceneFrame(media_id: Long, scene_idx: Int,
+      frame_idx: Int, y_sum: Long, y_min: Int, y_max: Int)
+
+  /** Scene-aware frame sampling — the step AFTER cut detection: keep
+    * the FIRST frame of every scene (frame 0 plus each cut frame), so a
+    * 10-minute static shot contributes one frame instead of stride/N
+    * near-duplicates. Scenes come from the REAL SAD detector over
+    * decoded frames (not from any prior knowledge of the content);
+    * per-frame luma stats are exact integers. */
+  def y4mSceneFrames(spark: SparkSession, media: DataFrame): Dataset[SceneFrame] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val v = Y4m.decode(bytes)
+        val threshold = v.width * v.height * 16
+        val keep = Seq.newBuilder[Int]
+        if (v.frames.nonEmpty) keep += 0
+        var f = 1
+        while (f < v.frames.length) {
+          val (a, b) = (v.frames(f - 1), v.frames(f))
+          var sad = 0L; var i = 0
+          while (i < a.length) { sad += math.abs(b(i) - a(i)); i += 1 }
+          if (sad > threshold) keep += f
+          f += 1
+        }
+        keep.result().zipWithIndex.map { case (fi, si) =>
+          val y = v.frames(fi)
+          SceneFrame(id, si, fi, y.map(_.toLong).sum, y.min, y.max)
+        }
+      })
+  }
+
   /** Image near-dup pairs at Hamming distance ≤ `maxDist` over the
     * perceptual hash — the visual twin of simhash text dedup, and EXACT
     * for maxDist ≤ 3 by pigeonhole: the 56-bit hash splits into four

@@ -572,6 +572,37 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // scene-aware frame sampling: first frame of every DETECTED scene
+    // (detector runs on real decoded frames); per-frame exact luma stats
+    "multimodal_y4m_scene_frames" -> ((s, dir) => {
+      Multimodal.y4mSceneFrames(s,
+        Multimodal.y4mMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))))
+        .toDF()
+        .orderBy(col("media_id"), col("scene_idx"))
+    }),
+
+    // cross-modal training-example MANIFEST: one row per example joining
+    // the text, audio, and video legs by id — the assembly step before
+    // packing multimodal training rows; every leg is a per-id equi-join
+    "corpus_multimodal_manifest" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.ext.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          when(graft.ext.TextOps.qualityKeep(col("text")), 1)
+            .otherwise(0).as("keep"))
+      val wav = Multimodal.wavFeatures(s, Multimodal.wavMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))))
+        .select(col("media_id").as("doc_id"),
+          col("duration_ms").as("audio_ms"))
+      val vid = Multimodal.y4mSceneCuts(s, Multimodal.y4mMediaTable(s,
+          tf(s, dir, "documents").select(col("doc_id"))))
+        .select(col("media_id").as("doc_id"),
+          col("n_frames").as("video_frames"), col("n_cuts"))
+      docs.join(wav, Seq("doc_id")).join(vid, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // acoustic fingerprints over the PLANTED wav corpus (exact audio
     // copies under new ids): per-clip integer energy-delta bits
     "multimodal_wav_fp" -> ((s, dir) => {
@@ -1514,6 +1545,43 @@ object Extensions {
         |  n_samples * 1000 // 8000 AS duration_ms, peak, zc AS zero_crossings,
         |  sum_abs, sum_sq, sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
         |FROM agg a JOIN zc USING (media_id) ORDER BY a.media_id""".stripMargin,
+
+    // Mirrors multimodal_y4m_scene_frames: the construction pins cuts to
+    // f = 3s, where the (f mod 3) term vanishes — kept-frame stats come
+    // straight from the base formula
+    "multimodal_y4m_scene_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 4 AS nf FROM documents),
+        |k AS (
+        |  SELECT media_id, unnest(range(0, (nf + 2) // 3)) AS s FROM m),
+        |px AS (
+        |  SELECT media_id, s, (media_id * 37 + s * 911 + i * 101) % 200 AS y
+        |  FROM k, (SELECT unnest(range(0, 48)) AS i))
+        |SELECT media_id, CAST(s AS INTEGER) AS scene_idx,
+        |  CAST(s * 3 AS INTEGER) AS frame_idx,
+        |  CAST(SUM(y) AS BIGINT) AS y_sum,
+        |  CAST(MIN(y) AS INTEGER) AS y_min, CAST(MAX(y) AS INTEGER) AS y_max
+        |FROM px GROUP BY media_id, s ORDER BY media_id, scene_idx""".stripMargin,
+
+    // Mirrors corpus_multimodal_manifest: text gate from the
+    // quality_filter oracle, audio/video legs from their closed forms
+    "corpus_multimodal_manifest" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN
+        |    len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000
+        |    AND CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+        |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) >= 0.01
+        |    AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) <= 0.2
+        |  THEN 1 ELSE 0 END AS INTEGER) AS keep,
+        |  (256 + (doc_id % 7) * 64) * 1000 // 8000 AS audio_ms,
+        |  CAST(4 + doc_id % 4 AS INTEGER) AS video_frames,
+        |  CAST((4 + doc_id % 4 - 1) // 3 AS BIGINT) AS n_cuts
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Mirrors multimodal_y4m_cuts from the pixel formula: SAD per
     // consecutive frame pair via an f/f+1 self-join on the pixel grid

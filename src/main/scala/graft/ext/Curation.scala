@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the standard pre-training data pipeline
@@ -107,5 +107,66 @@ object Curation {
           .when(col("fp_n").isNull, lit("removed"))
           .when(col("fp_b") === col("fp_n"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
+  }
+
+  /** 2-D Pareto frontier (skyline): keep the rows NOT dominated under
+    * (minimize `minKey`, maximize `maxKey`) — the multi-criteria
+    * selection step of curation ("cheapest docs at every quality level":
+    * a row survives iff nothing is at-most-as-costly AND
+    * at-least-as-good with one strict). Both keys must be non-null
+    * integers (pre-scale decimals to cents/micros — exact longs keep
+    * the dominance comparisons engine-portable).
+    *
+    * Shape at 100 TB: the textbook skyline is a quadratic self-join;
+    * the sort-based one is a GLOBAL ordered scan — a single-task window.
+    * Neither survives. This runs in three bounded steps:
+    *   1. collapse to the per-`minKey` maximum of `maxKey` (one
+    *      map-combinable agg — the grid is |distinct minKey| ≪ corpus);
+    *   2. frontier test on the grid: a grid point survives iff its max
+    *      beats every strictly-cheaper point's max — running prefix-max
+    *      via [[graft.ops.Layout.orderedShard]] (monotone literal shard
+    *      boundaries) + per-shard maxima prefix-combined on the driver
+    *      (≤ shards longs of state) + a shard-LOCAL window. Same
+    *      two-pass pattern as `packBins`/`globalRowNumber`; no
+    *      unpartitioned WindowExec anywhere;
+    *   3. semi-join the corpus back on (minKey, maxKey) — frontier
+    *      duplicates (ties on both keys) all survive, matching the
+    *      strict-dominance definition.
+    */
+  def paretoFrontier2d(df: DataFrame, minKey: Column, maxKey: Column,
+      shards: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val n = if (shards > 0) shards
+      else spark.sessionState.conf.numShufflePartitions
+    val grid = df.groupBy(minKey.cast("long").as("_sk_min"))
+      .agg(max(maxKey.cast("long")).as("_sk_max"))
+    val sharded = grid.withColumn("_shard",
+      graft.ops.Layout.orderedShard(grid, col("_sk_min"), n))
+    // per-shard maxima -> driver prefix-max literal map (the max over
+    // all EARLIER shards; Long.MinValue for the first)
+    val maxima = sharded.groupBy(col("_shard"))
+      .agg(max(col("_sk_max")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MinValue
+    val prefix = maxima.map { case (pid, m) =>
+      val o = acc; acc = math.max(acc, m); (pid, o)
+    }
+    val prevShardMax =
+      if (prefix.isEmpty) lit(Long.MinValue)
+      else element_at(
+        map(prefix.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("_shard"))
+    val w = Window.partitionBy(col("_shard")).orderBy(col("_sk_min"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = sharded
+      .withColumn("_prev", greatest(
+        coalesce(max(col("_sk_max")).over(w), lit(Long.MinValue)),
+        prevShardMax))
+      .filter(col("_sk_max") > col("_prev"))
+      .select(col("_sk_min"), col("_sk_max"))
+    df.join(frontier,
+      minKey.cast("long") === col("_sk_min") &&
+        maxKey.cast("long") === col("_sk_max"), "left_semi")
   }
 }

@@ -74,4 +74,70 @@ object Graph {
     adj.unpersist()
     out
   }
+
+  /** Exact per-node triangle counts (and local clustering coefficient)
+    * over an UNDIRECTED simple graph given as (a, b) pairs (any
+    * orientation, duplicates tolerated).
+    *
+    * Scale shape: the naive wedge join explodes on hubs — a node of
+    * degree d generates d^2 wedges, and a power-law graph at 100 TB has
+    * d in the millions. The standard fix (degree orientation): orient
+    * every edge from its lower-(degree, id) endpoint to its higher one;
+    * every triangle then has exactly ONE node with two out-edges, and
+    * out-degree is bounded by O(sqrt(m)) — the wedge join is
+    * sum(outdeg^2) = O(m^1.5) total work independent of hub skew, the
+    * optimal bound for exact triangle listing. Three equi-joins, no
+    * cartesian, no window; per-node attribution is one explode + one
+    * map-combinable count.
+    *
+    * The orientation comparator is (deg, id) lexicographic via struct
+    * comparison, a total order, so each triangle is produced exactly
+    * once: from its unique minimum vertex, with the closing edge
+    * looked up in the same canonical orientation.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    // canonical undirected edge set: u < v by id, self-loops dropped
+    val und = pairs.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher (deg, id)
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("src"), col("v").as("dst"),
+          col("dv").as("ddst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+          col("du").as("ddst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddst").as("ddst"))
+    // wedges from each pivot's out-neighborhood, canonically ordered by
+    // (deg, id) so the closing edge matches in its stored orientation
+    val w2 = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (struct(col("o1.ddst"), col("o1.dst")) <
+            struct(col("o2.ddst"), col("o2.dst"))))
+      .select(col("o1.src").as("tu"), col("o1.dst").as("tv"),
+        col("o2.dst").as("tw"))
+    val tris = w2.join(oriented,
+        col("tv") === col("src") && col("tw") === col("dst"))
+      .select(col("tu"), col("tv"), col("tw"))
+    val perNode = tris
+      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise((lit(2.0) * col("n_tri").cast("double")) /
+            (col("degree").cast("double") *
+              (col("degree").cast("double") - 1.0))))
+    out
+  }
 }

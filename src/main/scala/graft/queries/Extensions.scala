@@ -722,6 +722,19 @@ object Extensions {
         .orderBy(col("degree"))
     }),
 
+    // ---- exact triangle counting over the part co-purchase graph
+    // (parts linked when they appear in the same order). Degree-oriented
+    // wedge join: O(m^1.5) total work regardless of hub skew — the naive
+    // wedge join is d^2 per node and dies on 100 TB power-law hubs.
+    "graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      Graph.triangles(e).orderBy(col("node"))
+    }),
+
     // ---- blocked fuzzy record linkage: within-(brand,size) part-name
     // pairs at edit distance <= 8 — the equi-join on the blocking key
     // bounds the quadratic comparison to block-local pairs
@@ -1793,6 +1806,32 @@ object Extensions {
          |SELECT node, CAST(rank_u AS DOUBLE) / 1000000000.0 AS rank
          |FROM r3 ORDER BY node""".stripMargin
     },
+
+    // Mirrors graph_triangles: id-ordered triple listing (a<b<c with all
+    // three edges present) counts each triangle exactly once — the same
+    // relation the degree-oriented wedge join produces
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+        |    (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |     UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT d.node, d.degree, CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE 2.0 * COALESCE(p.n_tri, 0)
+        |            / (CAST(d.degree AS DOUBLE) * (d.degree - 1)) END AS lcc
+        |FROM deg d LEFT JOIN pn p ON d.node = p.node ORDER BY d.node""".stripMargin,
 
     "multimodal_phash" ->
       """WITH m AS (

@@ -669,6 +669,19 @@ object Relational {
         .orderBy(col("p_partkey"), col("pos"))
     }),
 
+    // ---- skyline: parts NOT dominated under (min price, max size).
+    // Distributed sort-based frontier — grid collapse + sharded
+    // prefix-max (ext.Curation.paretoFrontier2d), never the quadratic
+    // NOT EXISTS self-join the oracle spells
+    "q75_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("_pc",
+        (col("p_retailprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+      graft.ext.Curation.paretoFrontier2d(p, col("_pc"), col("p_size"))
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- TPC-H Q7 shape: bidirectional nation-pair volume with
     // a disjunctive pair predicate over broadcast dims
     "q32_volume_shipping" -> ((s, dir) => {
@@ -2004,6 +2017,20 @@ object Relational {
         |  FROM part)
         |WHERE length(parts[CAST(i AS INTEGER)]) >= 5
         |ORDER BY p_partkey, pos""".stripMargin,
+
+    // Mirrors q75_skyline: textbook NOT EXISTS strict-dominance — the
+    // declarative definition the distributed frontier must reproduce
+    "q75_skyline" ->
+      """WITH p AS (
+        |  SELECT *, CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM part)
+        |SELECT a.p_partkey, a.p_name, a.p_size, a.p_retailprice
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.pc <= a.pc AND b.p_size >= a.p_size
+        |    AND (b.pc < a.pc OR b.p_size > a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
 
     // Mirrors events_convert_median; quantile_disc(0.5) is the same
     // lower-median order statistic as the grid-CDF selection

@@ -860,4 +860,38 @@ class CorpusSpec extends SparkSpec {
       assert(r.getDouble(5) == ch.toDouble / p)
     }
   }
+
+  test("paretoFrontier2d matches brute-force strict dominance, any sharding") {
+    // pseudo-random (cost, value) points with deliberate ties on both
+    // keys — tied frontier duplicates must ALL survive
+    val pts = (0 until 300).map { i =>
+      (i.toLong, (i * 31 % 40).toLong, (i * 17 % 25).toLong)
+    } ++ Seq((1000L, 5L, 24L), (1001L, 5L, 24L)) // exact duplicate pair
+    val df = pts.toDF("id", "cost", "value")
+    val brute = pts.filter { case (_, c, v) =>
+      !pts.exists { case (_, c2, v2) =>
+        c2 <= c && v2 >= v && (c2 < c || v2 > v) }
+    }.map(_._1).toSet
+    for (shards <- Seq(1, 7)) {
+      val got = Curation.paretoFrontier2d(
+          df.repartition(3), col("cost"), col("value"), shards)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == brute, s"shards=$shards: got ${got.size}, " +
+        s"want ${brute.size}; diff ${(got diff brute) ++ (brute diff got)}")
+    }
+  }
+
+  test("paretoFrontier2d plans no unpartitioned window") {
+    val df = (0 until 50).map(i => (i.toLong, (i * 7 % 13).toLong,
+      (i * 11 % 17).toLong)).toDF("id", "cost", "value")
+    val qe = Curation.paretoFrontier2d(df, col("cost"), col("value"))
+      .queryExecution
+    val wins = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected a shard-local prefix-max window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global single-partition window found:\n${qe.optimizedPlan}"))
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
 }

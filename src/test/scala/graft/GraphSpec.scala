@@ -43,6 +43,58 @@ class GraphSpec extends SparkSpec {
     assert(total > 0.99 && total <= 1.0, s"mass $total")
   }
 
+  test("triangles: hand-computed counts on K4 minus one edge") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    // deg: 1->3, 2->3, 3->2, 4->2. n_tri: 1->2, 2->2, 3->1, 4->1.
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val got = Graph.triangles(pairsDf(es)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(got(2L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((2L, 1L, 1.0)))
+  }
+
+  test("triangles: star graph has none; duplicates/orientation ignored") {
+    // star 0-{1..20}, edges listed in both orders with duplicates
+    val es = (1L to 20L).flatMap(i => Seq((0L, i), (i, 0L), (0L, i)))
+    val got = Graph.triangles(pairsDf(es))
+    assert(got.agg(sum(col("n_tri"))).first().getLong(0) == 0L)
+    assert(got.filter(col("node") === 0L).first().getLong(1) == 20L)
+  }
+
+  test("triangles: matches brute force on a random graph, any partitioning") {
+    val es = (0L until 300L).map(i => ((i * 7) % 23, (i * 13) % 29 + 1))
+      .filter { case (a, b) => a != b }
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toSet
+      val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val tris = for {
+        i <- nodes; j <- nodes if i < j && e((i, j))
+        k <- nodes if j < k && e((j, k)) && e((i, k))
+      } yield Seq(i, j, k)
+      tris.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        .withDefaultValue(0L)
+    }
+    val exp = brute(es)
+    for (p <- Seq(1, 13)) {
+      val got = Graph.triangles(pairsDf(es).repartition(p)).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.keySet.forall(n => got(n) == exp(n)), s"p=$p")
+      assert(got.values.sum == exp.values.sum, s"p=$p")
+    }
+  }
+
+  test("triangles: degree-oriented plan has no cartesian and no window") {
+    val plan = Graph.triangles(pairsDf(Seq((1L, 2L), (2L, 3L), (1L, 3L))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("per-iteration plan is join + partial-aggregated sum, no cartesian") {
     val plan = Graph.pageRank(pairsDf(Seq((1L, 2L), (2L, 3L))), iters = 1)
       .queryExecution.executedPlan.toString

@@ -39,6 +39,40 @@ object Corpus {
         .orderBy(col("term"))
     }),
 
+    // ---- mergeable distinct sketches across sources (DataSketches HLL):
+    // per-source sketch + register-max union — the "add a new source to
+    // a 100 TB corpus without re-scanning the old ones" path. Sketch
+    // state is a few KB per source; the union ESTIMATE wobbles
+    // sub-percent with merge order (HIP estimator — ApproxSpec pins the
+    // bound), so exact distincts anchor the oracle and the estimates
+    // ride as within-tol flags (same contract as approx_distinct). The
+    // union estimate costs ONE tiny agg over the per-source sketches,
+    // where the exact union distinct re-shuffles every document text.
+    "corpus_sketch_union" -> ((s, dir) => {
+      val d0 = tf(s, dir, "documents").select(col("source"), col("text"))
+      val per = d0.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("exact_distinct"))
+      val sk = d0.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+      val perEst = per.join(sk.select(col("source"),
+        hll_sketch_estimate(col("sk")).as("est")), "source")
+      val allEst = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val allRow = d0.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .crossJoin(allEst)
+        .select(lit("(all)").as("source"), col("n_docs"),
+          col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.06).as("within_tol"))
+      perEst.select(col("source"), col("n_docs"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.06).as("within_tol"))
+        .unionAll(allRow)
+        .orderBy(col("source"))
+    }),
+
     "text_bigrams" -> ((s, dir) => {
       tf(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
@@ -1204,6 +1238,24 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // Mirrors corpus_sketch_union: exact per-source and union distincts
+    // hash-checked; the HLL estimates are Spark-side assertions expected
+    // TRUE (estimates wobble sub-percent with merge order — ApproxSpec
+    // pins the bound — far inside the 6% tolerance at lgConfigK=12)
+    "corpus_sketch_union" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+        |  FROM documents GROUP BY source),
+        |al AS (
+        |  SELECT '(all)' AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+        |  FROM documents)
+        |SELECT source, n_docs, exact_distinct, TRUE AS within_tol FROM per
+        |UNION ALL
+        |SELECT source, n_docs, exact_distinct, TRUE AS within_tol FROM al
+        |ORDER BY source""".stripMargin,
+
     "quality_lr_score" -> lrScoreSql,
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
 

@@ -32,6 +32,35 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(sketch.getDouble(1) - exact(1)) / exact(1) < 0.02)
   }
 
+  test("corpus_sketch_union: all in-tolerance; union row covers every source") {
+    val rows = SparkEntry.queries("corpus_sketch_union")(spark, sf).collect()
+    assert(rows.forall(_.getAs[Boolean]("within_tol")),
+      "an HLL estimate left the 6% tolerance band")
+    val all = rows.filter(_.getAs[String]("source") == "(all)")
+    assert(all.length == 1)
+    val perMax = rows.filter(_.getAs[String]("source") != "(all)")
+      .map(_.getAs[Long]("exact_distinct")).max
+    // union distinct >= any single source's distinct (set monotonicity)
+    assert(all.head.getAs[Long]("exact_distinct") >= perMax)
+  }
+
+  test("hll sketch union estimate is merge-order robust (sub-percent drift)") {
+    // NOT bit-stable: the HIP estimator inside the union gadget is
+    // stream-order sensitive (measured 502 vs 500 on this fixture), so
+    // the estimate may wobble with partitioning. The contract the
+    // within_tol flags rely on is that the wobble stays far inside the
+    // 6% band — assert <= 1% here.
+    val d0 = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text"))
+    def unionEst(parts: Int): Long = d0.repartition(parts)
+      .groupBy(col("source")).agg(hll_sketch_agg(col("text")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .first().getLong(0)
+    val (a, b) = (unionEst(1), unionEst(17))
+    assert(math.abs(a - b).toDouble / math.max(a, b) <= 0.01,
+      s"union estimate drifted >1% with merge order: $a vs $b")
+  }
+
   test("ann_lsh_topk emits ranked neighbors per query with valid structure") {
     val df = SparkEntry.queries("ann_lsh_topk")(spark, sf)
     val rows = df.collect()

@@ -96,11 +96,16 @@ object Graph {
     * looked up in the same canonical orientation.
     */
   def triangles(pairs: DataFrame): DataFrame = {
-    // canonical undirected edge set: u < v by id, self-loops dropped
+    // canonical undirected edge set: u < v by id, self-loops dropped.
+    // und and oriented are each referenced by several joins below;
+    // without persist Catalyst re-executes the whole upstream (edge
+    // derivation + distinct + degree joins) once per reference — the
+    // same bounded-reuse persist the CC/PageRank rounds use.
     val und = pairs.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -116,6 +121,7 @@ object Graph {
           col("du").as("ddst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.ddst").as("ddst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges from each pivot's out-neighborhood, canonically ordered by
     // (deg, id) so the closing edge matches in its stored orientation
     val w2 = oriented.as("o1").join(oriented.as("o2"),

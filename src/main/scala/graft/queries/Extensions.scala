@@ -740,6 +740,20 @@ object Extensions {
       Graph.triangles(e).orderBy(col("node"))
     }),
 
+    // ---- k-core peeling of the same bulk co-purchase graph: the dense
+    // backbone that survives 5 rounds of "drop nodes with degree < 8".
+    // Each round is one degree count + two semi-joins, O(1) lineage —
+    // the oracle replays the identical rounds as unrolled CTEs.
+    "graph_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      Graph.kCore(e, k = 8, rounds = 5).orderBy(col("node"))
+    }),
+
     // ---- blocked fuzzy record linkage: within-(brand,size) part-name
     // pairs at edit distance <= 8 — the equi-join on the blocking key
     // bounds the quadratic comparison to block-local pairs
@@ -1810,6 +1824,35 @@ object Extensions {
          |${it("r2", "r3")}
          |SELECT node, CAST(rank_u AS DOUBLE) / 1000000000.0 AS rank
          |FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // Mirrors graph_kcore: the same 5 peel rounds unrolled — each round
+    // recomputes degrees over the surviving edge set and restricts to
+    // nodes at degree >= 8
+    "graph_kcore" -> {
+      // AS MATERIALIZED: every round references its predecessor 2-3
+      // times; DuckDB inlines plain CTEs per reference, which re-runs
+      // the whole chain exponentially (measured 46s -> 0.7s at sf0.1)
+      def peel(prev: String, cur: String): String =
+        s"""n$cur AS MATERIALIZED (
+           |  SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= 8),
+           |$cur AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $prev e
+           |  JOIN n$cur a ON e.src = a.src
+           |  JOIN n$cur b ON e.dst = b.src)""".stripMargin
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM p UNION SELECT v, u FROM p),
+         |${peel("e0", "e1")},
+         |${peel("e1", "e2")},
+         |${peel("e2", "e3")},
+         |${peel("e3", "e4")},
+         |${peel("e4", "e5")}
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e5 GROUP BY src ORDER BY node""".stripMargin
     },
 
     // Mirrors graph_triangles: id-ordered triple listing (a<b<c with all

@@ -95,6 +95,29 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("kCore peels a tail off a clique and cascades through chains") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5-6: the 2-core is exactly
+    // the K4 (5 and 6 peel in cascade: 6 first, then 5)
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.kCore(pairsDf(es), k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: extra rounds past convergence are a no-op; empty core is empty") {
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val a = Graph.kCore(pairsDf(es), k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.kCore(pairsDf(es), k = 2, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "converged core must be a fixed point")
+    // a path graph has no 3-core at all
+    val path = (0L until 10L).map(i => (i, i + 1))
+    assert(Graph.kCore(pairsDf(path), k = 3, rounds = 4).count() == 0L)
+  }
+
   test("per-iteration plan is join + partial-aggregated sum, no cartesian") {
     val plan = Graph.pageRank(pairsDf(Seq((1L, 2L), (2L, 3L))), iters = 1)
       .queryExecution.executedPlan.toString

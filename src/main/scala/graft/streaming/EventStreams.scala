@@ -58,6 +58,26 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total"))
 
+  /** Event-time windowed APPROXIMATE distinct users. The HLL++ sketch
+    * buffer lives in the state store keyed by (window, event_type) and
+    * register-merges across micro-batches — per-window state is the
+    * sketch (KBs), never the user set, so cardinality state stays
+    * bounded by watermark horizon × sketch size even at millions of
+    * distinct users per window. The streaming answer is IDENTICAL to
+    * the batch `approx_count_distinct` over the same rows (register max
+    * is merge-order independent — spec-asserted), which is what makes
+    * the estimate replayable for a backfill.
+    */
+  def hourlyDistinctUsers(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("approx_users"), col("n"))
+
   /** java.sql.Timestamp ↔ epoch MICROSECONDS (getTime alone is
     * millisecond-precision and silently truncates the fixture's
     * microsecond event times). */

@@ -47,6 +47,31 @@ class EventStreamsSpec extends SparkSpec {
       "closed streaming window disagrees with batch aggregation")
   }
 
+  test("windowed HLL distinct users: streaming equals batch sketch exactly") {
+    val dir = landTwoBatches()
+    val src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.hourlyDistinctUsers(src, "2 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hll_users").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hll_users")
+    assert(got.count() > 0, "no windows closed")
+    // the sketch register-merge across micro-batches must land on the
+    // SAME estimate as one batch pass over the same rows...
+    val batch = fixture
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("batch_est"),
+        countDistinct(col("user_id")).as("exact"))
+    val j = got.join(batch, Seq("hour", "event_type"))
+    assert(j.filter(col("approx_users") =!= col("batch_est")).count() == 0,
+      "streaming sketch diverged from the batch sketch")
+    // ...and stay inside the published rsd band of the exact count
+    assert(j.filter(abs(col("approx_users") - col("exact")) >
+      col("exact") * 0.06 + lit(1.0)).count() == 0,
+      "sketch estimate left the tolerance band")
+  }
+
   test("stream-stream interval join pairs responses within the time bound") {
     val dir = landTwoBatches()
     def src = spark.readStream.schema(fixture.schema)

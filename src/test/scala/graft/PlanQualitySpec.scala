@@ -513,4 +513,23 @@ class PlanQualitySpec extends SparkSpec {
       s"bin counts must pre-aggregate map-side:\n$p")
     assert(!p.contains("Window"), s"psi needs no window at all:\n$p")
   }
+
+  test("graph_triangles pushes the quantity gate to the scan, no cartesian") {
+    val p = plan("graph_triangles")
+    assert(p.contains("GreaterThanOrEqual(l_quantity"),
+      s"bulk-line filter not pushed to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must stay equi-joins:\n$p")
+  }
+
+  test("q75_skyline reads only the skyline columns from part") {
+    val p = plan("q75_skyline")
+    assert(!p.contains("CartesianProduct"),
+      s"skyline must not plan the quadratic dominance join:\n$p")
+    // column pruning: the part scan must not read p_brand/p_type
+    val scan = p.split("ReadSchema").filter(_.contains("p_retailprice"))
+    assert(scan.nonEmpty && scan.forall(!_.takeWhile(_ != '\n').contains("p_brand")),
+      s"part scan reads non-skyline columns:\n$p")
+  }
 }

@@ -189,4 +189,42 @@ object Graph {
     ed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Degree assortativity (Pearson correlation of endpoint degrees over
+    * the directed-both-ways edge list) — the one-number readout of
+    * hub-to-hub vs hub-to-leaf wiring that decides whether degree-skew
+    * mitigations (orientation, salting) will matter downstream.
+    *
+    * All five moment sums are INTEGER sums of integer degrees — exact,
+    * partition-order invariant, map-side combinable in one aggregation
+    * over the edge list; the only floating-point is the closed-form
+    * correlation at the end, computed from those exact integers with a
+    * fixed operation order both engines replay identically (every
+    * intermediate stays < 2^53 for any graph this fixture family can
+    * produce). Returns one row: n (directed edges), the five sums, r.
+    */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val ed = pairs.filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.filter(col("a") =!= col("b"))
+        .select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withD = ed
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+    withD.agg(
+        count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("r",
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+  }
 }

@@ -740,6 +740,17 @@ object Extensions {
       Graph.triangles(e).orderBy(col("node"))
     }),
 
+    // ---- degree assortativity of the full trade graph: exact integer
+    // moment sums, one aggregation; the correlation is the only float
+    "graph_assortativity" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      Graph.assortativity(e)
+    }),
+
     // ---- k-core peeling of the same bulk co-purchase graph: the dense
     // backbone that survives 5 rounds of "drop nodes with degree < 8".
     // Each round is one degree count + two semi-joins, O(1) lineage —
@@ -1825,6 +1836,32 @@ object Extensions {
          |SELECT node, CAST(rank_u AS DOUBLE) / 1000000000.0 AS rank
          |FROM r3 ORDER BY node""".stripMargin
     },
+
+    // Mirrors graph_assortativity: same integer moment sums, same
+    // fixed-order closed form for r
+    "graph_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dx.deg) AS BIGINT) AS sx,
+        |    CAST(SUM(dy.deg) AS BIGINT) AS sy,
+        |    CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+        |    CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+        |    CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy
+        |  FROM ed JOIN deg dx ON ed.src = dx.src
+        |          JOIN deg dy ON ed.dst = dy.src)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM m""".stripMargin,
 
     // Mirrors graph_kcore: the same 5 peel rounds unrolled — each round
     // recomputes degrees over the surviving edge set and restricts to

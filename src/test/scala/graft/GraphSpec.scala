@@ -118,6 +118,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(pairsDf(path), k = 3, rounds = 4).count() == 0L)
   }
 
+  test("assortativity matches closed-form values and is partition-invariant") {
+    // star K1,5 is perfectly disassortative: every edge joins deg-5 to
+    // deg-1 -> r = -1 exactly
+    val star = (1L to 5L).map(i => (0L, i))
+    val rStar = Graph.assortativity(pairsDf(star)).first().getAs[Double]("r")
+    assert(rStar == -1.0, s"star r = $rStar")
+    // path 1-2-3-4: moments by hand -> r = (6*16-100)/(sqrt8*sqrt8) = -0.5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val row = Graph.assortativity(pairsDf(path)).first()
+    assert(row.getAs[Long]("n") == 6L && row.getAs[Long]("sxy") == 16L)
+    // sqrt(8)*sqrt(8) != 8.0 in binary64 — replay the exact float path
+    assert(row.getAs[Double]("r") == -4.0 / (math.sqrt(8) * math.sqrt(8)),
+      s"path r = ${row.getAs[Double]("r")}")
+    // integer moment sums: identical at any parallelism
+    val a = Graph.assortativity(pairsDf(star ++ path).repartition(1)).first()
+    val b = Graph.assortativity(pairsDf(star ++ path).repartition(13)).first()
+    assert(a == b, "assortativity must be partition-order invariant")
+  }
+
   test("per-iteration plan is join + partial-aggregated sum, no cartesian") {
     val plan = Graph.pageRank(pairsDf(Seq((1L, 2L), (2L, 3L))), iters = 1)
       .queryExecution.executedPlan.toString

@@ -514,6 +514,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"psi needs no window at all:\n$p")
   }
 
+  test("graph_kcore and graph_assortativity stay equi-join only") {
+    for (q <- Seq("graph_kcore", "graph_assortativity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a non-equi join:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side partial aggregation:\n$p")
+    }
+  }
+
+  test("corpus_sketch_union pre-aggregates sketches map-side per source") {
+    val p = plan("corpus_sketch_union")
+    // the HLL buffers must partial-aggregate before the source shuffle —
+    // at 100 TB the shuffle carries <= sources x sketch-bytes, not rows
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"sketch aggregation is not map-side combined:\n$p")
+    assert(p.contains("partial_hll_union_agg"),
+      s"sketch union is not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("graph_triangles pushes the quantity gate to the scan, no cartesian") {
     val p = plan("graph_triangles")
     assert(p.contains("GreaterThanOrEqual(l_quantity"),

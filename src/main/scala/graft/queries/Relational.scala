@@ -295,6 +295,33 @@ object Relational {
     // user_id partitioning — nulls planted deterministically on 'error'
     // rows so the carry-forward provably fires. Values pass through
     // untouched, so the doubles hash bit-for-bit.
+    // ---- per-user exponential smoothing, engine-portable: the
+    // textbook EWMA recursion s_t = a*x_t + (1-a)*s_{t-1} is an
+    // unbounded order-dependent float chain no two engines replay
+    // bit-identically. This is the truncated dyadic kernel instead:
+    // a 16-step window of EXACT integer cent values weighted by
+    // 2^15..2^0 (newest first) — pure integer arithmetic until one
+    // final presentation divide, window partitioned per user (never
+    // global), weights renormalized during ramp-up
+    "events_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+      graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("c"))
+        .withColumn("xs", collect_list(col("c")).over(w))
+        .select(col("event_id"), col("user_id"),
+          (expr("""aggregate(
+              transform(xs, (x, i) ->
+                x * shiftleft(cast(1 as bigint), 16 - size(xs) + i)),
+              cast(0 as bigint), (a, b) -> a + b)""").cast("double") /
+            (expr("""shiftleft(cast(1 as bigint), 16)
+                - shiftleft(cast(1 as bigint), 16 - size(xs))""")
+              .cast("double") * 100.0)).as("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "events_forward_fill" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1955,6 +1982,27 @@ object Relational {
     // Mirrors events_forward_fill: same planted nulls, same IGNORE NULLS
     // running last_value; values pass through untouched so doubles
     // hash bit-for-bit
+    // Mirrors events_ewma: same 16-step dyadic kernel replayed with
+    // DuckDB list lambdas — integers until the final presentation divide
+    "events_ewma" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM v)
+        |SELECT event_id, user_id,
+        |  CAST(list_sum(list_transform(range(1, len(xs) + 1), i ->
+        |      xs[i] * (CAST(1 AS BIGINT) << (16 - len(xs) + i - 1))))
+        |    AS DOUBLE)
+        |  / (CAST((CAST(1 AS BIGINT) << 16)
+        |        - (CAST(1 AS BIGINT) << (16 - len(xs))) AS DOUBLE) * 100.0)
+        |  AS ewma
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+
     "events_forward_fill" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts,

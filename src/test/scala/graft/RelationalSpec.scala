@@ -82,6 +82,25 @@ class RelationalSpec extends SparkSpec {
       s"unfilled rows ${unfilled.size} != leading-null rows ${leading.size}")
   }
 
+  test("events_ewma matches the hand-computed dyadic kernel on a tiny stream") {
+    // values 1.00, 2.00, 3.00 -> ewma: 1, (1+2*2)/3, (1+2*2+3*4)/7
+    import java.sql.Timestamp
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 9L, "view", 1.00, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:02"), 9L, "view", 2.00, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:03"), 9L, "view", 3.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_ewma")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 8192000.0 / 4915200.0, s"got ${got(2L)}") // 5/3
+    assert(got(3L) == 13926400.0 / 5734400.0, s"got ${got(3L)}") // 17/7
+  }
+
   test("events_autocorr returns a valid correlation and exact pair accounting") {
     val row = SparkEntry.queries("events_autocorr")(spark, sf).collect()(0)
     val (n, np, r) = (row.getLong(0), row.getLong(1), row.getDouble(2))

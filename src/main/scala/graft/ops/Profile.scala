@@ -37,4 +37,34 @@ object Profile {
         col(s"_max_$c").as("max_s"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Pre-join skew report: the top-k join keys by their JOIN OUTPUT
+    * contribution (n_left × n_right) plus each key's share of the total
+    * estimated output — the number that decides whether a join needs
+    * salting/AQE skew handling BEFORE burning a cluster on it. A key
+    * holding >1% of a 100 TB join's output is the straggler task.
+    *
+    * Cost: one map-combinable count per side (rows never cross the
+    * wire, only (key, count)), a full-outer join of the two count
+    * tables (each ≤ |distinct keys|), one tiny total, and a
+    * TakeOrdered top-k — nothing here scans the fact tables twice.
+    * Ties on out_rows break by key, so the report is deterministic.
+    */
+  def joinSkew(left: DataFrame, right: DataFrame, key: String,
+      k: Int = 20): DataFrame = {
+    val lc = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    val prod = lc.join(rc, Seq(key), "full_outer")
+      .select(col(key),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val total = prod.agg(sum(col("out_rows")).as("_total"))
+    prod.crossJoin(broadcast(total))
+      .withColumn("out_share",
+        col("out_rows").cast("double") / col("_total").cast("double"))
+      .drop("_total")
+      .orderBy(col("out_rows").desc, col(key))
+      .limit(k)
+  }
 }

@@ -740,6 +740,18 @@ object Extensions {
       Graph.triangles(e).orderBy(col("node"))
     }),
 
+    // ---- pre-join skew report for the conversion-funnel self-join:
+    // which users would dominate the view x purchase join output — the
+    // decide-salting-before-running diagnostic. Only (key, count) rows
+    // shuffle; fact rows never cross the wire.
+    "layout_join_skew" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      graft.ops.Profile.joinSkew(
+        ev.filter(col("event_type") === "view").select(col("user_id")),
+        ev.filter(col("event_type") === "purchase").select(col("user_id")),
+        "user_id", k = 20)
+    }),
+
     // ---- degree assortativity of the full trade graph: exact integer
     // moment sums, one aggregation; the correlation is the only float
     "graph_assortativity" -> ((s, dir) => {
@@ -1836,6 +1848,26 @@ object Extensions {
          |SELECT node, CAST(rank_u AS DOUBLE) / 1000000000.0 AS rank
          |FROM r3 ORDER BY node""".stripMargin
     },
+
+    // Mirrors layout_join_skew: per-side counts, full-outer on key,
+    // exact out_rows product and share-of-total, deterministic tiebreak
+    "layout_join_skew" ->
+      """WITH l AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_right
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |p AS (
+        |  SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+        |    COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right,
+        |    COALESCE(n_left, 0) * COALESCE(n_right, 0) AS out_rows
+        |  FROM l FULL OUTER JOIN r ON l.user_id = r.user_id),
+        |t AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total FROM p)
+        |SELECT p.user_id, p.n_left, p.n_right, p.out_rows,
+        |  CAST(p.out_rows AS DOUBLE) / CAST(t.total AS DOUBLE) AS out_share
+        |FROM p CROSS JOIN t
+        |ORDER BY p.out_rows DESC, p.user_id LIMIT 20""".stripMargin,
 
     // Mirrors graph_assortativity: same integer moment sums, same
     // fixed-order closed form for r

@@ -254,4 +254,22 @@ class LayoutSpec extends SparkSpec {
     }
     assert(ranges.map(_._3).sum == n, "compaction lost rows")
   }
+
+  test("joinSkew ranks the planted hot key first with exact output math") {
+    val s = spark
+    import s.implicits._
+    // key 7: 100 left x 50 right = 5000 out rows; everyone else 1x1
+    val left = ((1L to 100L).map(_ => 7L) ++ (10L to 29L)).toDF("k")
+    val right = ((1L to 50L).map(_ => 7L) ++ (20L to 39L)).toDF("k")
+    val rows = graft.ops.Profile.joinSkew(left, right, "k", k = 5).collect()
+    assert(rows.head.getLong(0) == 7L)
+    assert(rows.head.getLong(1) == 100L && rows.head.getLong(2) == 50L)
+    assert(rows.head.getLong(3) == 5000L)
+    // total = 5000 + |{20..29}| x 1 = 5010; share exact
+    assert(rows.head.getDouble(4) == 5000.0 / 5010.0)
+    // keys on only one side contribute zero output but still appear
+    val zeroSide = graft.ops.Profile.joinSkew(left, right, "k", k = 100)
+      .filter(col("out_rows") === 0).count()
+    assert(zeroSide == 20L, s"one-sided keys: $zeroSide")
+  }
 }

@@ -709,6 +709,39 @@ object Relational {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- data-contract audit: referential integrity, key uniqueness,
+    // and null-rate checks as ONE union of counts — the CI gate a
+    // pipeline runs on every landed snapshot. Anti-joins broadcast the
+    // dimension key sets; surplus-row accounting (sum(n)-count(groups))
+    // counts duplicates without materializing the duplicate rows.
+    "q76_integrity" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ords = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def check(name: String, n: DataFrame): DataFrame =
+        n.select(lit(name).as("check_name"), col("n_bad"))
+      val orphanOrders = ords.join(cust,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+      val orphanLines = li.join(ords,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+      val dupCust = cust.groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_bad"))
+      val dupLineKey = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_bad"))
+      val nullDates = ords.filter(col("o_orderdate").isNull)
+        .agg(count(lit(1)).as("n_bad"))
+      check("orphan_orders", orphanOrders)
+        .unionAll(check("orphan_lineitems", orphanLines))
+        .unionAll(check("dup_custkey", dupCust))
+        .unionAll(check("dup_lineitem_pk", dupLineKey))
+        .unionAll(check("null_orderdate", nullDates))
+        .orderBy(col("check_name"))
+    }),
+
     // ---- TPC-H Q7 shape: bidirectional nation-pair volume with
     // a disjunctive pair predicate over broadcast dims
     "q32_volume_shipping" -> ((s, dir) => {
@@ -2065,6 +2098,26 @@ object Relational {
         |  FROM part)
         |WHERE length(parts[CAST(i AS INTEGER)]) >= 5
         |ORDER BY p_partkey, pos""".stripMargin,
+
+    // Mirrors q76_integrity: the same five contract checks as plain SQL
+    "q76_integrity" ->
+      """SELECT 'orphan_orders' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_bad
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'orphan_lineitems', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'dup_custkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
+        |  SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey)
+        |UNION ALL
+        |SELECT 'dup_lineitem_pk', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
+        |  SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'null_orderdate', CAST(COUNT(*) AS BIGINT)
+        |FROM orders WHERE o_orderdate IS NULL
+        |ORDER BY check_name""".stripMargin,
 
     // Mirrors q75_skyline: textbook NOT EXISTS strict-dominance — the
     // declarative definition the distributed frontier must reproduce

@@ -101,6 +101,38 @@ class RelationalSpec extends SparkSpec {
     assert(got(3L) == 13926400.0 / 5734400.0, s"got ${got(3L)}") // 17/7
   }
 
+  test("q76_integrity counts planted violations exactly") {
+    import java.sql.Timestamp
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("integ").toString
+    // customer 1..3, with custkey 2 DUPLICATED once
+    Seq(1L, 2L, 2L, 3L).map(k => (k, s"c$k", 0, 1.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // orders 10..13; order 13 references missing customer 9; one null date
+    Seq((10L, 1L, Some(Timestamp.valueOf("2024-01-01 00:00:00"))),
+        (11L, 2L, Some(Timestamp.valueOf("2024-01-02 00:00:00"))),
+        (12L, 3L, None),
+        (13L, 9L, Some(Timestamp.valueOf("2024-01-03 00:00:00"))))
+      .map { case (ok, ck, d) => (ok, ck, "O", 1.0, d.orNull, "P") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // lineitems: one orphan (order 99), one duplicated (10, 1) pk
+    Seq((10L, 1), (10L, 1), (11L, 1), (99L, 1))
+      .map { case (ok, ln) => (ok, 1L, 1L, ln, 1.0, 1.0, 0.0, 0.0,
+        "N", "O", Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q76_integrity")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("orphan_orders" -> 1L, "orphan_lineitems" -> 1L,
+      "dup_custkey" -> 1L, "dup_lineitem_pk" -> 1L, "null_orderdate" -> 1L))
+  }
+
   test("events_autocorr returns a valid correlation and exact pair accounting") {
     val row = SparkEntry.queries("events_autocorr")(spark, sf).collect()(0)
     val (n, np, r) = (row.getLong(0), row.getLong(1), row.getDouble(2))

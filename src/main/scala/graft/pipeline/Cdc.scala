@@ -71,6 +71,33 @@ object Cdc {
         sum(col(valueCol).cast(DecimalType(18, 2))).as("total"))
   }
 
+  /** MERGE-INTO semantics: apply an I/U/D changeset to a base snapshot.
+    * The changeset is compacted to the LAST op per key first
+    * ([[latestSnapshot]] — a key touched many times in one batch applies
+    * only its final state, the Delta/Iceberg MERGE contract), then one
+    * full-outer join on the key settles every row: final op D drops the
+    * key, I/U replace the whole row (insert-on-existing degrades to
+    * update, update-on-missing to insert — idempotent replay), untouched
+    * base rows pass through.
+    *
+    * 100 TB shape: the base is scanned ONCE and only joined on the key;
+    * with the base bucketed by key the join co-locates and the shuffle
+    * carries just the (small) compacted changeset. `payload` names the
+    * replaceable columns — everything except key, ts, and op. */
+  def applyChangeset(base: DataFrame, changes: DataFrame, key: String,
+      ts: String, tiebreak: String, opCol: String): DataFrame = {
+    val last = latestSnapshot(changes, key, ts, tiebreak)
+    val payload = base.columns.filterNot(_ == key).toSeq
+    val chg = last.select(
+      (col(key) +: col(opCol).as("_chg_op") +:
+        payload.map(c => col(c).as(s"_chg_$c"))): _*)
+    base.join(chg, Seq(key), "full_outer")
+      .filter(coalesce(col("_chg_op"), lit("")) =!= "D")
+      .select((col(key) +: payload.map(c =>
+        when(col("_chg_op").isNotNull, col(s"_chg_$c"))
+          .otherwise(col(c)).as(c))): _*)
+  }
+
   /** SCD-2 history: every change becomes a version valid from its own
     * timestamp until the next change of the same key. `is_current` means
     * "no successor ROW exists" — detected via a lead over a constant, so

@@ -884,6 +884,23 @@ object Corpus {
         .orderBy(col("user_id"))
     }),
 
+    // MERGE INTO: apply an I/U/D changeset (odd event_ids, op derived
+    // deterministically) to the even-event_id base snapshot — final op
+    // per key wins, D drops, I/U replace, untouched rows pass through
+    "cdc_merge" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val base = graft.pipeline.Cdc.latestSnapshot(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val changes = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("op",
+          when(col("user_id") % 7 === 0, "D")
+            .when(col("event_id") % 3 === 0, "I").otherwise("U"))
+      graft.pipeline.Cdc.applyChangeset(
+          base, changes, "user_id", "ts", "event_id", "op")
+        .orderBy(col("user_id"))
+    }),
+
     // SCD-2 history: every change versioned [valid_from, valid_to)
     "cdc_scd2" -> ((s, dir) => {
       graft.pipeline.Cdc.scd2(
@@ -2163,6 +2180,31 @@ object Corpus {
         |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Mirrors cdc_merge: both legs compact to last-per-key, then one
+    // full-outer settle — D drops, I/U replace, else base passes through
+    "cdc_merge" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, ts, event_type, value, op FROM (
+        |    SELECT *,
+        |      CASE WHEN user_id % 7 = 0 THEN 'D'
+        |           WHEN event_id % 3 = 0 THEN 'I' ELSE 'U' END AS op,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        |    FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+        |SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+        |  CASE WHEN c.op IS NOT NULL THEN c.ts ELSE b.ts END AS ts,
+        |  CASE WHEN c.op IS NOT NULL THEN c.event_type
+        |       ELSE b.event_type END AS event_type,
+        |  CASE WHEN c.op IS NOT NULL THEN c.value ELSE b.value END AS value
+        |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+        |WHERE COALESCE(c.op, '') <> 'D'
+        |ORDER BY user_id""".stripMargin,
 
     "cdc_scd2" ->
       """SELECT user_id, event_id, ts AS valid_from,

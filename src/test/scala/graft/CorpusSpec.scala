@@ -861,6 +861,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("applyChangeset: last op per key wins, D drops, replay is idempotent") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val base = Seq((1L, t(0), "a", 1.0), (2L, t(0), "b", 2.0),
+      (3L, t(0), "c", 3.0)).toDF("k", "ts", "tag", "v")
+    // key 1: U then D (same batch) -> dropped; key 2: D then U -> updated;
+    // key 4: I (new); key 3 untouched
+    val changes = Seq(
+      (1L, t(1), "a1", 10.0, 100L, "U"), (1L, t(2), "a2", 11.0, 101L, "D"),
+      (2L, t(1), "b1", 20.0, 102L, "D"), (2L, t(2), "b2", 21.0, 103L, "U"),
+      (4L, t(1), "d", 4.0, 104L, "I"))
+      .toDF("k", "ts", "tag", "v", "seq", "op")
+    val out = graft.pipeline.Cdc.applyChangeset(
+        base, changes, "k", "ts", "seq", "op")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("tag"), r.getAs[Double]("v")))).toMap
+    assert(out == Map(2L -> (("b2", 21.0)), 3L -> (("c", 3.0)),
+      4L -> (("d", 4.0))))
+    // idempotent replay: applying the same changeset to the result
+    // changes nothing (I-on-existing degrades to U, D already gone)
+    val out2 = graft.pipeline.Cdc.applyChangeset(
+        graft.pipeline.Cdc.applyChangeset(base, changes, "k", "ts", "seq", "op"),
+        changes, "k", "ts", "seq", "op")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("tag"), r.getAs[Double]("v")))).toMap
+    assert(out2 == out, "MERGE replay must be idempotent")
+  }
+
   test("paretoFrontier2d matches brute-force strict dominance, any sharding") {
     // pseudo-random (cost, value) points with deliberate ties on both
     // keys — tied frontier duplicates must ALL survive

@@ -250,6 +250,44 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of the dense leg
+    // (cosine top-20, the ann_cosine_topk kernel) and a lexical leg
+    // (BM25 query-by-example: each query doc's distinct tokens as the
+    // query). RRF needs only the two rank columns — no score
+    // calibration across legs, which is exactly why production
+    // retrieval stacks fuse this way. Both legs broadcast their query
+    // side; the fusion is a (qid, doc) equi-join of two top-k tables
+    // (tiny), never the corpora.
+    "retrieval_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = tf(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val dense = Similarity.bruteForceTopK(emb, qs, k = 20)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rk").cast("long").as("r_dense"))
+      val qt = docs
+        .join(qs.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        .select(col("doc_id").as("qid"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .distinct()
+      val lex = TextOps.bm25TopK(docs, qt, k = 20)
+        .select(col("qid"), col("doc_id"), col("rn").as("r_lex"))
+      dense.join(lex, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast("double")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")),
+            lit(0.0)))
+        .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("rk"), col("doc_id"),
+          col("r_dense"), col("r_lex"), col("rrf"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // contrastive hard negatives: nearest CROSS-label neighbors per query
     "embed_hard_negatives" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
@@ -822,7 +860,55 @@ object Extensions {
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
       |SELECT qid, qlabel, vec_id, label, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // Mirrors retrieval_hybrid_rrf: the dense leg is bruteForceTopkSql at
+  // k=20, the lexical leg the bm25 oracle with query-by-example terms,
+  // fused with the identical two-term RRF expression
+  private val hybridRrfSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      |p AS (SELECT qid, vec_id,
+      |    round(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) / (nrm * qn), 4) AS cos
+      |  FROM n CROSS JOIN q WHERE vec_id <> qid),
+      |dense AS (SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS r_dense FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM p)
+      |  WHERE rk <= 20),
+      |terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tfd AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfd GROUP BY 1),
+      |df AS (SELECT term, COUNT(*) AS df FROM tfd GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |qt AS (SELECT DISTINCT q.qid, t.term FROM terms t JOIN q ON t.doc_id = q.qid),
+      |scored AS (
+      |  SELECT qt.qid, tfd.doc_id,
+      |    round(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |           (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+      |      6)::DECIMAL(18,6) AS s
+      |  FROM tfd JOIN qt USING (term) JOIN df USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN stats),
+      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY 1, 2),
+      |lex AS (SELECT qid, doc_id, CAST(rn AS BIGINT) AS r_lex FROM (
+      |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM agg)
+      |  WHERE rn <= 20),
+      |f AS (
+      |  SELECT COALESCE(d.qid, l.qid) AS qid, COALESCE(d.doc_id, l.doc_id) AS doc_id,
+      |    d.r_dense, l.r_lex,
+      |    COALESCE(1.0 / (60.0 + CAST(d.r_dense AS DOUBLE)), 0.0)
+      |      + COALESCE(1.0 / (60.0 + CAST(l.r_lex AS DOUBLE)), 0.0) AS rrf
+      |  FROM dense d FULL OUTER JOIN lex l
+      |    ON d.qid = l.qid AND d.doc_id = l.doc_id)
+      |SELECT qid, rk, doc_id, r_dense, r_lex, rrf FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+      |  FROM f)
+      |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "retrieval_hybrid_rrf" -> hybridRrfSql,
+
     "embed_hard_negatives" -> hardNegativesSql,
 
     "dedup_substring_contam" -> substringContamSql,

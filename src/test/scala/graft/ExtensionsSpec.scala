@@ -452,4 +452,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(topRel.forall(id => id >= 2 && id <= 5))
     assert(!got.map(_._2).forall(id => id >= 2 && id <= 5))
   }
+
+  test("retrieval_hybrid_rrf: ranks contiguous, rrf matches the formula") {
+    val rows = SparkEntry.queries("retrieval_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRk = g.sortBy(_.getLong(1))
+      assert(byRk.map(_.getLong(1)).toSeq == (1L to g.length).toSeq,
+        "fused ranks must be contiguous from 1")
+      val scores = byRk.map(_.getDouble(5)).toSeq
+      assert(scores == scores.sorted.reverse, "rrf not non-increasing by rank")
+    }
+    rows.foreach { r =>
+      val d = Option(r.get(3)).map(_.asInstanceOf[Long])
+      val l = Option(r.get(4)).map(_.asInstanceOf[Long])
+      val expect = d.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        l.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(5) == expect, s"rrf mismatch on row $r")
+      assert(d.nonEmpty || l.nonEmpty, "a fused row must come from a leg")
+    }
+  }
 }

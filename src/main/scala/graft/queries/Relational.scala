@@ -709,6 +709,20 @@ object Relational {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- k-anonymity report over the (nation, segment) quasi-identifier:
+    // the data-release gate — distribution of equivalence-class sizes
+    // plus each size's row mass; releasable iff min(group_size) >= k.
+    // Two grouped counts, both map-side combinable; row data never moves.
+    "privacy_k_anon" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("gsz"))
+        .groupBy(col("gsz").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("gsz")).as("n_rows"))
+        .orderBy(col("group_size"))
+    }),
+
     // ---- data-contract audit: referential integrity, key uniqueness,
     // and null-rate checks as ONE union of counts — the CI gate a
     // pipeline runs on every landed snapshot. Anti-joins broadcast the
@@ -2098,6 +2112,15 @@ object Relational {
         |  FROM part)
         |WHERE length(parts[CAST(i AS INTEGER)]) >= 5
         |ORDER BY p_partkey, pos""".stripMargin,
+
+    // Mirrors privacy_k_anon: equivalence-class sizes of the QI pair
+    "privacy_k_anon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gsz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT gsz AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(gsz) AS BIGINT) AS n_rows
+        |FROM g GROUP BY gsz ORDER BY group_size""".stripMargin,
 
     // Mirrors q76_integrity: the same five contract checks as plain SQL
     "q76_integrity" ->

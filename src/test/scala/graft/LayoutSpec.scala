@@ -255,6 +255,35 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.map(_._3).sum == n, "compaction lost rows")
   }
 
+  test("partitioned layout + dim filter triggers dynamic partition pruning") {
+    // write orders hive-partitioned by status, then join against a
+    // FILTERED dim — the fact scan must carry a dynamicpruning
+    // expression so only the matching partitions are read at runtime.
+    // This is the layout contract that lets a 100 TB fact table skip
+    // whole directories based on a runtime-computed dim key set.
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("dpp").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val fact = spark.read.parquet(out)
+    // the dim must be a real filtered SCAN: a LocalRelation folds the
+    // filter away and DPP's selective-predicate heuristic never fires
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim").toString
+    Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter(col("label") === "open"),
+      col("o_orderstatus") === col("status"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic partition pruning on the partitioned fact scan:\n$plan")
+    // and the pruned result is still correct
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "O").count()
+    assert(joined.count() == expect)
+  }
+
   test("joinSkew ranks the planted hot key first with exact output math") {
     val s = spark
     import s.implicits._

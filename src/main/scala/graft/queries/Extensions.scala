@@ -295,6 +295,25 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // ---- mean-pooling chunk embeddings into document vectors (the
+    // aggregation step after chunk-level embedding): per-dimension
+    // decimal-exact sums (order-free at any parallelism — the kmeans
+    // M-step contract), ONE posexplode + one grouped agg, surfaced as
+    // (grp, pos, pooled) rows; n rides along for weighted re-pooling
+    "embed_pool_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      tf(s, dir, "embeddings")
+        .select((col("vec_id") % 50).as("grp"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x"), 7).cast(DecimalType(20, 7))).as("sx"))
+        .select(col("grp"), col("pos").cast("long").as("pos"), col("n"),
+          (col("sx").cast("double") / col("n").cast("double")).as("pooled"))
+        .orderBy(col("grp"), col("pos"))
+    }),
+
     "embed_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(tf(s, dir, "embeddings"), topN = 20)
     }),
@@ -907,6 +926,18 @@ object Extensions {
       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Mirrors embed_pool_mean: per-dimension decimal sums, double divide
+    "embed_pool_mean" ->
+      """WITH e AS (SELECT vec_id % 50 AS grp, embedding FROM embeddings),
+        |x AS (SELECT grp, unnest(range(1, len(embedding) + 1)) AS i,
+        |             embedding FROM e),
+        |v AS (SELECT grp, CAST(i - 1 AS BIGINT) AS pos,
+        |        CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x FROM x)
+        |SELECT grp, pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS pooled
+        |FROM v GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin,
+
     "retrieval_hybrid_rrf" -> hybridRrfSql,
 
     "embed_hard_negatives" -> hardNegativesSql,

@@ -453,6 +453,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(!got.map(_._2).forall(id => id >= 2 && id <= 5))
   }
 
+  test("embed_pool_mean is partition-invariant and matches driver math") {
+    val out = SparkEntry.queries("embed_pool_mean")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // driver-side recompute with the same 7-dp decimal rounding
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0) % 50,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val expect = vecs.groupBy(_._1).flatMap { case (g, vs) =>
+      val dim = vs.head._2.length
+      (0 until dim).map { p =>
+        val terms = vs.map(v => BigDecimal(v._2(p))
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP))
+        (g, p.toLong) -> ((vs.length.toLong,
+          terms.sum.toDouble / vs.length))
+      }
+    }
+    assert(out.size == expect.size)
+    expect.foreach { case (k, v) =>
+      assert(out(k) == v, s"pooled mismatch at $k: ${out(k)} vs $v") }
+  }
+
   test("retrieval_hybrid_rrf: ranks contiguous, rrf matches the formula") {
     val rows = SparkEntry.queries("retrieval_hybrid_rrf")(spark, sf).collect()
     assert(rows.nonEmpty)

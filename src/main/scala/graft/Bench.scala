@@ -52,8 +52,14 @@ object Bench {
         } finally {
           // INSIDE the run loop: a query with internal persists would
           // otherwise serve run 2 straight from run 1's cache and
-          // min-of-2 would publish a cache-read time, not the query
+          // min-of-2 would publish a cache-read time, not the query.
+          // clearCache only drops catalog-registered Dataset caches;
+          // localCheckpoint blocks (iterative graph/CC rounds) persist
+          // raw RDDs that would otherwise accumulate across 200+
+          // queries until driver GC — drop them explicitly too.
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)

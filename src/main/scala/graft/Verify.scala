@@ -38,7 +38,11 @@ object Verify {
         // a partial write must not linger either
         rm(new java.io.File(s"$outDir/$name"))
       }
-      spark.catalog.clearCache() // drop per-query persists (Dedup internals)
+      // drop per-query persists (Dedup internals) AND raw localCheckpoint
+      // RDD blocks (iterative graph/CC rounds) that clearCache can't see
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

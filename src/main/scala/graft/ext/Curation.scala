@@ -144,26 +144,30 @@ object Curation {
     val sharded = grid.withColumn("_shard",
       graft.ops.Layout.orderedShard(grid, col("_sk_min"), n))
     // per-shard maxima -> driver prefix-max literal map (the max over
-    // all EARLIER shards; Long.MinValue for the first)
+    // all EARLIER shards; NULL for the first — a Long.MinValue sentinel
+    // would silently drop an undominated point whose maxKey IS
+    // Long.MinValue, which is in-contract)
     val maxima = sharded.groupBy(col("_shard"))
       .agg(max(col("_sk_max")).as("m"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = Long.MinValue
+    var acc: Option[Long] = None
     val prefix = maxima.map { case (pid, m) =>
-      val o = acc; acc = math.max(acc, m); (pid, o)
+      val o = acc; acc = Some(acc.fold(m)(math.max(_, m))); (pid, o)
     }
+    val nullLong = lit(null).cast("long")
     val prevShardMax =
-      if (prefix.isEmpty) lit(Long.MinValue)
-      else element_at(
-        map(prefix.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-        col("_shard"))
+      if (prefix.forall(_._2.isEmpty)) nullLong
+      else coalesce(element_at(
+        map(prefix.collect { case (p, Some(o)) => Seq(lit(p), lit(o)) }
+          .flatten: _*), col("_shard")), nullLong)
     val w = Window.partitionBy(col("_shard")).orderBy(col("_sk_min"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() ignores nulls, so _prev is null only when NO earlier
+    // grid point exists anywhere — and such a point is always frontier
     val frontier = sharded
       .withColumn("_prev", greatest(
-        coalesce(max(col("_sk_max")).over(w), lit(Long.MinValue)),
-        prevShardMax))
-      .filter(col("_sk_max") > col("_prev"))
+        max(col("_sk_max")).over(w), prevShardMax))
+      .filter(col("_prev").isNull || col("_sk_max") > col("_prev"))
       .select(col("_sk_min"), col("_sk_max"))
     df.join(frontier,
       minKey.cast("long") === col("_sk_min") &&

@@ -99,8 +99,9 @@ object Graph {
     // canonical undirected edge set: u < v by id, self-loops dropped.
     // und and oriented are each referenced by several joins below;
     // without persist Catalyst re-executes the whole upstream (edge
-    // derivation + distinct + degree joins) once per reference — the
-    // same bounded-reuse persist the CC/PageRank rounds use.
+    // derivation + distinct + degree joins) once per reference. Plain
+    // persist (not checkpoint) is right here: the plan is a DAG with
+    // shared nodes, not an iterative chain, so lineage depth is fixed.
     val und = pairs.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
@@ -158,11 +159,17 @@ object Graph {
     *
     * Scale shape: each round is ONE map-combinable degree count + two
     * semi-joins restricting the edge set — no windows, no driver state
-    * beyond the loop counter; per-round persist/unpersist keeps lineage
-    * O(1) exactly like the PageRank/CC rounds. Edge set only ever
-    * shrinks, so round cost is monotone non-increasing.
+    * beyond the loop counter; eager per-round localCheckpoint keeps
+    * lineage O(1) exactly like the PageRank/CC rounds. Edge set only
+    * ever shrinks, so round cost is monotone non-increasing.
+    *
+    * `checkpointRounds = false` is a TEST hook: it keeps the full
+    * 5-round logical plan inspectable (checkpointing truncates the plan
+    * to cached blocks, which would make any plan-shape assertion
+    * vacuous). Production callers always checkpoint.
     */
-  def kCore(pairs: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 5,
+      checkpointRounds: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // localCheckpoint (eager) each round, not persist/unpersist: the
@@ -172,19 +179,19 @@ object Graph {
     // shrinking (measured: 0.9s -> 8.3s by round 5 on the persist
     // variant). Checkpointing truncates the plan to cached blocks each
     // round — same rationale as the CC pointer-doubling rounds.
-    var ed = pairs.filter(col("a") =!= col("b"))
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointRounds) df.localCheckpoint(true) else df
+    var ed = cp(pairs.filter(col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.filter(col("a") =!= col("b"))
         .select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     for (_ <- 1 to rounds) {
       val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("n"))
-      ed = ed
+      ed = cp(ed
         .join(keep, ed("src") === keep("n"), "left_semi")
-        .join(keep, ed("dst") === keep("n"), "left_semi")
-        .localCheckpoint(true)
+        .join(keep, ed("dst") === keep("n"), "left_semi"))
     }
     ed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))

@@ -16,6 +16,31 @@ import graft.ext.{Dedup, Graph, Multimodal, Quantize, Sampling, Similarity, Text
   */
 object Extensions {
 
+  /** The bulk-line co-purchase graph shared by graph_triangles and
+    * graph_kcore: parts linked when they appear in the same order, bulk
+    * lines only (quantity >= 30) — the unfiltered fixture graph is
+    * near-complete at avg degree ~200 and measures the fixture's
+    * combinatorics, not the operator. The quantity gate pushes to the
+    * scan on both self-join sides. ONE definition so the two queries
+    * (and their oracles, via [[bulkCoPurchaseEdgesSql]]) can never
+    * drift onto different graphs. */
+  private def bulkCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+  }
+
+  // DuckDB twin of [[bulkCoPurchaseEdges]] — a CTE yielding e(u, v)
+  private val bulkCoPurchaseEdgesSql =
+    """e AS (
+      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30)""".stripMargin
+
   /** Planted-dup corpus: exact copies of doc_id % 25 == 0 (ids +200000)
     * and near-copies (3 appended tokens) of doc_id % 25 == 13 (+100000). */
   def plantedDocs(s: SparkSession, dir: String): DataFrame = {
@@ -784,17 +809,7 @@ object Extensions {
     // wedge join: O(m^1.5) total work regardless of hub skew — the naive
     // wedge join is d^2 per node and dies on 100 TB power-law hubs.
     "graph_triangles" -> ((s, dir) => {
-      // bulk-line (quantity >= 30) co-purchases only: the unfiltered
-      // graph is near-complete at avg degree ~200 and its wedge space
-      // (~2e8 at sf0.1) measures the combinatorics of the fixture, not
-      // the operator; the filter is pushed to the scan on both sides
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
-          col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      Graph.triangles(e).orderBy(col("node"))
+      Graph.triangles(bulkCoPurchaseEdges(s, dir)).orderBy(col("node"))
     }),
 
     // ---- pre-join skew report for the conversion-funnel self-join:
@@ -825,13 +840,8 @@ object Extensions {
     // Each round is one degree count + two semi-joins, O(1) lineage —
     // the oracle replays the identical rounds as unrolled CTEs.
     "graph_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
-          col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      Graph.kCore(e, k = 8, rounds = 5).orderBy(col("node"))
+      Graph.kCore(bulkCoPurchaseEdges(s, dir), k = 8, rounds = 5)
+        .orderBy(col("node"))
     }),
 
     // ---- blocked fuzzy record linkage: within-(brand,size) part-name
@@ -2026,12 +2036,8 @@ object Extensions {
            |  SELECT e.src, e.dst FROM $prev e
            |  JOIN n$cur a ON e.src = a.src
            |  JOIN n$cur b ON e.dst = b.src)""".stripMargin
-      s"""WITH p AS MATERIALIZED (
-         |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
-         |  FROM lineitem x JOIN lineitem y
-         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-         |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30),
-         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM p UNION SELECT v, u FROM p),
+      s"""WITH ${bulkCoPurchaseEdgesSql.replaceFirst("e AS \\(", "e AS MATERIALIZED (")},
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
          |${peel("e0", "e1")},
          |${peel("e1", "e2")},
          |${peel("e2", "e3")},
@@ -2045,11 +2051,7 @@ object Extensions {
     // three edges present) counts each triangle exactly once — the same
     // relation the degree-oriented wedge join produces
     "graph_triangles" ->
-      """WITH e AS (
-        |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
-        |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30),
+      s"""WITH $bulkCoPurchaseEdgesSql,
         |deg AS (
         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
         |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)

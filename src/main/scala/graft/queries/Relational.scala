@@ -290,11 +290,6 @@ object Relational {
         .orderBy(col("event_type"), col("hour"))
     }),
 
-    // ---- forward-fill (last-observation-carried-forward): sensor-style
-    // null repair per user via IGNORE NULLS last_value over the natural
-    // user_id partitioning — nulls planted deterministically on 'error'
-    // rows so the carry-forward provably fires. Values pass through
-    // untouched, so the doubles hash bit-for-bit.
     // ---- per-user exponential smoothing, engine-portable: the
     // textbook EWMA recursion s_t = a*x_t + (1-a)*s_{t-1} is an
     // unbounded order-dependent float chain no two engines replay
@@ -307,6 +302,10 @@ object Relational {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
       graft.Tables.events(s, dir)
+        // null values are EXCLUDED from the smoothing stream on both
+        // sides (Spark's collect_list drops nulls while DuckDB's list()
+        // keeps them — filtering is the only shared semantics)
+        .filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"),
           (col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("c"))
@@ -322,6 +321,11 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- forward-fill (last-observation-carried-forward): sensor-style
+    // null repair per user via IGNORE NULLS last_value over the natural
+    // user_id partitioning — nulls planted deterministically on 'error'
+    // rows so the carry-forward provably fires. Values pass through
+    // untouched, so the doubles hash bit-for-bit.
     "events_forward_fill" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -2026,16 +2030,13 @@ object Relational {
         |WHERE sigma > 0 AND n > mean + 2.0 * sigma
         |ORDER BY event_type, hour""".stripMargin,
 
-    // Mirrors events_forward_fill: same planted nulls, same IGNORE NULLS
-    // running last_value; values pass through untouched so doubles
-    // hash bit-for-bit
     // Mirrors events_ewma: same 16-step dyadic kernel replayed with
     // DuckDB list lambdas — integers until the final presentation divide
     "events_ewma" ->
       """WITH v AS (
         |  SELECT event_id, user_id, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |w AS (
         |  SELECT event_id, user_id,
         |    list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2050,6 +2051,9 @@ object Relational {
         |  AS ewma
         |FROM w ORDER BY user_id, event_id""".stripMargin,
 
+    // Mirrors events_forward_fill: same planted nulls, same IGNORE NULLS
+    // running last_value; values pass through untouched so doubles
+    // hash bit-for-bit
     "events_forward_fill" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts,

@@ -909,6 +909,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("paretoFrontier2d keeps extreme-value points (no sentinel collision)") {
+    // a lone point whose maxKey IS Long.MinValue must survive — a
+    // MinValue-sentinel prefix would silently drop it
+    val one = Seq((1L, 5L, Long.MinValue)).toDF("id", "cost", "value")
+    assert(Curation.paretoFrontier2d(one, col("cost"), col("value"))
+      .count() == 1L)
+    // and the cheapest point always survives regardless of its value
+    val pts = Seq((1L, 1L, Long.MinValue), (2L, 2L, 0L), (3L, 3L, 10L))
+      .toDF("id", "cost", "value")
+    val got = Curation.paretoFrontier2d(pts, col("cost"), col("value"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
   test("paretoFrontier2d plans no unpartitioned window") {
     val df = (0 until 50).map(i => (i.toLong, (i * 7 % 13).toLong,
       (i * 11 % 17).toLong)).toDF("id", "cost", "value")

@@ -514,15 +514,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"psi needs no window at all:\n$p")
   }
 
-  test("graph_kcore and graph_assortativity stay equi-join only") {
-    for (q <- Seq("graph_kcore", "graph_assortativity")) {
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"),
-        s"$q planned a non-equi join:\n$p")
-      assert(p.contains("partial_count") || p.contains("partial_sum"),
-        s"$q lost map-side partial aggregation:\n$p")
-    }
+  test("graph_kcore rounds and graph_assortativity stay equi-join only") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"graph_assortativity planned a non-equi join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"graph_assortativity lost map-side partial aggregation:\n$p")
+    // kCore must be inspected with checkpointing OFF: the production
+    // path eagerly checkpoints each round, which truncates the plan to
+    // cached blocks and would make any assertion here vacuous
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val kp = graft.ext.Graph
+      .kCore(edges, k = 2, rounds = 3, checkpointRounds = false)
+      .queryExecution.executedPlan.toString
+    assert(!kp.contains("CartesianProduct") &&
+      !kp.contains("BroadcastNestedLoopJoin"),
+      s"kCore round planned a non-equi join:\n$kp")
+    assert(kp.contains("partial_count"),
+      s"kCore degree counts lost map-side partial aggregation:\n$kp")
   }
 
   test("corpus_sketch_union pre-aggregates sketches map-side per source") {

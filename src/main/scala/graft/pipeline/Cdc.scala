@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,17 @@ object Cdc {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast(DecimalType(18, 2))).as("total"))
   }
+
+  /** TIME TRAVEL: reconstruct the table state as of `asOf` from the
+    * append-only changelog — the latest row per key among changes at or
+    * before the cut; keys born later are absent. Equivalent to picking,
+    * per key, the [[scd2]] version whose [valid_from, valid_to) interval
+    * covers `asOf` (spec-asserted — the two temporal models must agree).
+    * The ts filter pushes to the scan, so a time-travel read touches
+    * only the history prefix. */
+  def snapshotAsOf(changes: DataFrame, key: String, ts: String,
+      tiebreak: String, asOf: Column): DataFrame =
+    latestSnapshot(changes.filter(col(ts) <= asOf), key, ts, tiebreak)
 
   /** MERGE-INTO semantics: apply an I/U/D changeset to a base snapshot.
     * The changeset is compacted to the LAST op per key first

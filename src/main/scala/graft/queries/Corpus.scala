@@ -884,6 +884,17 @@ object Corpus {
         .orderBy(col("user_id"))
     }),
 
+    // TIME TRAVEL: per-user state as of Jan 15 (mid-history) — only
+    // the history prefix is scanned (ts filter pushes to the scan);
+    // spec-asserted equal to the scd2 version covering the cut
+    "cdc_snapshot_at" -> ((s, dir) => {
+      graft.pipeline.Cdc.snapshotAsOf(
+          graft.Tables.events(s, dir), "user_id", "ts", "event_id",
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // MERGE INTO: apply an I/U/D changeset (odd event_ids, op derived
     // deterministically) to the even-event_id base snapshot — final op
     // per key wins, D drops, I/U replace, untouched rows pass through
@@ -2179,6 +2190,16 @@ object Corpus {
         |    PARTITION BY user_id
         |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
         |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Mirrors cdc_snapshot_at: cdc_latest restricted to the history
+    // prefix at the cut
+    "cdc_snapshot_at" ->
+      """SELECT user_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // Mirrors cdc_merge: both legs compact to last-per-key, then one

@@ -861,6 +861,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("snapshotAsOf agrees with the scd2 version covering the cut") {
+    val ev = graft.Tables.events(spark, sf)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val snap = graft.pipeline.Cdc
+      .snapshotAsOf(ev, "user_id", "ts", "event_id", cut)
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent path: the SCD-2 version whose validity interval
+    // covers the cut must be the same row, for every key born by then
+    val scd = graft.pipeline.Cdc.scd2(ev, "user_id", "ts", "event_id")
+      .filter(col("valid_from") <= cut &&
+        (col("valid_to").isNull || col("valid_to") > cut))
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap.nonEmpty && snap == scd,
+      s"temporal models disagree: snapshot ${snap.size} vs scd2 ${scd.size}")
+  }
+
   test("applyChangeset: last op per key wins, D drops, replay is idempotent") {
     import java.sql.Timestamp
     def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")

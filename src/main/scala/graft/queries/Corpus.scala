@@ -73,6 +73,28 @@ object Corpus {
         .orderBy(col("source"))
     }),
 
+    // ---- incremental inverted-index maintenance: the document-frequency
+    // table is refreshed with a delta batch (doc_id % 10 == 0) WITHOUT
+    // rescanning the base corpus — per-term counts are self-maintainable
+    // (the incrementalAgg contract). The ORACLE recomputes df from the
+    // full corpus from scratch, so a pass proves maintained == rebuilt.
+    "text_df_incremental" -> ((s, dir) => {
+      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+      def df(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val base = df(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = df(docs.filter(col("doc_id") % 10 === 0))
+      base.join(delta.select(col("term"), col("df").as("d_df")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("d_df"), lit(0L))).as("df"))
+        .filter(col("df") >= 5)
+        .orderBy(col("term"))
+    }),
+
     "text_bigrams" -> ((s, dir) => {
       tf(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
@@ -1283,6 +1305,16 @@ object Corpus {
         |UNION ALL
         |SELECT source, n_docs, exact_distinct, TRUE AS within_tol FROM al
         |ORDER BY source""".stripMargin,
+
+    // Mirrors text_df_incremental — but from SCRATCH over the full
+    // corpus: equality proves the incremental maintenance path
+    "text_df_incremental" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM t GROUP BY term HAVING COUNT(*) >= 5 ORDER BY term""".stripMargin,
 
     "quality_lr_score" -> lrScoreSql,
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 3),

@@ -267,6 +267,21 @@ object Relational {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // ---- HOPPING (sliding) window aggregation: 2-hour windows sliding
+    // every hour — each event lands in exactly 2 overlapping windows via
+    // Spark's window() generator (epoch-aligned starts). The batch twin
+    // of `groupBy(window($"ts", "2 hours", "1 hour"))` in streaming;
+    // the oracle replays the window membership by exploding j in {0,1}.
+    "q77_hopping" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // ---- rate-anomaly detection: hours whose event count exceeds that
     // type's mean + 2σ. Hourly counts and the moment sums are exact
     // integers; mean/σ/z are single IEEE expressions of those sums,
@@ -2011,6 +2026,15 @@ object Relational {
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // Mirrors q77_hopping: each event belongs to the 2 epoch-aligned
+    // 2h windows starting at trunc(hour) and trunc(hour) - 1h
+    "q77_hopping" ->
+      """SELECT date_trunc('hour', ts) - to_hours(j) AS w_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events, unnest([0, 1]) AS t(j)
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "events_anomaly" ->
       """WITH hourly AS (

@@ -255,6 +255,36 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.map(_._3).sum == n, "compaction lost rows")
   }
 
+  test("dynamic partition overwrite splices a recomputed partition in place") {
+    // the backfill primitive at 100 TB: re-land ONE day/status partition
+    // without touching (or even listing) the others — overwrite mode
+    // 'dynamic' replaces only partitions present in the incoming frame
+    val s = spark
+    val out = java.nio.file.Files.createTempDirectory("dpo").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val before = spark.read.parquet(out)
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the 'O' partition to HALF its rows and splice it in
+    val repaired = orders.filter(col("o_orderstatus") === "O")
+      .filter(col("o_orderkey") % 2 === 0)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try repaired.write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(out)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(out)
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("O") == repaired.count(), "spliced partition not replaced")
+    (before.keySet - "O").foreach(k =>
+      assert(after(k) == before(k), s"untouched partition $k changed"))
+  }
+
   test("partitioned layout + dim filter triggers dynamic partition pruning") {
     // write orders hive-partitioned by status, then join against a
     // FILTERED dim — the fact scan must carry a dynamicpruning

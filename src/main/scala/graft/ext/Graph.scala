@@ -75,6 +75,45 @@ object Graph {
       (col("rank_u").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** WEIGHTED fixed-point PageRank: like [[pageRank]] but each
+    * undirected edge carries an integer weight `w` (parallel edges
+    * merge by summing), and a node's rank flows to its neighbors
+    * proportionally to edge weight — contribution = (rank_u * w) div
+    * sw_u with sw_u the node's total incident weight. Still pure
+    * integer arithmetic end-to-end (weights are exact longs), so the
+    * trajectory is partition-order invariant and engine-replayable;
+    * with all weights 1 the kernel reduces to (rank_u * 1) div deg —
+    * bit-identical to [[pageRank]] (spec-asserted). Same O(1)-lineage
+    * localCheckpoint rounds. Input columns: (a, b, w). */
+  def pageRankWeighted(pairs: DataFrame, iters: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct > 0 && dampingPct < 100,
+      s"dampingPct must be in (0, 100), got $dampingPct")
+    val ed = pairs
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val sw = ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val adj = ed.join(sw, "src").localCheckpoint(true)
+    val n = adj.select(countDistinct(col("src"))).first().getLong(0)
+    val teleportU = ((100L - dampingPct) * Scale / 100L) / n
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .withColumn("rank_u", lit(Scale / n))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("(rank_u * w) div sw").as("c"))
+      ranks = contrib.groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(teleportU) + expr(s"($dampingPct * s) div 100")).as("rank_u"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"),
+      (col("rank_u").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
   /** Exact per-node triangle counts (and local clustering coefficient)
     * over an UNDIRECTED simple graph given as (a, b) pairs (any
     * orientation, duplicates tolerated).

@@ -824,6 +824,20 @@ object Extensions {
         "user_id", k = 20)
     }),
 
+    // ---- WEIGHTED PageRank over the trade graph: edge weight = number
+    // of lineitems linking the (customer, supplier) pair — rank flows
+    // proportionally to trade volume; integer trajectory, same oracle
+    // discipline as graph_pagerank
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pageRankWeighted(e, iters = 3, dampingPct = 85)
+        .orderBy(col("node"))
+    }),
+
     // ---- degree assortativity of the full trade graph: exact integer
     // moment sums, one aggregation; the correlation is the only float
     "graph_assortativity" -> ((s, dir) => {
@@ -1961,12 +1975,12 @@ object Extensions {
            |  FROM ed JOIN $prev r ON ed.src = r.node
            |  JOIN deg d ON ed.src = d.src CROSS JOIN nn
            |  GROUP BY ed.dst, nn.n)""".stripMargin
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
-         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
          |r0 AS (SELECT src AS node, CAST(1000000000 // nn.n AS BIGINT) AS rank_u
          |  FROM deg CROSS JOIN nn),
          |${it("r0", "r1")},
@@ -1995,6 +2009,37 @@ object Extensions {
         |  CAST(p.out_rows AS DOUBLE) / CAST(t.total AS DOUBLE) AS out_share
         |FROM p CROSS JOIN t
         |ORDER BY p.out_rows DESC, p.user_id LIMIT 20""".stripMargin,
+
+    // Mirrors graph_pagerank_weighted: the identical weighted integer
+    // trajectory unrolled — (rank * w) // sw contributions
+    "graph_pagerank_weighted" -> {
+      def it(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT ed.dst AS node,
+           |    CAST(150000000 // nn.n
+           |      + (85 * SUM((r.rank_u * ed.w) // s.sw)) // 100 AS BIGINT) AS rank_u
+           |  FROM ed JOIN $prev r ON ed.src = r.node
+           |  JOIN sw s ON ed.src = s.src CROSS JOIN nn
+           |  GROUP BY ed.dst, nn.n)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |eu AS (SELECT a AS src, b AS dst, w FROM e0
+         |       UNION ALL SELECT b, a, w FROM e0),
+         |ed AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+         |       FROM eu GROUP BY 1, 2),
+         |sw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM ed GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM sw),
+         |r0 AS (SELECT src AS node, CAST(1000000000 // nn.n AS BIGINT) AS rank_u
+         |  FROM sw CROSS JOIN nn),
+         |${it("r0", "r1")},
+         |${it("r1", "r2")},
+         |${it("r2", "r3")}
+         |SELECT node, CAST(rank_u AS DOUBLE) / 1000000000.0 AS rank
+         |FROM r3 ORDER BY node""".stripMargin
+    },
 
     // Mirrors graph_assortativity: same integer moment sums, same
     // fixed-order closed form for r

@@ -118,6 +118,37 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(pairsDf(path), k = 3, rounds = 4).count() == 0L)
   }
 
+  test("weighted PageRank: w=1 reduces to the unweighted trajectory exactly") {
+    val sp = spark
+    import sp.implicits._
+    val es = (0L until 400L).map(i => (i % 37, 37 + i % 53)).distinct
+    val flat = es.map { case (a, b) => (a, b, 1L) }
+      .toDF("a", "b", "w")
+    val weighted = Graph.pageRankWeighted(flat, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val plain = Graph.pageRank(es.toDF("a", "b"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(weighted == plain, "uniform weights must not change the kernel")
+  }
+
+  test("weighted PageRank favors the heavy edge on a hand-checked graph") {
+    // star 0-{1,2} with w(0,1)=9, w(0,2)=1: node 1 receives 9x node 2's
+    // flow from the center; leaves send everything to the center either
+    // way, so rank(1) > rank(2) and the exact values follow the kernel
+    val sp = spark
+    import sp.implicits._
+    val g = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("a", "b", "w")
+    val got = Graph.pageRankWeighted(g, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r0 = 333333333 each; teleport = 50000000
+    // node1: (333333333 * 9) div 10 = 299999999 -> 50000000 + 85*299999999 div 100 = 50000000 + 254999999 = 304999999
+    // node2: (333333333 * 1) div 10 = 33333333 -> 50000000 + 28333333 = 78333333
+    // node0: leaves send all: 333333333 + 333333333 = 666666666 -> 616666666
+    assert(got(1L) == 0.304999999, s"got ${got(1L)}")
+    assert(got(2L) == 0.078333333, s"got ${got(2L)}")
+    assert(got(0L) == 0.616666666, s"got ${got(0L)}")
+  }
+
   test("assortativity matches closed-form values and is partition-invariant") {
     // star K1,5 is perfectly disassortative: every edge joins deg-5 to
     // deg-1 -> r = -1 exactly

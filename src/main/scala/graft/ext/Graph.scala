@@ -29,6 +29,26 @@ object Graph {
 
   private val Scale = 1000000000L // 1e9 micro-units of rank mass
 
+  /** Symmetric closure of an undirected (a, b[, ...]) edge list. When
+    * `dedupSymmetric` the union is re-deduplicated — the safe default
+    * for arbitrary input. Callers that can PROVE the two directions
+    * cannot collide (bipartite id domains, or canonical a < b
+    * orientation with no duplicate rows) pass dedupSymmetric = false
+    * and skip a full-edge-list shuffle — at 100 TB that is one shuffle
+    * of the biggest table in the job bought back by a one-line proof.
+    * (With the contract violated, duplicate directed edges double-count
+    * degree/flow — the specs pin both paths equal on honest input.) */
+  private def symmetric(pairs: DataFrame, extra: Seq[String],
+      dedupSymmetric: Boolean): DataFrame = {
+    val cols = Seq("src", "dst") ++ extra
+    val fwd = pairs.select((col("a").as("src") +: col("b").as("dst") +:
+      extra.map(col)): _*)
+    val rev = pairs.select((col("b").as("src") +: col("a").as("dst") +:
+      extra.map(col)): _*)
+    val u = fwd.union(rev).toDF(cols: _*)
+    if (dedupSymmetric && extra.isEmpty) u.distinct() else u
+  }
+
   /** PageRank over an UNDIRECTED graph given as distinct (a, b) pairs
     * (each undirected edge listed once; the symmetric closure is built
     * here). `dampingPct` is the damping factor in integer percent (85 =
@@ -41,7 +61,7 @@ object Graph {
     * units of mass per node per round; at 1e9 units that is < 1e-6
     * relative and, unlike IEEE rounding, identically reproducible. */
   def pageRank(pairs: DataFrame, iters: Int = 3,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, dedupSymmetric: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct must be in (0, 100), got $dampingPct")
@@ -51,9 +71,7 @@ object Graph {
     // round is dropped) — measured ~30% faster per full run at sf0.1
     // and the same O(1)-lineage guarantee. Same arithmetic, so the
     // integer trajectory (and the oracle hash) is unchanged.
-    val ed = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+    val ed = symmetric(pairs, Nil, dedupSymmetric)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = ed.join(deg, "src").localCheckpoint(true)
     val n = adj.select(countDistinct(col("src"))).first().getLong(0)
@@ -86,14 +104,17 @@ object Graph {
     * bit-identical to [[pageRank]] (spec-asserted). Same O(1)-lineage
     * localCheckpoint rounds. Input columns: (a, b, w). */
   def pageRankWeighted(pairs: DataFrame, iters: Int = 3,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, dedupSymmetric: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct must be in (0, 100), got $dampingPct")
-    val ed = pairs
-      .select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    // dedupSymmetric here merges PARALLEL edges by summing weights; a
+    // caller attesting one row per (a, b) with collision-free closure
+    // skips that full-edge shuffle, same contract as the unweighted path
+    val ed0 = symmetric(pairs, Seq("w"), dedupSymmetric = false)
+    val ed = if (dedupSymmetric)
+      ed0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    else ed0
     val sw = ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val adj = ed.join(sw, "src").localCheckpoint(true)
     val n = adj.select(countDistinct(col("src"))).first().getLong(0)

@@ -784,7 +784,11 @@ object Extensions {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      Graph.pageRank(e, iters = 3, dampingPct = 85).orderBy(col("node"))
+      // dedupSymmetric = false: customer ids are even, supplier ids odd
+      // (bipartite), and e is already distinct — the reversed closure
+      // cannot collide, so the re-dedup shuffle is provably redundant
+      Graph.pageRank(e, iters = 3, dampingPct = 85,
+        dedupSymmetric = false).orderBy(col("node"))
     }),
 
     // degree distribution of the same trade graph — the first thing to
@@ -834,8 +838,10 @@ object Extensions {
         .groupBy((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .agg(count(lit(1)).as("w"))
-      Graph.pageRankWeighted(e, iters = 3, dampingPct = 85)
-        .orderBy(col("node"))
+      // same bipartite-distinct attestation as graph_pagerank: one row
+      // per (a, b) from the groupBy, closure collision-free
+      Graph.pageRankWeighted(e, iters = 3, dampingPct = 85,
+        dedupSymmetric = false).orderBy(col("node"))
     }),
 
     // ---- degree assortativity of the full trade graph: exact integer

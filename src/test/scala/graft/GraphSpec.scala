@@ -118,6 +118,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(pairsDf(path), k = 3, rounds = 4).count() == 0L)
   }
 
+  test("dedupSymmetric=false equals the safe path on collision-free input") {
+    val sp = spark
+    import sp.implicits._
+    // bipartite-style edges: left ids even, right ids odd, distinct rows
+    val es = (0L until 300L).map(i => ((i % 40) * 2, (i % 53) * 2 + 1)).distinct
+    val a = Graph.pageRank(pairsDf(es), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Graph.pageRank(pairsDf(es), iters = 3, dedupSymmetric = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b, "attested fast path diverged from the safe path")
+    val we = es.map { case (x, y) => (x, y, (x + y) % 5 + 1) }
+      .toDF("a", "b", "w")
+    val c = Graph.pageRankWeighted(we, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val d = Graph.pageRankWeighted(we, iters = 3, dedupSymmetric = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(c == d, "attested weighted fast path diverged from the safe path")
+  }
+
   test("weighted PageRank: w=1 reduces to the unweighted trajectory exactly") {
     val sp = spark
     import sp.implicits._

@@ -183,6 +183,41 @@ class EventStreamsSpec extends SparkSpec {
       "a closed streaming session has no matching batch session")
   }
 
+  test("sessionization is provider-identical under the RocksDB state store") {
+    // the production state backend at 100 TB state: RocksDB keeps keyed
+    // state off-heap/on-disk instead of executor heap. Results must be
+    // byte-identical to the default HDFS-backed provider.
+    val dir = landTwoBatches()
+    val ss = spark
+    import ss.implicits._
+    def run(name: String): Set[(Long, Long, Long)] = {
+      val src = spark.readStream.schema(fixture.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event]
+      val q = EventStreams.sessionize(spark, src)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+          r.getAs[Long]("n_events"))).toSet
+    }
+    val default = run("sess_default")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val rocks =
+      try run("sess_rocksdb")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(rocks.nonEmpty && rocks == default,
+      s"RocksDB state store diverged: ${rocks.size} vs ${default.size}")
+  }
+
   test("streaming as-of enrichment matches the batch as-of join on emitted rows") {
     val dir = landTwoBatches()
     def src = spark.readStream.schema(fixture.schema)

@@ -18,10 +18,8 @@ object Verify {
     // wipe any previous run's outputs FIRST: a failing query must leave a
     // missing dir (which the compare reports as FAIL), never a stale
     // parquet from an older build that would silently pass
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit =
+      graft.sources.ParquetSlices.deleteRecursively(f)
     rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     // dev affordance: SPARK_GRAFT_ONLY=q1,q2 restricts the dump (the

@@ -40,10 +40,19 @@ object Graph {
     * degree/flow — the specs pin both paths equal on honest input.) */
   private def symmetric(pairs: DataFrame, extra: Seq[String],
       dedupSymmetric: Boolean): DataFrame = {
+    // weighted callers merge duplicates themselves — a silent
+    // no-dedup-with-extras path would reintroduce the double-count bug
+    // the flag exists to prevent
+    require(extra.isEmpty || !dedupSymmetric,
+      "symmetric: dedup of weighted edges is the caller's merge step")
+    // self-loops dropped: (a, a) would appear TWICE in the closure and
+    // double its own degree/flow — on every path, so the w=1 ==
+    // unweighted-PageRank equivalence holds on any input
+    val simple = pairs.filter(col("a") =!= col("b"))
     val cols = Seq("src", "dst") ++ extra
-    val fwd = pairs.select((col("a").as("src") +: col("b").as("dst") +:
+    val fwd = simple.select((col("a").as("src") +: col("b").as("dst") +:
       extra.map(col)): _*)
-    val rev = pairs.select((col("b").as("src") +: col("a").as("dst") +:
+    val rev = simple.select((col("b").as("src") +: col("a").as("dst") +:
       extra.map(col)): _*)
     val u = fwd.union(rev).toDF(cols: _*)
     if (dedupSymmetric && extra.isEmpty) u.distinct() else u
@@ -111,7 +120,11 @@ object Graph {
     // dedupSymmetric here merges PARALLEL edges by summing weights; a
     // caller attesting one row per (a, b) with collision-free closure
     // skips that full-edge shuffle, same contract as the unweighted path
-    val ed0 = symmetric(pairs, Seq("w"), dedupSymmetric = false)
+    // non-positive weights dropped: a node whose incident weights sum
+    // to zero would make every contribution a silent null (div by 0)
+    // and leak rank mass instead of failing loudly
+    val ed0 = symmetric(pairs.filter(col("w") > 0), Seq("w"),
+      dedupSymmetric = false)
     val ed = if (dedupSymmetric)
       ed0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     else ed0

@@ -30,11 +30,7 @@ object Layout {
     }
     val leftover = new java.io.File(warehouse, relPath)
     if (leftover.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(leftover)
+      graft.sources.ParquetSlices.deleteRecursively(leftover)
     }
     df.write.mode("overwrite")
       .bucketBy(buckets, key)

@@ -274,6 +274,9 @@ object Relational {
     // the oracle replays the window membership by exploding j in {0,1}.
     "q77_hopping" -> ((s, dir) => {
       graft.Tables.events(s, dir)
+        // explicit on BOTH sides: Spark's window() silently drops null
+        // timestamps; the oracle must not count them under a NULL window
+        .filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -2034,6 +2037,7 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events, unnest([0, 1]) AS t(j)
+        |WHERE ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "events_anomaly" ->

@@ -28,4 +28,11 @@ object ParquetSlices {
       Files.deleteIfExists(tmpDir)
     }
   }
+
+  /** Recursive local-FS delete — the single shared copy (UpsertStream,
+    * Verify, Layout all need it; independent copies drifted before). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 }

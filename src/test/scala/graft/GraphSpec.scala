@@ -118,6 +118,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(pairsDf(path), k = 3, rounds = 4).count() == 0L)
   }
 
+  test("pageRank ignores self-loops on both weighted and unweighted paths") {
+    val sp = spark
+    import sp.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val withLoop = base ++ Seq((2L, 2L))
+    val a = Graph.pageRank(pairsDf(base), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Graph.pageRank(pairsDf(withLoop), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b, "a self-loop changed the unweighted trajectory")
+    val wa = Graph.pageRankWeighted(
+        base.map { case (x, y) => (x, y, 1L) }.toDF("a", "b", "w"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val wb = Graph.pageRankWeighted(
+        (withLoop.map { case (x, y) => (x, y, 1L) } ++ Seq((3L, 1L, 0L)))
+          .toDF("a", "b", "w"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(wa == wb, "a self-loop or zero-weight edge changed the weighted trajectory")
+    assert(a == wa, "w=1 equivalence must hold with loops filtered")
+  }
+
   test("dedupSymmetric=false equals the safe path on collision-free input") {
     val sp = spark
     import sp.implicits._

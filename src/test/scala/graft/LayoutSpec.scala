@@ -266,6 +266,14 @@ class LayoutSpec extends SparkSpec {
     val before = spark.read.parquet(out)
       .groupBy(col("o_orderstatus")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // byte-level evidence: sibling partitions must keep their exact
+    // files (name -> length, mtime), not merely their row counts
+    def files(status: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(out, s"o_orderstatus=$status").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    val siblingFilesBefore = (before.keySet - "O").map(k => k -> files(k)).toMap
     // recompute the 'O' partition to HALF its rows and splice it in
     val repaired = orders.filter(col("o_orderstatus") === "O")
       .filter(col("o_orderkey") % 2 === 0)
@@ -281,8 +289,11 @@ class LayoutSpec extends SparkSpec {
       .groupBy(col("o_orderstatus")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after("O") == repaired.count(), "spliced partition not replaced")
-    (before.keySet - "O").foreach(k =>
-      assert(after(k) == before(k), s"untouched partition $k changed"))
+    (before.keySet - "O").foreach { k =>
+      assert(after(k) == before(k), s"untouched partition $k changed")
+      assert(files(k) == siblingFilesBefore(k),
+        s"sibling partition $k was rewritten (files/length/mtime changed)")
+    }
   }
 
   test("partitioned layout + dim filter triggers dynamic partition pruning") {

@@ -424,10 +424,7 @@ class PlanQualitySpec extends SparkSpec {
       assert(q.head.getAs[Long]("s") ==
         (0L until 10000L).filter(_ % 12 == 3).map(_ * 7 % 100).sum)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      graft.sources.ParquetSlices.deleteRecursively(dir)
     }
   }
 

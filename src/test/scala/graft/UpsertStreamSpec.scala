@@ -34,6 +34,12 @@ class UpsertStreamSpec extends SparkSpec {
       b0.toDF(cols: _*), land.resolve("b0.parquet"))
     graft.sources.ParquetSlices.writeSingleFile(
       b1.toDF(cols: _*), land.resolve("b1.parquet"))
+    // the file source orders pending files by modification time; pin the
+    // times so b0 provably precedes b1 even on coarse-mtime filesystems
+    java.nio.file.Files.setLastModifiedTime(land.resolve("b0.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(land.resolve("b1.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000100000L))
     val schema = b0.toDF(cols: _*).schema
     val us = new UpsertStream(spark, land.toString, snap, ckpt,
       schema, "k", "ts", "seq", "op", maxFilesPerTrigger = 1)

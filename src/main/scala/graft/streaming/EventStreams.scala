@@ -105,16 +105,24 @@ object EventStreams extends Serializable {
     * the stream length. Response columns come back `_r_`-prefixed. */
   def correlate(trigger: DataFrame, response: DataFrame, key: String,
       within: String = "15 minutes",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"correlate: joinType must be inner or left_outer, got $joinType")
     val l = trigger.withWatermark("ts", watermark)
     // rename BEFORE attaching the watermark so the event-time tag
     // unambiguously rides on the renamed column
     val r = response.select(response.columns.map(c => col(c).as(s"_r_$c")): _*)
       .withWatermark("_r_ts", watermark)
+    // left_outer: an UNMATCHED trigger row is held in state until the
+    // watermark proves no in-window response can still arrive, then
+    // emits null-padded exactly once — the "funnel drop-off" stream the
+    // inner join can never produce. State stays bounded by the same
+    // watermark + interval expiry as the inner form.
     l.join(r,
       col(key) === col(s"_r_$key") &&
         col("_r_ts") >= col("ts") &&
-        col("_r_ts") <= col("ts") + expr(s"INTERVAL $within"))
+        col("_r_ts") <= col("ts") + expr(s"INTERVAL $within"),
+      joinType)
   }
 
   /** Streaming exactly-once-per-key dedup: duplicates of `event_id`

@@ -104,6 +104,53 @@ class EventStreamsSpec extends SparkSpec {
       s"stream join disagrees with batch: ${got.size} vs ${expect.size} pairs")
   }
 
+  test("left-outer interval join emits unmatched triggers after the watermark") {
+    val dir = landTwoBatches()
+    def src = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val types = fixture.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (trigT, respT) = (types(0), types(1))
+    val q = EventStreams.correlate(
+        src.filter(col("event_type") === trigT),
+        src.filter(col("event_type") === respT),
+        "user_id", within = "15 minutes", watermark = "2 hours",
+        joinType = "left_outer")
+      .select(col("event_id"), col("ts"), col("_r_event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lo_correlated").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("lo_correlated").collect()
+    val matched = rows.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val unmatched = rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet
+    // matched pairs must equal the inner-join ground truth
+    val a = fixture.filter(col("event_type") === trigT)
+      .select(col("event_id").as("i"), col("user_id"), col("ts"))
+    val b = fixture.filter(col("event_type") === respT)
+      .select(col("event_id").as("j"), col("user_id").as("u2"),
+        col("ts").as("t2"))
+    val pairs = a.join(b, col("user_id") === col("u2") &&
+        col("t2") >= col("ts") &&
+        col("t2") <= col("ts") + expr("INTERVAL 15 minutes"))
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched == pairs, "outer join changed the matched pairs")
+    // null-padded rows: exactly the triggers with NO in-window response
+    // among those the watermark finalized (on-time rows are never lost,
+    // late finalization may withhold the tail — so subset + nonempty,
+    // and NEVER a row that actually had a match)
+    val matchedTriggers = pairs.map(_._1)
+    assert(unmatched.nonEmpty, "no drop-off rows emitted")
+    assert(unmatched.intersect(matchedTriggers).isEmpty,
+      "a matched trigger also emitted null-padded")
+    // a trigger appears EITHER matched (possibly to several responses)
+    // OR null-padded once — never null-padded twice
+    val nullPadded = rows.filter(_.isNullAt(2)).map(_.getLong(0))
+    assert(nullPadded.distinct.length == nullPadded.length,
+      "a trigger emitted null-padded more than once")
+  }
+
   test("stream-static enrichment joins every batch against the dimension") {
     val dir = landTwoBatches()
     val dim = fixture.select(col("user_id")).distinct()

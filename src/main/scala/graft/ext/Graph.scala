@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics over edge DataFrames.
@@ -275,13 +276,17 @@ object Graph {
     * hub-to-hub vs hub-to-leaf wiring that decides whether degree-skew
     * mitigations (orientation, salting) will matter downstream.
     *
-    * All five moment sums are INTEGER sums of integer degrees — exact,
+    * All five moment sums accumulate as DECIMAL(38,0) — exact,
     * partition-order invariant, map-side combinable in one aggregation
-    * over the edge list; the only floating-point is the closed-form
-    * correlation at the end, computed from those exact integers with a
-    * fixed operation order both engines replay identically (every
-    * intermediate stays < 2^53 for any graph this fixture family can
-    * produce). Returns one row: n (directed edges), the five sums, r.
+    * over the edge list, and overflow-proof where a Long accumulator
+    * would wrap silently under non-ANSI arithmetic (a hub of degree
+    * ~1e6 over 1e9 directed edges already pushes sum(dx*dx) past 2^63;
+    * 38 decimal digits cover any graph below ~1e19 edge-degree-square
+    * mass). `r` is computed from the exact decimals; the sum columns
+    * are cast to BIGINT only at the output surface, where an
+    * out-of-range value turns NULL (visible) rather than wrapping into
+    * a plausible-looking wrong number. Returns one row: n (directed
+    * edges), the five sums, r.
     */
   def assortativity(pairs: DataFrame): DataFrame = {
     val ed = pairs.filter(col("a") =!= col("b"))
@@ -290,21 +295,29 @@ object Graph {
         .select(col("b").as("src"), col("a").as("dst")))
       .distinct()
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // widen BEFORE the product: Long*Long wraps pre-sum for hub degrees
+    val dxD = col("dx").cast(DecimalType(19, 0))
+    val dyD = col("dy").cast(DecimalType(19, 0))
     val withD = ed
       .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
     withD.agg(
         count(lit(1)).as("n"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"))
+        sum(dxD).as("sxd"), sum(dyD).as("syd"),
+        sum((dxD * dyD).cast(DecimalType(38, 0))).as("sxyd"),
+        sum((dxD * dxD).cast(DecimalType(38, 0))).as("sxxd"),
+        sum((dyD * dyD).cast(DecimalType(38, 0))).as("syyd"))
       .withColumn("r",
-        (col("n").cast("double") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-          sqrt(col("n").cast("double") * col("syy").cast("double") -
-            col("sy").cast("double") * col("sy").cast("double"))))
+        (col("n").cast("double") * col("sxyd").cast("double") -
+          col("sxd").cast("double") * col("syd").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sxxd").cast("double") -
+            col("sxd").cast("double") * col("sxd").cast("double")) *
+          sqrt(col("n").cast("double") * col("syyd").cast("double") -
+            col("syd").cast("double") * col("syd").cast("double"))))
+      .select(col("n"),
+        col("sxd").cast("long").as("sx"), col("syd").cast("long").as("sy"),
+        col("sxyd").cast("long").as("sxy"),
+        col("sxxd").cast("long").as("sxx"),
+        col("syyd").cast("long").as("syy"), col("r"))
   }
 }

@@ -79,6 +79,35 @@ object Similarity {
       k, col("label") =!= col("qlabel"),
       Seq(col("qid"), col("qlabel"), col("vec_id"), col("label"), col("cos")))
 
+  /** Exact RE-RANK of an approximate retriever's candidates — the second
+    * half of the standard retrieve-then-rerank pattern: `pairs` is any
+    * (qid, vec_id) candidate set (from LSH / IVF / PQ-ADC), and the
+    * output re-scores each pair with the exact 4-dp cosine and re-ranks
+    * within each query's candidate set. The candidate SET stays
+    * approximate (recall is the retriever's spec-gated property), but
+    * every reported score and rank is exact — which also makes the
+    * result oracle-checkable: DuckDB can recompute the scores for
+    * exactly the returned pairs.
+    *
+    * 100 TB shape: cost is O(|pairs|) dot products — |queries|·k rows —
+    * independent of corpus size; the pairs→corpus join is a narrow
+    * equi-join on vec_id and the query side broadcasts. */
+  def rescoreExact(pairs: DataFrame, corpus: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = pairs.select(col("qid"), col("vec_id"))
+      .join(c, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.select(col("qid"), col("vec_id"), col("cos"),
+      row_number().over(w).as("rk"))
+  }
+
   /** Exact MAXIMUM-INNER-PRODUCT top-k — [[bruteForceTopK]] without the
     * normalization: the retrieval form for embeddings whose magnitude
     * carries signal (recommendation scores, unnormalized output heads).

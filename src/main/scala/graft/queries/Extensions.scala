@@ -368,12 +368,17 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // NO SQL oracle (seeded codebooks — approximate path; recall-gated in
-    // QuantizeSpec): product-quantization ADC top-k, the 32x-compressed
-    // scale path for corpus-wide ANN.
+    // Product-quantization ADC retrieve + EXACT re-rank: the trained-
+    // codebook ADC join (32x-compressed scale path, recall-gated in
+    // QuantizeSpec) selects the candidate set, then rescoreExact reports
+    // exact cosines/ranks over it — the standard retrieve-then-rerank
+    // production shape. Join-back oracle: DuckDB recomputes the scores
+    // for exactly the returned (qid, vec_id) pairs, so the set stays
+    // approximate but every emitted value is hash-checked.
     "ann_pq_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Quantize.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.rescoreExact(Quantize.pqTopK(emb, qs, k = 5), emb, qs)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -388,8 +393,11 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // NO SQL oracle (approximate/seeded paths — driver records rows-only):
-    // LSH ANN is recall-gated against brute force in ExtensionsSpec.
+    // LSH retrieve with exact scoring: lshTopK already re-scores its
+    // bucket candidates with the exact 4-dp cosine, so the join-back
+    // oracle (DuckDB recomputes cos + rank for exactly the returned
+    // pairs) hash-checks every emitted value; the candidate SET is the
+    // approximate part and stays recall-gated in ExtensionsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -409,8 +417,9 @@ object Extensions {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // NO SQL oracle (seeded quantizer — approximate path; recall-gated and
-    // exact-at-full-probe-gated in ExtensionsSpec).
+    // IVF retrieve with exact scoring: same join-back oracle contract as
+    // ann_lsh_topk (scores/ranks exact over the probed candidate set);
+    // recall and exact-at-full-probe are gated in ExtensionsSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -898,6 +907,26 @@ object Extensions {
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  /** Join-back oracle for approximate-ANN queries: the candidate SET is
+    * the retriever's (approximate, recall-spec-gated) output, but every
+    * emitted value is exact — so DuckDB reads the engine's own verify
+    * output for the (qid, vec_id) pairs and independently recomputes the
+    * 4-dp cosine and the within-set rank. A wrong score, a wrong rank,
+    * or a pair that isn't a real (query, corpus) id both fails the hash.
+    * `__GRAFT_VERIFY_OUT__` is substituted by [[graft.Verify]] with the
+    * absolute verify output dir at dump time. */
+  private def joinBackCosineSql(name: String): String =
+    s"""WITH got AS (SELECT qid, vec_id
+       |  FROM read_parquet('__GRAFT_VERIFY_OUT__/$name/*.parquet')),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |s AS (SELECT g.qid, g.vec_id,
+       |    round(list_sum(list_transform(list_zip(d.v, q.v), x -> x[1] * x[2])) / (d.nrm * q.nrm), 4) AS cos
+       |  FROM got g JOIN n d ON d.vec_id = g.vec_id JOIN n q ON q.vec_id = g.qid)
+       |SELECT qid, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+       |FROM s ORDER BY qid, rk""".stripMargin
+
   private val hardNegativesSql =
     """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -1292,6 +1321,12 @@ object Extensions {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY i, j""".stripMargin,
 
     "ann_cosine_topk" -> bruteForceTopkSql,
+
+    // approximate retrievers: join-back oracles — set approximate,
+    // every emitted score/rank independently recomputed by DuckDB
+    "ann_lsh_topk" -> joinBackCosineSql("ann_lsh_topk"),
+    "ann_ivf_topk" -> joinBackCosineSql("ann_ivf_topk"),
+    "ann_pq_topk" -> joinBackCosineSql("ann_pq_topk"),
 
     "embed_mmr_select" -> {
       // one CTE per greedy step: m_t = per-candidate max similarity to
@@ -1962,7 +1997,7 @@ object Extensions {
          |toks AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tpos,
          |  unnest(ws) AS tok FROM tsrc)
          |SELECT t.doc_id, COUNT(*) AS n_tokens,
-         |  SUM(CASE WHEN r.rpos IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+         |  CAST(SUM(CASE WHEN r.rpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
          |  COALESCE(string_agg(tok, ' ' ORDER BY t.tpos)
          |    FILTER (WHERE r.rpos IS NULL), '') AS text_kept
          |FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.tpos = r.rpos

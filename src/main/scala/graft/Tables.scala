@@ -16,11 +16,24 @@ import org.apache.spark.sql.types.DecimalType
   * associative, so map-side partial aggregation stays enabled.
   */
 object Tables {
+  /** Memoized analyzed scans, keyed by (session, path). `spark.read.parquet`
+    * builds a fresh InMemoryFileIndex (file listing) and re-reads the footer
+    * for schema inference on EVERY call; across a 221-query suite each table
+    * is re-opened hundreds of times, and that fixed cost is pure overhead —
+    * the fixture dirs are immutable for the life of a session. A DataFrame
+    * is an immutable logical plan, so sharing one per table is safe (callers
+    * layer projections/filters on top without mutating it). Keyed by session
+    * so a stopped session's plans are never served to a new one; tests that
+    * write fresh parquet read it through `spark.read` directly, not here. */
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Read one fixture table. Parquet scan: Catalyst pushes filters +
     * prunes columns into the scan automatically (verify via .explain:
     * PushedFilters / ReadSchema). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** The events fixture's `ts` physical type has varied across fixture
     * generations: TIMESTAMP(NANOS) (read as long via

@@ -168,8 +168,20 @@ object Graph {
     * comparison, a total order, so each triangle is produced exactly
     * once: from its unique minimum vertex, with the closing edge
     * looked up in the same canonical orientation.
+    *
+    * `materialize = true` (the default, for library callers): the
+    * per-node result — bounded by the node count, tiny next to the
+    * edge set — is eagerly materialized via localCheckpoint and the
+    * two internal caches (`und`, `oriented`) are unpersisted before
+    * returning, so the call leaks nothing into the caller's session.
+    * `materialize = false` is the graft-internal harness mode: it
+    * returns the full lazy plan (required by the plan-shape specs,
+    * which must see the joins, and by Bench, which must time plan +
+    * execution together); in that mode the TWO CACHED FRAMES ARE THE
+    * CALLER'S TO CLEAN — Bench/Verify sweep them via
+    * `spark.catalog.clearCache()` after every query.
     */
-  def triangles(pairs: DataFrame): DataFrame = {
+  def triangles(pairs: DataFrame, materialize: Boolean = true): DataFrame = {
     // canonical undirected edge set: u < v by id, self-loops dropped.
     // und and oriented are each referenced by several joins below;
     // without persist Catalyst re-executes the whole upstream (edge
@@ -219,7 +231,12 @@ object Graph {
           .otherwise((lit(2.0) * col("n_tri").cast("double")) /
             (col("degree").cast("double") *
               (col("degree").cast("double") - 1.0))))
-    out
+    if (materialize) {
+      val result = out.localCheckpoint(true)
+      und.unpersist(false)
+      oriented.unpersist(false)
+      result
+    } else out
   }
 
   /** k-core peeling over an UNDIRECTED graph given as (a, b) pairs:

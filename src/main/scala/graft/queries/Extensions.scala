@@ -31,6 +31,10 @@ object Extensions {
     li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
         col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      // the DuckDB twin SELECTs DISTINCT; dedup here too so the two
+      // definitions are equivalent on their own, not just after the
+      // consumers (triangles/kCore) happen to re-dedup internally
+      .distinct()
   }
 
   // DuckDB twin of [[bulkCoPurchaseEdges]] — a CTE yielding e(u, v)
@@ -822,7 +826,10 @@ object Extensions {
     // wedge join: O(m^1.5) total work regardless of hub skew — the naive
     // wedge join is d^2 per node and dies on 100 TB power-law hubs.
     "graph_triangles" -> ((s, dir) => {
-      Graph.triangles(bulkCoPurchaseEdges(s, dir)).orderBy(col("node"))
+      // harness mode (lazy plan): PlanQualitySpec must see the joins and
+      // Bench times plan+execution; Bench/Verify sweep the two caches
+      Graph.triangles(bulkCoPurchaseEdges(s, dir), materialize = false)
+        .orderBy(col("node"))
     }),
 
     // ---- pre-join skew report for the conversion-funnel self-join:

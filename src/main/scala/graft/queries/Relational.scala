@@ -322,8 +322,10 @@ object Relational {
       graft.Tables.events(s, dir)
         // null values are EXCLUDED from the smoothing stream on both
         // sides (Spark's collect_list drops nulls while DuckDB's list()
-        // keeps them — filtering is the only shared semantics)
-        .filter(col("value").isNotNull)
+        // keeps them — filtering is the only shared semantics); null ts
+        // likewise, because the window ORDER BY would place them
+        // nulls-first in Spark but nulls-last in DuckDB
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"),
           (col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("c"))
@@ -2064,7 +2066,7 @@ object Relational {
       """WITH v AS (
         |  SELECT event_id, user_id, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
         |w AS (
         |  SELECT event_id, user_id,
         |    list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -56,6 +56,17 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, 1.0)))
   }
 
+  test("triangles: default (materialize) leaves no cached frames behind") {
+    // library-caller contract: the two internal persists (und, oriented)
+    // must be unpersisted before the call returns — a long-lived session
+    // calling triangles in a loop must not accumulate cached plans
+    spark.catalog.clearCache()
+    val got = Graph.triangles(pairsDf(Seq((1L, 2L), (2L, 3L), (1L, 3L))))
+    assert(got.count() == 3L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangles leaked cached frames into the session")
+  }
+
   test("triangles: star graph has none; duplicates/orientation ignored") {
     // star 0-{1..20}, edges listed in both orders with duplicates
     val es = (1L to 20L).flatMap(i => Seq((0L, i), (i, 0L), (0L, i)))
@@ -88,7 +99,10 @@ class GraphSpec extends SparkSpec {
   }
 
   test("triangles: degree-oriented plan has no cartesian and no window") {
-    val plan = Graph.triangles(pairsDf(Seq((1L, 2L), (2L, 3L), (1L, 3L))))
+    // materialize=false: the eager default checkpoints, truncating the
+    // plan to a scan of cached blocks and making these asserts vacuous
+    val plan = Graph.triangles(pairsDf(Seq((1L, 2L), (2L, 3L), (1L, 3L))),
+        materialize = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)

@@ -6,9 +6,21 @@ Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
 SQL from oracle_sql.json in DuckDB over the fixture tables in <sfDir>,
 sorts columns by name + rows by all columns, and compares values exactly.
+
+Beyond the value compare, this emits a CANONICAL ROW HASH per side whose
+cell rendering is pandas-DTYPE-SENSITIVE (int64 renders "1", float64
+renders "1.0", object renders str(v)). That is deliberately stricter than
+the numeric compare: the class of bug that burned rounds 3 and 4
+(q63_try_fns, dedup_apply_spans) was DuckDB surfacing HUGEINT/DOUBLE where
+Spark surfaced BIGINT — numerically equal, so the old tool passed, but the
+driver's hash (computed over the surfaced representation) failed. Any
+dtype divergence between the two frames now fails the query here with a
+HASH verdict, before the driver ever sees it. Run this (after
+`runMain graft.Verify`) before recording a round's CORRECTNESS.
 """
-import sys, os, json, math
+import sys, os, json, hashlib
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -16,8 +28,57 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    # sort by stringified cells, not raw values: raw mixed/object columns
+    # (lists, None) raise on comparison, and the hash below is rendered
+    # anyway — ordering just has to be deterministic and identical for
+    # two frames with identical rendered content
+    if len(df):
+        key = df.apply(lambda row: "\t".join(_cell(v, df.dtypes[c])
+                       for c, v in row.items()), axis=1)
+        df = df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
     return df
+
+def _cell(v, dtype) -> str:
+    """Dtype-sensitive canonical rendering — int64 "1" vs float64 "1.0"
+    MUST differ, because that is how a HUGEINT/DOUBLE oracle surfacing
+    diverges from Spark's BIGINT in the driver's hash."""
+    if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
+        return "\\N"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(_cell(x, None) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))          # shortest round-trip: 1.0 -> '1.0'
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    try:
+        if pd.isna(v):
+            return "\\N"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+def _dtype_class(dt) -> str:
+    """Width-insensitive class: int32 vs int64 is a driver-tolerated
+    difference (both render "1"); int vs float is the driver-failing
+    one ("1" vs "1.0")."""
+    if pd.api.types.is_bool_dtype(dt): return "bool"
+    if pd.api.types.is_integer_dtype(dt): return "int"
+    if pd.api.types.is_float_dtype(dt): return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt): return "ts"
+    return "obj"
+
+def frame_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    h.update(("|".join(f"{c}:{_dtype_class(df.dtypes[c])}"
+                       for c in df.columns)).encode())
+    for _, row in df.iterrows():
+        h.update(("\t".join(_cell(v, df.dtypes[c])
+                  for c, v in row.items()) + "\n").encode())
+    return h.hexdigest()
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -28,6 +89,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    hashes = {}
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):
@@ -58,9 +120,20 @@ def main():
                     mismatch = (c, a[i], b[i], f"maxdiff={d}")
                 break
         if mismatch:
-            print(f"FAIL {name}: col {mismatch}"); n_fail += 1
+            print(f"FAIL {name}: col {mismatch}"); n_fail += 1; continue
+        hg, he = frame_hash(got), frame_hash(exp)
+        hashes[name] = {"spark": hg, "oracle": he}
+        if hg != he:
+            # values compared equal but the surfaced representation did
+            # not — the exact class the driver's hash_match catches
+            dt = [(c, str(got.dtypes[c]), str(exp.dtypes[c]))
+                  for c in got.columns if got.dtypes[c] != exp.dtypes[c]]
+            print(f"FAIL {name}: HASH (dtype divergence {dt or 'in rendering'})")
+            n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    with open(f"{out_dir}/row_hashes.json", "w") as f:
+        json.dump(hashes, f, indent=1, sort_keys=True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

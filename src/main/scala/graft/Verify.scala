@@ -57,7 +57,10 @@ object Verify {
     // Join-back oracles (approximate ANN) reference the engine's own
     // verify output — substitute the placeholder with the ABSOLUTE out
     // dir so the driver's DuckDB run resolves it from any cwd.
+    // escaped for splicing into a single-quoted DuckDB string literal —
+    // a quote in the path must not break (or worse, alter) the oracle
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
+      .replace("'", "''")
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("__GRAFT_VERIFY_OUT__", outAbs))}" }

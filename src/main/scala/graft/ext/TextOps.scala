@@ -826,15 +826,37 @@ object TextOps {
     * grid (one map-side-combinable agg), cumulative count over the grid
     * (window bounded by value cardinality, not row count), pick the grid
     * row covering index (n−1) div 2. Same order statistic as DuckDB's
-    * quantile_disc(0.5). Returns a 1-row frame (`_med`). */
-  private[graft] def lowerMedian(vals: DataFrame): DataFrame = {
+    * quantile_disc(0.5). Returns a 1-row frame (`_med`).
+    *
+    * CARDINALITY CONTRACT: the unpartitioned cumulative window is safe
+    * ONLY because it runs over the distinct-value GRID, not the corpus —
+    * integral quality scores (char counts, ratios quantized to 1e4, …)
+    * have grids of at most a few million values no matter how many
+    * documents feed them. A near-continuous score (e.g. a raw double
+    * scaled by 1e9 before the cast) would silently turn this into a
+    * corpus-sized single-partition sort, so the grid size is CHECKED at
+    * runtime: if it exceeds `maxGridCardinality` (default 2^22 ≈ 4.2M —
+    * ~64 MB of (value, count) pairs on one task, comfortably in-memory)
+    * the query fails with a clear message instead of degrading. The
+    * check rides the existing 1-row total aggregate — zero extra jobs. */
+  private[graft] def lowerMedian(vals: DataFrame,
+      maxGridCardinality: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // vals: one column `_s` (long)
     val grid = vals.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
     val w = Window.orderBy(col("_s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = grid.withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
-    val tot = grid.agg(sum(col("_c")).as("_n"))
+    // the guard is fused into `_n` (which `idx` consumes) so column
+    // pruning can never drop it
+    val tot = grid.agg(sum(col("_c")).as("_n"), count(lit(1)).as("_g"))
+      .select(when(col("_g") > maxGridCardinality,
+          raise_error(concat(
+            lit("lowerMedian: score grid cardinality "),
+            col("_g").cast("string"),
+            lit(s" exceeds $maxGridCardinality — quantize the score to a" +
+              " bounded integral grid before calling madOutliers"))))
+        .otherwise(col("_n")).as("_n"))
     // target index (n-1) div 2; floor keeps it integral after the
     // double division (exact below 2^53)
     val idx = floor((col("_n") - 1) / 2)

@@ -921,8 +921,15 @@ object Extensions {
     * 4-dp cosine and the within-set rank. A wrong score, a wrong rank,
     * or a pair that isn't a real (query, corpus) id both fails the hash.
     * `__GRAFT_VERIFY_OUT__` is substituted by [[graft.Verify]] with the
-    * absolute verify output dir at dump time. */
-  private def joinBackCosineSql(name: String): String =
+    * absolute verify output dir at dump time.
+    *
+    * The final `WHERE rk <= k` matters even though ranks are recomputed
+    * over the engine's own emitted set: without it, an engine that
+    * dropped its k filter and emitted every candidate would still
+    * hash-match (the oracle would happily re-rank the over-long set);
+    * with it, any row past rank k exists on the Spark side only and
+    * fails the row-count compare. */
+  private def joinBackCosineSql(name: String, k: Int = 5): String =
     s"""WITH got AS (SELECT qid, vec_id
        |  FROM read_parquet('__GRAFT_VERIFY_OUT__/$name/*.parquet')),
        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -930,9 +937,10 @@ object Extensions {
        |s AS (SELECT g.qid, g.vec_id,
        |    round(list_sum(list_transform(list_zip(d.v, q.v), x -> x[1] * x[2])) / (d.nrm * q.nrm), 4) AS cos
        |  FROM got g JOIN n d ON d.vec_id = g.vec_id JOIN n q ON q.vec_id = g.qid)
-       |SELECT qid, vec_id, cos,
-       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
-       |FROM s ORDER BY qid, rk""".stripMargin
+       |SELECT qid, vec_id, cos, rk FROM (
+       |  SELECT qid, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+       |  FROM s) WHERE rk <= $k ORDER BY qid, rk""".stripMargin
 
   private val hardNegativesSql =
     """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -849,6 +849,23 @@ class CorpusSpec extends SparkSpec {
     assert(med == 2L, s"even-count lower median $med != 2")
   }
 
+  test("lowerMedian enforces its grid-cardinality contract at runtime") {
+    // the unpartitioned cumulative window is safe only over the bounded
+    // distinct-value grid; a near-continuous score must FAIL LOUDLY, not
+    // silently become a corpus-sized single-partition sort
+    val vals = (1L to 10L).toDF("_s")
+    val ok = TextOps.lowerMedian(vals, maxGridCardinality = 10L)
+      .collect()(0).getLong(0)
+    assert(ok == 5L, s"lower median of 1..10 was $ok, expected 5")
+    val e = intercept[Exception] {
+      TextOps.lowerMedian(vals, maxGridCardinality = 9L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("grid cardinality")),
+      s"wrong failure: ${msgs(e).take(2)}")
+  }
+
   test("text_fertility reports >= 1 piece per word and exact ratio columns") {
     val out = graft.queries.Corpus.queries("text_fertility")(spark, sf)
       .collect()

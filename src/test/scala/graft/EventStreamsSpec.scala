@@ -151,6 +151,76 @@ class EventStreamsSpec extends SparkSpec {
       "a trigger emitted null-padded more than once")
   }
 
+  test("left-outer interval join survives a kill/restart without loss or dupes") {
+    // The reference contract is at-least-once delivery made effectively
+    // exactly-once by idempotent application; for the drop-off stream the
+    // equivalent claim is: a query killed between micro-batches and
+    // restarted from its checkpoint lands on EXACTLY the rows an
+    // uninterrupted run produces — matched pairs AND null-padded
+    // drop-offs, no loss, no duplicate emission from replayed state.
+    val fx = fixture
+    val cut = fx.selectExpr("percentile_approx(ts, 0.5) AS c")
+      .collect()(0).getTimestamp(0)
+    val types = fx.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (trigT, respT) = (types(0), types(1))
+    def landB0(dir: java.nio.file.Path): Unit = {
+      graft.sources.ParquetSlices.writeSingleFile(
+        fx.filter(col("ts") <= cut), dir.resolve("b0.parquet"))
+      Files.setLastModifiedTime(dir.resolve("b0.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    }
+    def landB1(dir: java.nio.file.Path): Unit = {
+      graft.sources.ParquetSlices.writeSingleFile(
+        fx.filter(col("ts") > cut), dir.resolve("b1.parquet"))
+      Files.setLastModifiedTime(dir.resolve("b1.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000100000L))
+    }
+    // one run = correlate left_outer into an exactly-once parquet sink
+    // (its _spark_metadata commit log is what makes replay invisible)
+    def run(src: java.nio.file.Path, ckpt: String, out: String): Unit = {
+      def stream = spark.readStream.schema(fx.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val q = EventStreams.correlate(
+          stream.filter(col("event_type") === trigT),
+          stream.filter(col("event_type") === respT),
+          "user_id", within = "15 minutes", watermark = "2 hours",
+          joinType = "left_outer")
+        .select(col("event_id"), col("_r_event_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start(out)
+      q.processAllAvailable(); q.stop()
+    }
+    def read(out: String): Map[(Long, Option[Long]), Long] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // interrupted: batch 0, "crash" (stop), batch 1 arrives, restart
+    // from the SAME checkpoint into the SAME sink
+    val srcI = Files.createTempDirectory("lo_restart_src")
+    val ckptI = Files.createTempDirectory("lo_restart_ckpt").toString
+    val outI = Files.createTempDirectory("lo_restart_out").toString + "/t"
+    landB0(srcI)
+    run(srcI, ckptI, outI)
+    landB1(srcI)
+    run(srcI, ckptI, outI)
+    // reference: same two files, same trigger pacing, never interrupted
+    val srcR = Files.createTempDirectory("lo_ref_src")
+    val ckptR = Files.createTempDirectory("lo_ref_ckpt").toString
+    val outR = Files.createTempDirectory("lo_ref_out").toString + "/t"
+    landB0(srcR); landB1(srcR)
+    run(srcR, ckptR, outR)
+    val (got, ref) = (read(outI), read(outR))
+    assert(ref.nonEmpty && ref.keys.exists(_._2.isEmpty),
+      "reference run produced no drop-off rows — bad test setup")
+    assert(got == ref,
+      s"restart diverged from uninterrupted run: ${got.size} vs ${ref.size} " +
+        s"distinct rows; lost=${(ref.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- ref.keySet).take(3)}")
+  }
+
   test("stream-static enrichment joins every batch against the dimension") {
     val dir = landTwoBatches()
     val dim = fixture.select(col("user_id")).distinct()

@@ -144,6 +144,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(default.except(uncapped).isEmpty && uncapped.except(default).isEmpty)
   }
 
+  test("rescoreExact reproduces brute-force cos/rk and drops unknown ids") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cos", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getInt(3)))).toMap
+    // identity property: re-scoring the exact top-k candidate set must
+    // return the same pairs with the same 4-dp cosine and the same rank
+    val rescored = Similarity.rescoreExact(
+      exact.select("qid", "vec_id"), emb, queries)
+    assert(keyed(rescored) == keyed(exact),
+      "rescoreExact diverged from bruteForceTopK on its own pair set")
+    // a fabricated pair with an id that exists on neither side must be
+    // dropped by the inner joins, never scored or null-padded
+    import SparkSpec.spark.implicits._
+    val bogus = Seq((queries.select("vec_id").first().getLong(0), -1L))
+      .toDF("qid", "vec_id")
+    assert(Similarity.rescoreExact(bogus, emb, queries).count() == 0,
+      "rescoreExact invented a score for a nonexistent corpus id")
+  }
+
   test("IVF ANN recall beats LSH at comparable candidate budgets") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)

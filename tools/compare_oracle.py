@@ -105,6 +105,11 @@ def main():
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        if len(got) == 0:
+            # matching-but-empty is trivially hash-green; a join-back
+            # oracle (which reads the engine's own output) can never
+            # catch an engine that emitted nothing — surface it
+            print(f"WARN {name}: both sides 0 rows — vacuous pass")
         mismatch = None
         for c in got.columns:
             a, b = got[c], exp[c]

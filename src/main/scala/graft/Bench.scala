@@ -5,6 +5,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup pass first
   * (session init, codegen JIT, FS cache) so per-query numbers reflect
   * steady state rather than first-query startup cost.
+  *
+  * Noise protocol (round 7): the two timing samples per query are
+  * INTERLEAVED across the whole suite — pass 1 runs every query, then
+  * pass 2 runs every query — so the two samples of one query sit
+  * minutes apart and a single host-contention burst can no longer
+  * poison both (back-to-back min-of-2 recorded 2–7x spikes on
+  * untouched queries three rounds running). Queries whose two samples
+  * still disagree by >2x (and >0.25s absolute, so ~150 sub-100ms
+  * queries don't re-run for nothing) get a third tie-break sample; the
+  * published number is the min. The suite also records a SAME-SESSION
+  * DuckDB run of the standalone oracle SQL (tools/bench_duckdb.py) as
+  * `duckdb_total` — the acceptance ratio's denominator, measured on
+  * the same host minutes apart instead of re-litigated across rounds
+  * (BASELINE.md "Engine acceptance target").
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,40 +61,93 @@ object Bench {
 
     // noop sink forces FULL computation of every output column —
     // .count() would let Catalyst prune computed columns (a projection
-    // query would "bench" a bare scan). min-of-2 runs suppresses the
-    // run-to-run noise of a shared machine.
+    // query would "bench" a bare scan).
     // dev affordance mirroring Verify's: SPARK_GRAFT_BENCH_ONLY=a,b
     // restricts the timed set (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries
+    val qseq = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          // a failure must NOT be published as a (fast-looking) time
-          case _: Throwable => -1.0
-        } finally {
-          // INSIDE the run loop: a query with internal persists would
-          // otherwise serve run 2 straight from run 1's cache and
-          // min-of-2 would publish a cache-read time, not the query.
-          // clearCache only drops catalog-registered Dataset caches;
-          // localCheckpoint blocks (iterative graph/CC rounds) persist
-          // raw RDDs that would otherwise accumulate across 200+
-          // queries until driver GC — drop them explicitly too.
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        // a failure must NOT be published as a (fast-looking) time
+        case _: Throwable => -1.0
+      } finally {
+        // AFTER every run: a query with internal persists would
+        // otherwise serve its second sample straight from the first's
+        // cache and the min would publish a cache-read time, not the
+        // query. clearCache only drops catalog-registered Dataset
+        // caches; localCheckpoint blocks (iterative graph/CC rounds)
+        // persist raw RDDs that would otherwise accumulate across 200+
+        // queries until driver GC — drop them explicitly too.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+
+    // two INTERLEAVED full-suite passes (not back-to-back per query)
+    val pass1 = qseq.map { case (n, fn) => n -> runOnce(fn) }.toMap
+    val pass2 = qseq.map { case (n, fn) => n -> runOnce(fn) }.toMap
+    val results = qseq.map { case (n, fn) =>
+      val (a, b) = (pass1(n), pass2(n))
+      val v =
+        if (a < 0 || b < 0) -1.0
+        else {
+          val (lo, hi) = (math.min(a, b), math.max(a, b))
+          // still-divergent sample pair => one tie-break run
+          if (hi > 2 * lo && hi - lo > 0.25) {
+            val c = runOnce(fn)
+            if (c < 0) -1.0 else math.min(lo, c)
+          } else lo
+        }
+      n -> v
+    }.toMap
+
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val total = fmt(results.values.filter(_ >= 0).sum)
+
+    // same-session DuckDB denominator: the standalone oracle SQL (the
+    // few __GRAFT_VERIFY_OUT__ join-back oracles read engine output and
+    // are skipped — sub-second queries, noise-level) timed by the same
+    // two-pass-min protocol. Best-effort: a host without python3/duckdb
+    // just omits the fields.
+    val duckdb: Option[(Double, Int)] =
+      if (only.nonEmpty) None
+      else scala.util.Try {
+        val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+        val sqlJson = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + com.fasterxml.jackson.databind.json.JsonMapper
+            .builder().build().writeValueAsString(v)
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.write(tmp,
+          sqlJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val pb = new ProcessBuilder("python3", "tools/bench_duckdb.py",
+          sfDir, tmp.toString)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val err = new String(proc.getErrorStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val rc = proc.waitFor()
+        java.nio.file.Files.deleteIfExists(tmp)
+        if (rc != 0) {
+          System.err.println(s"[bench] duckdb denominator failed rc=$rc: $err")
+          throw new RuntimeException("duckdb bench failed")
+        }
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+        (node.get("total").asDouble(), node.get("n").asInt())
+      }.toOption
+    val duckdbFields = duckdb
+      .map { case (t, n) => s""","duckdb_total":${fmt(t)},"duckdb_n":$n""" }
+      .getOrElse("")
+
     // The driver keeps only the last ~2000 chars of stdout (BENCH_r01/r02
     // tail field), so the printed line must stay well under that: round to
     // 3 dp and list only the slowest 35 queries inline. The complete map
@@ -90,7 +157,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$duckdbFields,"queries":$fullQs,"sf":"$sfDir"}"""
     // resolved from the working directory (overridable) — a hardcoded
     // absolute path plus a swallowed failure would leave a stale
     // committed BENCH_FULL.json with no signal
@@ -107,7 +174,7 @@ object Bench {
         case _ => ()
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec"$duckdbFields,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,16 +24,51 @@ object Tables {
     * is an immutable logical plan, so sharing one per table is safe (callers
     * layer projections/filters on top without mutating it). Keyed by session
     * so a stopped session's plans are never served to a new one; tests that
-    * write fresh parquet read it through `spark.read` directly, not here. */
+    * write fresh parquet read it through `spark.read` directly, not here.
+    *
+    * Eviction: every insert first purges entries whose session's context
+    * has stopped — otherwise a long-lived JVM cycling sessions (exactly
+    * the spec-suite pattern) would retain dead SessionStates and their
+    * plans for the life of the process. The purge is O(live entries)
+    * (tables × sessions, ~tens) on the insert path only; cache hits pay
+    * nothing. */
   private val scanCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Test seam ONLY: the eviction predicate. A spec cannot stop a real
+    * second SparkContext (one per JVM, and the suite-shared one must
+    * survive), so the eviction spec swaps this probe to mark a
+    * `newSession()` as stopped and exercises the real insert path.
+    * Production never touches it. */
+  private[graft] var stoppedProbe: SparkSession => Boolean =
+    _.sparkContext.isStopped
+
+  private def purgeStopped(): Unit = {
+    val it = scanCache.keySet.iterator()
+    while (it.hasNext) if (stoppedProbe(it.next()._1)) it.remove()
+  }
+
+  /** Sessions currently holding cached scans — test hook for the
+    * eviction contract. */
+  private[graft] def cachedScanSessions: Set[SparkSession] = {
+    val it = scanCache.keySet.iterator()
+    val b = Set.newBuilder[SparkSession]
+    while (it.hasNext) b += it.next()._1
+    b.result()
+  }
 
   /** Read one fixture table. Parquet scan: Catalyst pushes filters +
     * prunes columns into the scan automatically (verify via .explain:
     * PushedFilters / ReadSchema). */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (spark, s"$dir/$name.parquet")
+    val hit = scanCache.get(key)
+    if (hit != null) hit
+    else {
+      purgeStopped()
+      scanCache.computeIfAbsent(key, { case (s, p) => s.read.parquet(p) })
+    }
+  }
 
   /** The events fixture's `ts` physical type has varied across fixture
     * generations: TIMESTAMP(NANOS) (read as long via

@@ -33,6 +33,12 @@ final case class BpeMerge(rank: Int, lhs: String, rhs: String, n: Long)
   */
 object Bpe {
 
+  /** (word, n) corpus frequency table — the ONE full pass over the
+    * corpus; both training paths run on this vocabulary-sized result. */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
   /** (word, n, syms) initial state: syms = "  c1  c2  ...  ck  " with
     * TWO-space separators (and edge sentinels). The merge pattern
     * " a  b " consumes one space from each boundary and the replacement
@@ -42,9 +48,7 @@ object Bpe {
     * (single-space separators would share the boundary space and make
     * the scan skip every second occurrence of a repeated pair). */
   private def wordTable(docs: DataFrame): DataFrame =
-    docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("syms", symsColumn(col("w")))
+    wordCounts(docs).withColumn("syms", symsColumn(col("w")))
 
   /** The load-bearing sentinel layout, shared by training and encode so
     * they can never diverge: `split(w, "")` keeps a trailing empty
@@ -54,9 +58,147 @@ object Bpe {
   private def symsColumn(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit("  "), concat_ws("  ", array_remove(split(w, ""), "")), lit("  "))
 
+  /** Vocabulary bound for the driver fast path: a (word, n) table at or
+    * under this row count collects to the driver and trains there —
+    * same explicit-bound pattern as Cluster's ≤2M-edge union-find.
+    * 2M (word, count) rows is low tens of MB of driver heap; real BPE
+    * trainers (e.g. the HuggingFace tokenizer) train on exactly this
+    * pre-aggregated frequency table single-node. Corpora whose token
+    * vocabulary exceeds the bound fall back to the distributed
+    * one-aggregation-per-merge loop. */
+  private val MaxDriverVocab = 2000000
+
   /** Learn `nMerges` merges from a (doc_id, text) corpus. Returns the
-    * ordered merge table; ties broken lexicographically. */
+    * ordered merge table; ties broken lexicographically.
+    *
+    * Two paths, IDENTICAL merge trajectory (spec-asserted on the
+    * fixture corpus, and the oracle unrolls the trajectory so any
+    * divergence hash-fails):
+    *  - vocabulary ≤ [[MaxDriverVocab]]: ONE Spark job collapses the
+    *    corpus to (word, n); the greedy argmax/merge loop then runs on
+    *    the driver over the frequency table — nMerges merges cost zero
+    *    further jobs instead of one grouped-aggregation job each.
+    *  - larger vocabularies: the distributed loop (one map-combinable
+    *    pair aggregation + one-row driver argmax per merge). */
   def train(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    val counts = wordCounts(docs)
+    // CollectLimit caps what reaches the driver: an over-bound
+    // vocabulary ships MaxDriverVocab+1 rows (the probe), never the
+    // whole table
+    val head = counts.limit(MaxDriverVocab + 1).collect()
+    if (head.length <= MaxDriverVocab)
+      trainLocal(head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+    else trainDistributed(docs, nMerges)
+  }
+
+  /** Driver-side greedy BPE over a collected (word, n) table. Replicates
+    * the distributed loop's semantics exactly:
+    *  - symbols = Unicode CODE POINTS of the word (Spark's
+    *    `split(w, "")` advances per code point, never splitting
+    *    surrogate pairs);
+    *  - pair counts weighted by word frequency, every adjacent
+    *    occurrence counted (= 2-shingles of the symbol sequence);
+    *  - argmax on count desc, then the "a b" pair string ascending in
+    *    UNSIGNED UTF-8 BYTE order — UTF8String's binary collation, NOT
+    *    java.lang.String's UTF-16 code-unit order (they diverge on
+    *    supplementary characters);
+    *  - merge applied greedily left-to-right, non-overlapping — the
+    *    array-walk twin of the two-space sentinel `replace` trick. */
+  private[graft] def trainLocal(words: Array[(String, Long)],
+      nMerges: Int): Seq[BpeMerge] = {
+    val syms: Array[Array[String]] = words.map { case (w, _) => codePoints(w) }
+    val freq: Array[Long] = words.map(_._2)
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        var j = 0
+        while (j + 1 < s.length) {
+          val key = (s(j), s(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + freq(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: (String, String) = null
+        var bestKey: String = null
+        var bestN = Long.MinValue
+        counts.foreach { case (p, c) =>
+          val key = p._1 + " " + p._2
+          if (c > bestN || (c == bestN && utf8Less(key, bestKey))) {
+            bestPair = p; bestKey = key; bestN = c
+          }
+        }
+        val (a, b) = bestPair
+        merges += BpeMerge(rank, a, b, bestN)
+        i = 0
+        while (i < syms.length) { syms(i) = mergePair(syms(i), a, b); i += 1 }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Greedy left-to-right non-overlapping (a, b) -> ab over a symbol
+    * sequence — exactly what one literal-`replace` pass does on the
+    * two-space sentinel string. */
+  private def mergePair(s: Array[String], a: String, b: String): Array[String] = {
+    var i = 0
+    var hit = false
+    while (!hit && i + 1 < s.length) {
+      if (s(i) == a && s(i + 1) == b) hit = true
+      i += 1
+    }
+    if (!hit) s
+    else {
+      val out = Array.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+          out += a + b; j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.result()
+    }
+  }
+
+  private def codePoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Unsigned UTF-8 byte-order strict-less-than — UTF8String's binary
+    * collation, the order Spark's `orderBy(col("pair"))` tie-break uses. */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(xb.length, yb.length)
+    var i = 0
+    while (i < n) {
+      val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    xb.length < yb.length
+  }
+
+  /** The distributed merge loop: one grouped pair aggregation + one-row
+    * driver argmax per merge. `private[graft]` so the parity spec can
+    * force this path on a small corpus and assert trajectory equality
+    * with [[trainLocal]]. */
+  private[graft] def trainDistributed(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
     var words = wordTable(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // one generation of lag before unpersisting: round k's collect is the
     // action that materializes generation k's cache, so generation k-1

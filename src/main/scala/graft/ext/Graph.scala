@@ -173,7 +173,11 @@ object Graph {
     * per-node result — bounded by the node count, tiny next to the
     * edge set — is eagerly materialized via localCheckpoint and the
     * two internal caches (`und`, `oriented`) are unpersisted before
-    * returning, so the call leaks nothing into the caller's session.
+    * returning, so no Dataset cache survives the call. The
+    * localCheckpoint's own RDD blocks DO outlive it (they back the
+    * returned frame) and are reclaimed by the ContextCleaner when the
+    * result is GC'd; callers that need them gone sooner sweep
+    * `spark.sparkContext.getPersistentRDDs` the way Bench/Verify do.
     * `materialize = false` is the graft-internal harness mode: it
     * returns the full lazy plan (required by the plan-shape specs,
     * which must see the joins, and by Bench, which must time plan +
@@ -248,6 +252,16 @@ object Graph {
     * Returns the surviving (node, core_deg) — each node's degree within
     * the final subgraph.
     *
+    * Fixed-point early exit: a peel that removes NO edges is the
+    * identity, and so is every later peel — so once the directed edge
+    * count is unchanged across a round, the remaining rounds are
+    * skipped. Result-identical to running all `rounds` (which is why
+    * the unrolled DuckDB oracle still matches); what it saves is the
+    * dominant cost at small scale, per-round JOB LATENCY (degree agg +
+    * two semi-joins + checkpoint ≈ fixed driver cost regardless of
+    * data size). The count itself is a cheap scan of the round's
+    * already-materialized checkpoint blocks.
+    *
     * Scale shape: each round is ONE map-combinable degree count + two
     * semi-joins restricting the edge set — no windows, no driver state
     * beyond the loop counter; eager per-round localCheckpoint keeps
@@ -257,10 +271,18 @@ object Graph {
     * `checkpointRounds = false` is a TEST hook: it keeps the full
     * 5-round logical plan inspectable (checkpointing truncates the plan
     * to cached blocks, which would make any plan-shape assertion
-    * vacuous). Production callers always checkpoint.
+    * vacuous). It also disables the early exit — the fixed-point probe
+    * is a count() ACTION, which would execute the very plan the hook
+    * exists to keep lazy.
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 5,
-      checkpointRounds: Boolean = true): DataFrame = {
+      checkpointRounds: Boolean = true): DataFrame =
+    kCoreWithRounds(pairs, k, rounds, checkpointRounds)._1
+
+  /** [[kCore]] plus the number of peel rounds actually executed —
+    * the early-exit contract's test surface. */
+  private[graft] def kCoreWithRounds(pairs: DataFrame, k: Int,
+      rounds: Int = 5, checkpointRounds: Boolean = true): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // localCheckpoint (eager) each round, not persist/unpersist: the
@@ -277,15 +299,26 @@ object Graph {
       .union(pairs.filter(col("a") =!= col("b"))
         .select(col("b").as("src"), col("a").as("dst")))
       .distinct())
-    for (_ <- 1 to rounds) {
+    var prevEdges = if (checkpointRounds) ed.count() else -1L
+    var round = 0
+    var fixedPoint = false
+    while (round < rounds && !fixedPoint) {
       val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("n"))
       ed = cp(ed
         .join(keep, ed("src") === keep("n"), "left_semi")
         .join(keep, ed("dst") === keep("n"), "left_semi"))
+      round += 1
+      if (checkpointRounds) {
+        val c = ed.count()
+        // unchanged count == no edge dropped == every node kept: the
+        // next round's keep-set is identical, hence a fixed point
+        if (c == prevEdges) fixedPoint = true
+        prevEdges = c
+      }
     }
-    ed.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("core_deg"))
+    (ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg")), round)
   }
 
   /** Degree assortativity (Pearson correlation of endpoint degrees over

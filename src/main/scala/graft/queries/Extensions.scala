@@ -16,6 +16,15 @@ import graft.ext.{Dedup, Graph, Multimodal, Quantize, Sampling, Similarity, Text
   */
 object Extensions {
 
+  /** The ONE k shared by the three approximate-ANN queries that use the
+    * join-back oracle (ann_lsh_topk / ann_ivf_topk / ann_pq_topk) AND by
+    * [[joinBackCosineSql]]'s `WHERE rk <= k` truncation. A single
+    * constant on purpose: if a query's k drifted from its oracle's, the
+    * oracle would keep truncating at the old k and the failure would
+    * surface as a confusing row-count mismatch instead of pointing at
+    * the drift. */
+  private val JoinBackAnnK = 5
+
   /** The bulk-line co-purchase graph shared by graph_triangles and
     * graph_kcore: parts linked when they appear in the same order, bulk
     * lines only (quantity >= 30) — the unfiltered fixture graph is
@@ -382,7 +391,7 @@ object Extensions {
     "ann_pq_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") % 100 === 0)
-      Similarity.rescoreExact(Quantize.pqTopK(emb, qs, k = 5), emb, qs)
+      Similarity.rescoreExact(Quantize.pqTopK(emb, qs, k = JoinBackAnnK), emb, qs)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -404,7 +413,8 @@ object Extensions {
     // approximate part and stays recall-gated in ExtensionsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = JoinBackAnnK)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -426,7 +436,8 @@ object Extensions {
     // recall and exact-at-full-probe are gated in ExtensionsSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = JoinBackAnnK)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -929,7 +940,7 @@ object Extensions {
     * hash-match (the oracle would happily re-rank the over-long set);
     * with it, any row past rank k exists on the Spark side only and
     * fails the row-count compare. */
-  private def joinBackCosineSql(name: String, k: Int = 5): String =
+  private def joinBackCosineSql(name: String, k: Int): String =
     s"""WITH got AS (SELECT qid, vec_id
        |  FROM read_parquet('__GRAFT_VERIFY_OUT__/$name/*.parquet')),
        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1339,9 +1350,9 @@ object Extensions {
 
     // approximate retrievers: join-back oracles — set approximate,
     // every emitted score/rank independently recomputed by DuckDB
-    "ann_lsh_topk" -> joinBackCosineSql("ann_lsh_topk"),
-    "ann_ivf_topk" -> joinBackCosineSql("ann_ivf_topk"),
-    "ann_pq_topk" -> joinBackCosineSql("ann_pq_topk"),
+    "ann_lsh_topk" -> joinBackCosineSql("ann_lsh_topk", JoinBackAnnK),
+    "ann_ivf_topk" -> joinBackCosineSql("ann_ivf_topk", JoinBackAnnK),
+    "ann_pq_topk" -> joinBackCosineSql("ann_pq_topk", JoinBackAnnK),
 
     "embed_mmr_select" -> {
       // one CTE per greedy step: m_t = per-candidate max similarity to

@@ -436,6 +436,26 @@ class CorpusSpec extends SparkSpec {
     assert(seg == "ab ab ab ab", s"segment skipped a repeat: '$seg'")
   }
 
+  test("BPE driver fast path matches the distributed trajectory exactly") {
+    // the oracle unrolls the merge trajectory, so the two paths must be
+    // bit-identical — assert it on the real fixture corpus (the corpus
+    // text_bpe_merges trains on) and on an adversarial toy built to
+    // stress the parity-sensitive spots: count ties (byte-order
+    // tie-break), repeated pairs (greedy scan), a supplementary-plane
+    // character (code-point splitting vs UTF-16 code units)
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaTrain = graft.ext.Bpe.train(fixture, nMerges = 6)
+    val viaDist = graft.ext.Bpe.trainDistributed(fixture, nMerges = 6)
+    assert(viaTrain == viaDist,
+      s"fast-path trajectory diverged on fixture:\n$viaTrain\nvs\n$viaDist")
+    val toy = Seq((1L, "zz zz 𝄞x𝄞x ba ba ab"))
+      .toDF("doc_id", "text")
+    val a = graft.ext.Bpe.train(toy, nMerges = 4)
+    val b = graft.ext.Bpe.trainDistributed(toy, nMerges = 4)
+    assert(a == b, s"fast-path trajectory diverged on toy:\n$a\nvs\n$b")
+  }
+
   test("Cdc treats null timestamps as oldest-known, never as current") {
     val changes = Seq(
       (1L, Some(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")), 100L, "a"),

@@ -161,9 +161,15 @@ class EventStreamsSpec extends SparkSpec {
     val fx = fixture
     val cut = fx.selectExpr("percentile_approx(ts, 0.5) AS c")
       .collect()(0).getTimestamp(0)
+    // name the trigger/response types EXPLICITLY (and verify they
+    // exist) instead of destructuring a sorted distinct() — a fixture
+    // regeneration reshuffling the type set would otherwise silently
+    // change which streams this test exercises
+    val (trigT, respT) = ("click", "error")
     val types = fx.select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val (trigT, respT) = (types(0), types(1))
+      .collect().map(_.getString(0)).toSet
+    assert(types.contains(trigT) && types.contains(respT),
+      s"fixture no longer has '$trigT'/'$respT' events: $types")
     def landB0(dir: java.nio.file.Path): Unit = {
       graft.sources.ParquetSlices.writeSingleFile(
         fx.filter(col("ts") <= cut), dir.resolve("b0.parquet"))

@@ -132,6 +132,29 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(pairsDf(path), k = 3, rounds = 4).count() == 0L)
   }
 
+  test("kCore early-exits at the fixed point and still matches the full run") {
+    // a K4 IS its own 2-core: round 1 removes nothing, so the fixed
+    // point is detected immediately and rounds 2..5 are skipped
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val (core, ran) = Graph.kCoreWithRounds(pairsDf(clique), k = 2, rounds = 5)
+    assert(ran == 1, s"already-converged graph should peel once, ran $ran")
+    assert(core.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set(1L, 2L, 3L, 4L).map(_ -> 3L))
+    // pendant chain needs the cascade (6 peels, then 5, then fixed):
+    // exit is AFTER convergence, never before — result identical to the
+    // uncapped run and the rounds executed are bounded by the cascade
+    // (executing the checkpointRounds=false lazy plan as a baseline is
+    // deliberately avoided: its 3^rounds-nested plan exists for SHAPE
+    // assertions, not execution — hand-compute the 2-core instead)
+    val es = clique ++ Seq((4L, 5L), (5L, 6L))
+    val (core2, ran2) = Graph.kCoreWithRounds(pairsDf(es), k = 2, rounds = 5)
+    assert(ran2 == 3, s"cascade depth 2 + 1 fixed-point probe, ran $ran2")
+    assert(core2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set(1L, 2L, 3L, 4L).map(_ -> 3L),
+      "early-exited cascade must still land on THE 2-core")
+  }
+
   test("pageRank ignores self-loops on both weighted and unweighted paths") {
     val sp = spark
     import sp.implicits._

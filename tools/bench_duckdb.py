@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Same-session DuckDB denominator for the bench acceptance ratio.
+
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracleSqlJson>
+
+Runs every STANDALONE oracle query (the few __GRAFT_VERIFY_OUT__
+join-back oracles read engine output and are skipped) against the
+fixture parquet in <sfDir>, with the same noise protocol as Bench:
+two interleaved full-suite passes, min per query. Prints ONE JSON line
+{"total": sec, "n": count, "skipped": count, "failed": count}.
+
+Invoked by graft.Bench after its own timing passes so BENCH_r{N}
+carries its own denominator (BASELINE.md "Engine acceptance target") —
+the ratio is measured minutes apart on the same host instead of being
+reconstructed across rounds.
+"""
+import sys, os, json, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(oracle_path))
+    runnable = {k: v for k, v in sorted(oracle.items())
+                if "__GRAFT_VERIFY_OUT__" not in v}
+    times, failed = {}, set()
+    for _pass in range(2):
+        for name, sql in runnable.items():
+            if name in failed:
+                continue
+            t0 = time.monotonic()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as e:
+                failed.add(name)
+                times.pop(name, None)
+                print(f"[duckdb-bench] FAIL {name}: {e}", file=sys.stderr)
+                continue
+            dt = time.monotonic() - t0
+            times[name] = min(times.get(name, float("inf")), dt)
+    print(json.dumps({
+        "total": round(sum(times.values()), 3),
+        "n": len(times),
+        "skipped": len(oracle) - len(runnable),
+        "failed": len(failed),
+    }))
+
+
+if __name__ == "__main__":
+    main()

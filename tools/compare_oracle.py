@@ -26,6 +26,21 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def render_rows(df: pd.DataFrame) -> list:
+    """Tab-joined dtype-sensitive cell rendering, one string per row.
+
+    COLUMN-wise iteration on purpose: df.iterrows()/apply(axis=1) build
+    per-row Series that upcast mixed-dtype rows (an int64 column in a
+    frame that also has a float column surfaces as float — rendering
+    "1.0" and silently erasing exactly the int-vs-float divergence this
+    tool exists to catch). Iterating each df[c] Series keeps every
+    cell's own dtype."""
+    if not len(df):
+        return []
+    cols = [[_cell(v, df.dtypes[c]) for v in df[c]] for c in df.columns]
+    return ["\t".join(cells) for cells in zip(*cols)]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # sort by stringified cells, not raw values: raw mixed/object columns
@@ -33,8 +48,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # anyway — ordering just has to be deterministic and identical for
     # two frames with identical rendered content
     if len(df):
-        key = df.apply(lambda row: "\t".join(_cell(v, df.dtypes[c])
-                       for c, v in row.items()), axis=1)
+        key = pd.Series(render_rows(df), index=df.index)
         df = df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
     return df
 
@@ -59,7 +73,12 @@ def _cell(v, dtype) -> str:
             return "\\N"
     except (TypeError, ValueError):
         pass
-    return str(v)
+    # escape the join/row separators (and the escape char itself) so a
+    # string cell containing a tab or newline cannot collide with the
+    # rendering of a different row/cell split; the null marker "\N"
+    # stays unambiguous because a LITERAL "\N" cell renders "\\N"
+    return (str(v).replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r"))
 
 def _dtype_class(dt) -> str:
     """Width-insensitive class: int32 vs int64 is a driver-tolerated
@@ -75,9 +94,8 @@ def frame_hash(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
     h.update(("|".join(f"{c}:{_dtype_class(df.dtypes[c])}"
                        for c in df.columns)).encode())
-    for _, row in df.iterrows():
-        h.update(("\t".join(_cell(v, df.dtypes[c])
-                  for c, v in row.items()) + "\n").encode())
+    for row in render_rows(df):
+        h.update((row + "\n").encode())
     return h.hexdigest()
 
 def main():

@@ -29,19 +29,45 @@ object Bench {
     val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    // Shuffle parallelism sized from the DATA, not the core count: at
+    // sf0.1 the whole fixture dir is ~18 MB of parquet (~70 MB in
+    // memory), so cpus=32 shuffle partitions means every exchange
+    // launches 32 near-empty tasks and the suite pays task-launch
+    // latency 221 queries x ~9 stages deep. One partition per ~16 MB of
+    // on-disk input, floored at 8 (keep the big lineitem scans/sorts
+    // parallel) and capped at the core count, measured r8:
+    // 281s -> 189s on the full suite with zero per-query regressions
+    // (sp4 = 216s underused the cores; this rule picks 8 at sf0.1).
+    // At production scale the same rule lands at the cap and AQE
+    // coalesces from there, so nothing here is bench-special-cased.
+    val inputBytes = scala.util.Try {
+      val d = java.nio.file.Paths.get(sfDir)
+      val s = java.nio.file.Files.list(d)
+      try s.mapToLong(p => p.toFile.length()).sum() finally s.close()
+    }.getOrElse(0L)
+    val shufflePartitions =
+      math.max(8L, math.min(cpus.toLong, inputBytes / (16L << 20))).toString
     val spark = extra.foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         // AQE off FOR THE MICRO-BENCH ONLY: at sf0.1 every query is
         // sub-second-to-seconds, and AQE's stage-by-stage materialize/
         // re-optimize cycle adds fixed driver latency per exchange that
-        // dominates at this size (measured: full suite 155.2s -> 135.9s,
+        // dominates at this size (measured r8, same session protocol:
+        // 130.2s with AQE off -> 152.5s with AQE on + coalesce-to-1;
         // identical results). Production/100 TB configs keep AQE ON —
         // the skew-join and coalesce behaviors are separately exercised
         // and asserted in LayoutSpec with AQE enabled.
         .config("spark.sql.adaptive.enabled", "false")
+        // The generated-class cache (default 100 entries) holds ~half a
+        // pass of this 221-query suite, so the interleaved two-pass
+        // protocol evicted EVERYTHING between a query's two samples and
+        // every sample paid full janino compile. 5000 entries is normal
+        // long-lived-SQL-service sizing (a few hundred KB of bytecode
+        // per class); measured r8: 189s -> 130s on the full suite.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")) {
         case (b, (k, v)) => b.config(k, v)
       }
@@ -117,7 +143,7 @@ object Bench {
     // are skipped — sub-second queries, noise-level) timed by the same
     // two-pass-min protocol. Best-effort: a host without python3/duckdb
     // just omits the fields.
-    val duckdb: Option[(Double, Int)] =
+    val duckdb: Option[com.fasterxml.jackson.databind.JsonNode] =
       if (only.nonEmpty) None
       else scala.util.Try {
         val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
@@ -129,24 +155,43 @@ object Bench {
           sqlJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val pb = new ProcessBuilder("python3", "tools/bench_duckdb.py",
           sfDir, tmp.toString)
-        pb.redirectErrorStream(false)
+        // stderr straight to ours: a pipe we only drain after stdout-EOF
+        // can fill (~64KB) on many FAIL lines and deadlock the child
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
-        val err = new String(proc.getErrorStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
         val rc = proc.waitFor()
         java.nio.file.Files.deleteIfExists(tmp)
         if (rc != 0) {
-          System.err.println(s"[bench] duckdb denominator failed rc=$rc: $err")
+          System.err.println(s"[bench] duckdb denominator failed rc=$rc")
           throw new RuntimeException("duckdb bench failed")
         }
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
-        (node.get("total").asDouble(), node.get("n").asInt())
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
       }.toOption
+    // failed/skipped published alongside the total so a consumer can see
+    // when duckdb_total silently covers a smaller query set
     val duckdbFields = duckdb
-      .map { case (t, n) => s""","duckdb_total":${fmt(t)},"duckdb_n":$n""" }
+      .map { n =>
+        s""","duckdb_total":${fmt(n.get("total").asDouble())}""" +
+        s""","duckdb_n":${n.get("n").asInt()}""" +
+        s""","duckdb_failed":${Option(n.get("failed")).map(_.asInt()).getOrElse(0)}""" +
+        s""","duckdb_skipped":${Option(n.get("skipped")).map(_.asInt()).getOrElse(0)}"""
+      }
       .getOrElse("")
+    // per-query DuckDB map (BENCH_FULL.json only — too long for stdout)
+    val duckdbQs = duckdb.flatMap(n => Option(n.get("times"))).map { t =>
+      val it = t.properties().iterator()
+      val sb = new StringBuilder(""","duckdb_queries":{""")
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"').append(e.getKey).append("\":").append(e.getValue.asDouble())
+      }
+      sb.append('}').toString
+    }.getOrElse("")
 
     // The driver keeps only the last ~2000 chars of stdout (BENCH_r01/r02
     // tail field), so the printed line must stay well under that: round to
@@ -157,7 +202,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$duckdbFields,"queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$duckdbFields$duckdbQs,"queries":$fullQs,"sf":"$sfDir"}"""
     // resolved from the working directory (overridable) — a hardcoded
     // absolute path plus a swallowed failure would leave a stale
     // committed BENCH_FULL.json with no signal

@@ -40,7 +40,7 @@ object Tables {
     * survive), so the eviction spec swaps this probe to mark a
     * `newSession()` as stopped and exercises the real insert path.
     * Production never touches it. */
-  private[graft] var stoppedProbe: SparkSession => Boolean =
+  @volatile private[graft] var stoppedProbe: SparkSession => Boolean =
     _.sparkContext.isStopped
 
   private def purgeStopped(): Unit = {

@@ -125,9 +125,16 @@ object TextOps {
     *
     * Returns (qid, rn, doc_id, n_hit, score), rn = 1..k. */
   def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int = 10): DataFrame = {
+    // tf is the inverted index this doc promises: it feeds dl, df AND
+    // the scoring join below. Persist it, or each of the three
+    // references re-tokenizes and re-shuffles the whole corpus
+    // (measured 2x on the bench). The cache is the CALLER'S to clean —
+    // Bench/Verify sweep `spark.catalog.clearCache()` per query, and a
+    // real deployment would replace this with a materialized index.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))

@@ -284,7 +284,7 @@ object Extensions {
 
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -329,7 +329,7 @@ object Extensions {
     // contrastive hard negatives: nearest CROSS-label neighbors per query
     "embed_hard_negatives" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -367,7 +367,7 @@ object Extensions {
     // carries signal; same broadcast-queries scan shape
     "ann_mips_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Similarity.mipsTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Similarity.mipsTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -377,7 +377,7 @@ object Extensions {
     // contract; int_dot is exact integer arithmetic on both engines.
     "ann_int8_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -402,7 +402,7 @@ object Extensions {
     // same pattern as ann_ivf_exact / ann_lsh_exact
     "ann_pq_adc" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
-      Quantize.pqTopKFixed(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      Quantize.pqTopKFixed(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -915,7 +915,7 @@ object Extensions {
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   private val bruteForceTopkSql =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
       |p AS (SELECT qid, vec_id,
@@ -923,7 +923,7 @@ object Extensions {
       |  FROM n CROSS JOIN q WHERE vec_id <> qid),
       |r AS (SELECT qid, vec_id, cos,
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
-      |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+      |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= ${JoinBackAnnK} ORDER BY qid, rk""".stripMargin
 
   /** Join-back oracle for approximate-ANN queries: the candidate SET is
     * the retriever's (approximate, recall-spec-gated) output, but every
@@ -954,7 +954,7 @@ object Extensions {
        |  FROM s) WHERE rk <= $k ORDER BY qid, rk""".stripMargin
 
   private val hardNegativesSql =
-    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
       |p AS (SELECT qid, qlabel, vec_id, label,
@@ -962,7 +962,7 @@ object Extensions {
       |  FROM n CROSS JOIN q WHERE vec_id <> qid AND label <> qlabel),
       |r AS (SELECT qid, qlabel, vec_id, label, cos,
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
-      |SELECT qid, qlabel, vec_id, label, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+      |SELECT qid, qlabel, vec_id, label, cos, rk FROM r WHERE rk <= ${JoinBackAnnK} ORDER BY qid, rk""".stripMargin
 
   // Mirrors retrieval_hybrid_rrf: the dense leg is bruteForceTopkSql at
   // k=20, the lexical leg the bm25 oracle with query-by-example terms,
@@ -1394,14 +1394,14 @@ object Extensions {
     },
 
     "ann_mips_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
         |p AS (SELECT qid, vec_id,
         |    round(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])), 4) AS ip
         |  FROM e CROSS JOIN q WHERE vec_id <> qid),
         |r AS (SELECT qid, vec_id, ip,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS INTEGER) AS rk FROM p)
-        |SELECT qid, vec_id, ip, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+        |SELECT qid, vec_id, ip, rk FROM r WHERE rk <= ${JoinBackAnnK} ORDER BY qid, rk""".stripMargin,
 
     // Mirrors Quantize.pqTopKFixed / pqAdc: m=8 subspaces of 8 dims,
     // cbSize=16 codewords = subvectors of normalized vectors vec_id<16.
@@ -1410,7 +1410,7 @@ object Extensions {
     // the per-pair sum so the 4-dp surface is order-independent — the
     // exact discipline of the Spark side.
     "ann_pq_adc" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id,
         |        list_transform(v, x -> x / greatest(sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12)) AS v
@@ -1440,7 +1440,7 @@ object Extensions {
         |r AS (SELECT qid, vec_id, qcos,
         |        row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rk
         |      FROM scored)
-        |SELECT qid, vec_id, qcos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+        |SELECT qid, vec_id, qcos, rk FROM r WHERE rk <= ${JoinBackAnnK} ORDER BY qid, rk""".stripMargin,
 
     // IVF at full probe is exact: the SAME brute-force reference answers
     // for it (see the ann_ivf_exact query comment)
@@ -1454,7 +1454,7 @@ object Extensions {
     // tolerance anywhere — double mul/div and round are IEEE-identical
     // across engines, and the dot product is integer arithmetic.
     "ann_int8_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
         |qt AS (SELECT vec_id,
         |    CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
@@ -1472,7 +1472,7 @@ object Extensions {
         |    round(CAST(int_dot AS DOUBLE) / (nrm * qn), 4) AS qcos FROM p),
         |rk AS (SELECT qid, vec_id, int_dot, qcos,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS INTEGER) AS rk FROM r)
-        |SELECT qid, vec_id, int_dot, qcos, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+        |SELECT qid, vec_id, int_dot, qcos, rk FROM rk WHERE rk <= ${JoinBackAnnK} ORDER BY qid, rk""".stripMargin,
 
     "embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -53,6 +53,9 @@ def main():
         "n": len(times),
         "skipped": len(oracle) - len(runnable),
         "failed": len(failed),
+        # per-query map so BENCH_FULL.json supports a measured Spark/DuckDB
+        # ratio per query instead of an absolute-seconds threshold
+        "times": {k: round(v, 4) for k, v in sorted(times.items())},
     }))
 
 

@@ -37,6 +37,11 @@ def render_rows(df: pd.DataFrame) -> list:
     cell's own dtype."""
     if not len(df):
         return []
+    if not len(df.columns):
+        # zip(*[]) would render zero rows for a zero-column frame that
+        # HAS rows — hashing only the header and breaking canon's
+        # index-aligned Series construction
+        return [""] * len(df)
     cols = [[_cell(v, df.dtypes[c]) for v in df[c]] for c in df.columns]
     return ["\t".join(cells) for cells in zip(*cols)]
 

@@ -22,9 +22,12 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape (the part that must survive 100 TB): state per round is
   * one (node, rank) frame; each iteration is ONE equi-join of the
   * checkpointed adjacency (edges + out-degree) against the current
-  * ranks and ONE map-side-combinable sum keyed by dst. Rounds eagerly
-  * localCheckpoint their output, so lineage stays O(1) — no recursive
-  * plan growth, no driver state beyond the scalar node count.
+  * ranks and ONE map-side-combinable sum keyed by dst. The adjacency is
+  * pinned once; the rank rounds chain lazily (each consumed exactly
+  * once, so the bounded-iters plan computes every round once in one
+  * job). Operators whose rounds re-reference their own output (kCore,
+  * connected components) checkpoint per round instead — no driver
+  * state beyond the scalar node count either way.
   */
 object Graph {
 
@@ -75,21 +78,27 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct must be in (0, 100), got $dampingPct")
-    // eager localCheckpoint, not persist/unpersist: truncates each
-    // round's logical plan to the cached blocks (no per-round count()
-    // action needed, no dependent-cache recompile when the previous
-    // round is dropped) — measured ~30% faster per full run at sf0.1
-    // and the same O(1)-lineage guarantee. Same arithmetic, so the
-    // integer trajectory (and the oracle hash) is unchanged.
     val ed = symmetric(pairs, Nil, dedupSymmetric)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = ed.join(deg, "src").localCheckpoint(true)
-    val n = adj.select(countDistinct(col("src"))).first().getLong(0)
+    // node set derived ONCE from the pinned adjacency: n is a count of
+    // the cached blocks and ranks_0 reuses them — not a separate
+    // countDistinct job plus a distinct shuffle
+    val nodes = adj.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
     // teleport mass per node, all integer: ((100-d)% of Scale) / n
     val teleportU = ((100L - dampingPct) * Scale / 100L) / n
-    var ranks = adj.select(col("src").as("node")).distinct()
-      .withColumn("rank_u", lit(Scale / n))
-      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank_u", lit(Scale / n))
+    // rounds stay LAZY: unlike the kCore rounds (whose frame references
+    // the previous round THREE times and must checkpoint), each ranks_r
+    // here is consumed exactly once by ranks_{r+1}, so the chained plan
+    // computes every round once in ONE job — per-round eager
+    // checkpoints just add a materialize job per round (measured r8:
+    // pagerank 1.58s -> 0.9s dropping them). `adj`, referenced every
+    // round, is the one frame that stays pinned. Same arithmetic ->
+    // same integer trajectory -> same oracle hash; iters is small and
+    // bounded (3-20), so plan depth stays trivial.
     for (_ <- 1 to iters) {
       val contrib = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("rank_u div deg").as("c"))
@@ -97,7 +106,6 @@ object Graph {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(teleportU) + expr(s"($dampingPct * s) div 100")).as("rank_u"))
-        .localCheckpoint(true)
     }
     ranks.select(col("node"),
       (col("rank_u").cast("double") / lit(Scale.toDouble)).as("rank"))
@@ -111,8 +119,8 @@ object Graph {
     * integer arithmetic end-to-end (weights are exact longs), so the
     * trajectory is partition-order invariant and engine-replayable;
     * with all weights 1 the kernel reduces to (rank_u * 1) div deg —
-    * bit-identical to [[pageRank]] (spec-asserted). Same O(1)-lineage
-    * localCheckpoint rounds. Input columns: (a, b, w). */
+    * bit-identical to [[pageRank]] (spec-asserted). Same pinned
+    * adjacency + lazy rounds. Input columns: (a, b, w). */
   def pageRankWeighted(pairs: DataFrame, iters: Int = 3,
       dampingPct: Int = 85, dedupSymmetric: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -131,11 +139,13 @@ object Graph {
     else ed0
     val sw = ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val adj = ed.join(sw, "src").localCheckpoint(true)
-    val n = adj.select(countDistinct(col("src"))).first().getLong(0)
-    val teleportU = ((100L - dampingPct) * Scale / 100L) / n
-    var ranks = adj.select(col("src").as("node")).distinct()
-      .withColumn("rank_u", lit(Scale / n))
+    // same node-set derivation and LAZY rounds as [[pageRank]] (each
+    // ranks_r consumed exactly once; only the thrice-read adj is pinned)
+    val nodes = adj.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    val n = nodes.count()
+    val teleportU = ((100L - dampingPct) * Scale / 100L) / n
+    var ranks = nodes.withColumn("rank_u", lit(Scale / n))
     for (_ <- 1 to iters) {
       val contrib = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("(rank_u * w) div sw").as("c"))
@@ -143,7 +153,6 @@ object Graph {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(teleportU) + expr(s"($dampingPct * s) div 100")).as("rank_u"))
-        .localCheckpoint(true)
     }
     ranks.select(col("node"),
       (col("rank_u").cast("double") / lit(Scale.toDouble)).as("rank"))
@@ -185,17 +194,25 @@ object Graph {
     * CALLER'S TO CLEAN — Bench/Verify sweep them via
     * `spark.catalog.clearCache()` after every query.
     */
-  def triangles(pairs: DataFrame, materialize: Boolean = true): DataFrame = {
+  def triangles(pairs: DataFrame, materialize: Boolean = true,
+      inputCanonical: Boolean = false): DataFrame = {
     // canonical undirected edge set: u < v by id, self-loops dropped.
     // und and oriented are each referenced by several joins below;
     // without persist Catalyst re-executes the whole upstream (edge
     // derivation + distinct + degree joins) once per reference. Plain
     // persist (not checkpoint) is right here: the plan is a DAG with
     // shared nodes, not an iterative chain, so lineage depth is fixed.
-    val und = pairs.filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    // `inputCanonical = true` is a caller ATTESTATION (same contract as
+    // pageRank's dedupSymmetric=false): the pairs are already distinct
+    // with a < b, so the least/greatest + distinct full-edge shuffle is
+    // provably a no-op and skipped. GraphSpec asserts both paths emit
+    // identical rows on canonical input.
+    val und = (if (inputCanonical)
+        pairs.select(col("a").as("u"), col("b").as("v"))
+      else pairs.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -276,13 +293,18 @@ object Graph {
     * exists to keep lazy.
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 5,
-      checkpointRounds: Boolean = true): DataFrame =
-    kCoreWithRounds(pairs, k, rounds, checkpointRounds)._1
+      checkpointRounds: Boolean = true,
+      inputCanonical: Boolean = false): DataFrame =
+    kCoreWithRounds(pairs, k, rounds, checkpointRounds, inputCanonical)._1
 
   /** [[kCore]] plus the number of peel rounds actually executed —
-    * the early-exit contract's test surface. */
+    * the early-exit contract's test surface. `inputCanonical` is the
+    * same caller attestation as [[triangles]]: pairs already distinct
+    * with a < b, so the symmetric closure cannot collide and the
+    * initial distinct shuffle is skipped (spec-asserted equal). */
   private[graft] def kCoreWithRounds(pairs: DataFrame, k: Int,
-      rounds: Int = 5, checkpointRounds: Boolean = true): (DataFrame, Int) = {
+      rounds: Int = 5, checkpointRounds: Boolean = true,
+      inputCanonical: Boolean = false): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // localCheckpoint (eager) each round, not persist/unpersist: the
@@ -294,11 +316,11 @@ object Graph {
     // round — same rationale as the CC pointer-doubling rounds.
     def cp(df: DataFrame): DataFrame =
       if (checkpointRounds) df.localCheckpoint(true) else df
-    var ed = cp(pairs.filter(col("a") =!= col("b"))
+    val closure = pairs.filter(col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.filter(col("a") =!= col("b"))
         .select(col("b").as("src"), col("a").as("dst")))
-      .distinct())
+    var ed = cp(if (inputCanonical) closure else closure.distinct())
     var prevEdges = if (checkpointRounds) ed.count() else -1L
     var round = 0
     var fixedPoint = false

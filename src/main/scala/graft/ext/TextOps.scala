@@ -955,10 +955,16 @@ object TextOps {
     * documents with at least one bigram. */
   def ccnetBuckets(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned: scored feeds the grid CDF, the per-language totals AND the
+    // final join — unpinned, each consumer replays the full bigramNll
+    // corpus explode (ReuseExchange only dedups the final exchange, not
+    // the three differently-keyed consumers' upstream). Cache is the
+    // caller's to sweep, as with bm25TopK's index.
     val scored = bigramNll(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .withColumn("ppl_score",
         round(col("sum_nll") / col("n_bigrams"), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dist = scored.groupBy(col("lang"), col("ppl_score"))
       .agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(col("lang")).orderBy(col("ppl_score"))

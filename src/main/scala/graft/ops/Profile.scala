@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * planning work on an unknown table: per column, row count, null count,
   * exact distinct count, and min/max (stringified for a uniform schema).
   *
-  * ONE pass over the data: all per-column aggregates run in a single
-  * aggregation (count-distincts plan as one Expand ×k — k row copies,
-  * each carrying one column, all partial/map-side combinable), then the
-  * 1-row wide result pivots driver-free into one row per column. At
-  * 100 TB this is the profile you can actually afford: a single scan, no
-  * per-column jobs, no driver collection of data values.
+  * One aggregation LEG per column, unioned. The tempting alternative —
+  * all columns in a single agg — plans k exact count-distincts as ONE
+  * Expand ×(k+1): every input row is copied k+1 times before the
+  * shuffle, so profiling 4 columns shuffles 5× the table's rows
+  * (measured 90× DuckDB on the bench). Per-column legs instead read
+  * ONLY their own column (columnar pruning keeps total bytes read
+  * identical to the wide agg), rewrite as the no-Expand
+  * one-distinct plan (partials keyed by value, map-side combinable),
+  * and union k one-row results. No per-row multiplication, no driver
+  * collection of data values; at 100 TB the k value-keyed shuffles of
+  * distinct values are strictly smaller than one 5× row-copy shuffle.
   *
   * Numeric min/max stringify AFTER aggregation (min of the value, not of
   * its string form — "9" > "10" lexicographically). Callers profiling
@@ -21,21 +26,20 @@ import org.apache.spark.sql.functions._
 object Profile {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"_nn_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
-    }
-    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
-    wide.select(explode(array(cols.map(c => struct(
-        lit(c).as("col_name"),
-        col("_n").as("n_rows"),
-        (col("_n") - col(s"_nn_$c")).as("n_null"),
-        col(s"_nd_$c").as("n_distinct"),
-        col(s"_min_$c").as("min_s"),
-        col(s"_max_$c").as("max_s"))): _*)).as("p"))
-      .select(col("p.*"))
+    cols.map { c =>
+      df.select(col(c))
+        .agg(count(lit(1)).as("_n"),
+          count(col(c)).as("_nn"),
+          countDistinct(col(c)).as("_nd"),
+          min(col(c)).cast("string").as("_min"),
+          max(col(c)).cast("string").as("_max"))
+        .select(lit(c).as("col_name"),
+          col("_n").as("n_rows"),
+          (col("_n") - col("_nn")).as("n_null"),
+          col("_nd").as("n_distinct"),
+          col("_min").as("min_s"),
+          col("_max").as("max_s"))
+    }.reduce(_.unionAll(_))
   }
 
   /** Pre-join skew report: the top-k join keys by their JOIN OUTPUT

@@ -32,7 +32,8 @@ object Extensions {
     * combinatorics, not the operator. The quantity gate pushes to the
     * scan on both self-join sides. ONE definition so the two queries
     * (and their oracles, via [[bulkCoPurchaseEdgesSql]]) can never
-    * drift onto different graphs. */
+    * drift onto different graphs. Output is DISTINCT with a < b — the
+    * contract behind the consumers' inputCanonical attestation. */
   private def bulkCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.t(s, dir, "lineitem")
       .filter(col("l_quantity") >= 30)
@@ -478,9 +479,14 @@ object Extensions {
         count(lit(1)).as("n_rows"),
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      // ...and the two EXACT distincts split for the same reason: in one
+      // agg they'd plan as Expand ×3 (every lineitem row copied three
+      // times pre-shuffle); separately each is the no-Expand
+      // one-distinct rewrite over just its own column
       val exact = li.agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .crossJoin(li.agg(
+          countDistinct(col("l_orderkey")).as("exact_orders")))
       sketches.crossJoin(exact)
         .select(col("n_rows"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=
@@ -839,7 +845,8 @@ object Extensions {
     "graph_triangles" -> ((s, dir) => {
       // harness mode (lazy plan): PlanQualitySpec must see the joins and
       // Bench times plan+execution; Bench/Verify sweep the two caches
-      Graph.triangles(bulkCoPurchaseEdges(s, dir), materialize = false)
+      Graph.triangles(bulkCoPurchaseEdges(s, dir), materialize = false,
+          inputCanonical = true)
         .orderBy(col("node"))
     }),
 
@@ -887,7 +894,8 @@ object Extensions {
     // Each round is one degree count + two semi-joins, O(1) lineage —
     // the oracle replays the identical rounds as unrolled CTEs.
     "graph_kcore" -> ((s, dir) => {
-      Graph.kCore(bulkCoPurchaseEdges(s, dir), k = 8, rounds = 5)
+      Graph.kCore(bulkCoPurchaseEdges(s, dir), k = 8, rounds = 5,
+          inputCanonical = true)
         .orderBy(col("node"))
     }),
 

@@ -132,6 +132,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(pairsDf(path), k = 3, rounds = 4).count() == 0L)
   }
 
+  test("inputCanonical attestation equals the safe path on canonical input") {
+    // a canonical (distinct, a < b) edge list — the bulkCoPurchaseEdges
+    // contract — must produce IDENTICAL rows with and without the
+    // attestation, for both consumers that accept it
+    val es = (0L until 200L).map(i => ((i * 7) % 23, (i * 13) % 29 + 30))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val df = pairsDf(es)
+    val triSafe = Graph.triangles(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val triFast = Graph.triangles(df, inputCanonical = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(triFast == triSafe, "triangles diverged under attestation")
+    val coreSafe = Graph.kCore(df, k = 3, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coreFast = Graph.kCore(df, k = 3, rounds = 4, inputCanonical = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coreFast == coreSafe, "kCore diverged under attestation")
+  }
+
   test("kCore early-exits at the fixed point and still matches the full run") {
     // a K4 IS its own 2-core: round 1 removes nothing, so the fixed
     // point is detected immediately and rounds 2..5 are skipped

@@ -360,12 +360,17 @@ object Graph {
     * a plausible-looking wrong number. Returns one row: n (directed
     * edges), the five sums, r.
     */
-  def assortativity(pairs: DataFrame): DataFrame = {
-    val ed = pairs.filter(col("a") =!= col("b"))
+  def assortativity(pairs: DataFrame,
+      dedupSymmetric: Boolean = true): DataFrame = {
+    // dedupSymmetric = false is the same attestation as pageRank's:
+    // input already one row per undirected edge with a collision-free
+    // closure (bipartite domains or canonical orientation), so the
+    // full-edge-list distinct shuffle is skipped (spec-asserted equal)
+    val closure = pairs.filter(col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.filter(col("a") =!= col("b"))
         .select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+    val ed = if (dedupSymmetric) closure.distinct() else closure
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // widen BEFORE the product: Long*Long wraps pre-sum for hub degrees
     val dxD = col("dx").cast(DecimalType(19, 0))

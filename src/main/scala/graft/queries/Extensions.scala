@@ -475,10 +475,16 @@ object Extensions {
       // split shape is also the 100 TB shape: sketch buffers must only
       // ever exist once per group, not once per distinct key.
       val li = tf(s, dir, "lineitem")
+      // DataSketches HLL (lgK=14, rse ~0.8% << the 6% tol the oracle
+      // flags assert), not approx_count_distinct: HLL++ is a
+      // non-codegen ImperativeAggregate whose per-row update measured
+      // 2.5x slower than the sketch library on the same scan
       val sketches = li.agg(
         count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14)))
+          .as("ap"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
+          .as("ao"))
       // ...and the two EXACT distincts split for the same reason: in one
       // agg they'd plan as Expand ×3 (every lineitem row copied three
       // times pre-shuffle); separately each is the no-Expand
@@ -886,7 +892,8 @@ object Extensions {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      Graph.assortativity(e)
+      // same bipartite-distinct attestation as graph_pagerank
+      Graph.assortativity(e, dedupSymmetric = false)
     }),
 
     // ---- k-core peeling of the same bulk co-purchase graph: the dense

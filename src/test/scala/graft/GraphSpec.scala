@@ -264,6 +264,12 @@ class GraphSpec extends SparkSpec {
     val a = Graph.assortativity(pairsDf(star ++ path).repartition(1)).first()
     val b = Graph.assortativity(pairsDf(star ++ path).repartition(13)).first()
     assert(a == b, "assortativity must be partition-order invariant")
+    // attestation path: on collision-free input (distinct edges, every
+    // pair canonically oriented) skipping the closure dedup must be
+    // row-identical to the safe path
+    val c = Graph.assortativity(pairsDf(star ++ path),
+      dedupSymmetric = false).first()
+    assert(c == a, "dedupSymmetric=false diverged on honest input")
   }
 
   test("per-iteration plan is join + partial-aggregated sum, no cartesian") {

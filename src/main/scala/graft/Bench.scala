@@ -74,6 +74,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Every unpartitioned window this engine executes ranks a BOUNDED
+    // frame: a limit-N result (zipf/vocab top ranks), the grid CDF whose
+    // cardinality TextOps.lowerMedian guards with a runtime error, a
+    // per-month series, or one micro-batch. WindowExec's blanket
+    // move-everything warning is noise for those — and a constant
+    // partition key cannot state the bound in the plan because
+    // EliminateWindowPartitions strips foldable keys — so the one
+    // logger is pinned to ERROR; the genuinely dangerous case dies on
+    // the lowerMedian guard instead of a warning nobody reads.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
     // warmup: JIT + whole-stage-codegen compile paths + page-cache the
     // inputs. Each read individually guarded — one missing fixture table
     // must degrade that warmup, not kill the whole round before a single

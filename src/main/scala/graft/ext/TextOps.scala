@@ -416,12 +416,10 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(topN)
     val ranked = top
-      // constant partition key: input is the topN-row limit result, so
-      // the single-partition window is bounded BY CONSTRUCTION — the
-      // explicit key keeps WindowExec from logging its move-everything
-      // warning for a 100-row frame
+      // single-partition window over the topN-row limit result — bounded
+      // by construction (see Bench/Verify's WindowExec note)
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy(lit(0)).orderBy(col("c").desc, col("w"))))
+        .Window.orderBy(col("c").desc, col("w"))))
       .select(log(col("rk").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
     val terms = ranked.select(
@@ -855,11 +853,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     // vals: one column `_s` (long)
     val grid = vals.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
-    // constant partition key: the grid is cardinality-guarded below, so
-    // the single-partition cumulative window is safe by construction —
-    // the explicit key silences WindowExec's unpartitioned-window
-    // warning that would otherwise read as a scale risk every bench run
-    val w = Window.partitionBy(lit(0)).orderBy(col("_s"))
+    // single-partition cumulative window over the grid — safe by
+    // construction because the grid cardinality is guarded below
+    val w = Window.orderBy(col("_s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = grid.withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
     // the guard is fused into `_n` (which `idx` consumes) so column

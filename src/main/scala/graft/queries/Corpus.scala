@@ -550,6 +550,7 @@ object Corpus {
     // assigned on those rows only; totals are one exact aggregation.
     // Ratios are single IEEE divisions of exact longs.
     "text_vocab_coverage" -> ((s, dir) => {
+      // single-partition window over the 30-row limit result — bounded
       val wTop = org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("term"))
       val vocab = tf(s, dir, "documents")

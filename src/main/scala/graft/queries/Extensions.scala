@@ -607,6 +607,7 @@ object Extensions {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // single-partition window over the 9-row limit result — bounded
       val w9 = org.apache.spark.sql.expressions.Window
         .orderBy(col("df").desc, col("term"))
       val qt = dfT.orderBy(col("df").desc, col("term")).limit(9)

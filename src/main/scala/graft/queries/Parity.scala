@@ -43,9 +43,7 @@ object Parity {
 
     "ref_transform" -> ((s, _) => {
       val withSeq = transformInput(s)
-        .withColumn("seq", row_number().over(
-          // generator batches are <= a few hundred rows — bounded window
-          Window.partitionBy(lit(0)).orderBy(col("i"))))
+        .withColumn("seq", row_number().over(Window.orderBy(col("i"))))
       TransformOp.transform(withSeq, lit("batch-0"), col("seq"),
           PreferredLocations, now = to_timestamp(lit(FrozenNow)))
         .orderBy(col("id").cast("int"))

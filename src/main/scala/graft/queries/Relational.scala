@@ -1275,9 +1275,8 @@ object Relational {
       val monthly = t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-      // constant partition key: the series is one row per month (dozens),
-      // bounded by construction — silences the unpartitioned-window WARN
-      val w = Window.partitionBy(lit(0)).orderBy(col("month"))
+      // single-partition window: one row per month (dozens), bounded
+      val w = Window.orderBy(col("month"))
       monthly
         .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
         .withColumn("mom_pct",

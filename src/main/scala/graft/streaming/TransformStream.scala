@@ -64,10 +64,9 @@ final class TransformStream(
         try {
           if (!pinned.isEmpty) {
             val batchGuid = UUID.randomUUID().toString // P4: driver-side, per batch
-            // constant partition key: the frame is one micro-batch
-            // (maxFilesPerTrigger-bounded), single-partition by design —
-            // silences the unpartitioned-window WARN per trigger
-            val seqW = Window.partitionBy(lit(0)).orderBy(col("id"))
+            // single-partition window: one maxFilesPerTrigger-bounded
+            // micro-batch, by design
+            val seqW = Window.orderBy(col("id"))
             val withSeq = pinned.withColumn("seq", row_number().over(seqW))
             val now = frozenNow.map(s => to_timestamp(lit(s)))
               .getOrElse(current_timestamp())

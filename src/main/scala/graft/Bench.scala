@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   * (BASELINE.md "Engine acceptance target").
   */
 object Bench {
+  /** The data-sized shuffle-parallelism rule (see the builder comment):
+    * one partition per 16 MB of on-disk input, floored at 8, capped at
+    * the core count. Pulled out of main so BenchConfigSpec can pin the
+    * floor/cap/slope behavior. */
+  private[graft] def shufflePartitionsFor(inputBytes: Long, cpus: Int): Int =
+    math.max(8L, math.min(cpus.toLong, inputBytes / (16L << 20))).toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,8 +52,7 @@ object Bench {
       val s = java.nio.file.Files.list(d)
       try s.mapToLong(p => p.toFile.length()).sum() finally s.close()
     }.getOrElse(0L)
-    val shufflePartitions =
-      math.max(8L, math.min(cpus.toLong, inputBytes / (16L << 20))).toString
+    val shufflePartitions = shufflePartitionsFor(inputBytes, cpus.toInt).toString
     val spark = extra.foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", shufflePartitions)

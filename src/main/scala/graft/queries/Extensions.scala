@@ -540,14 +540,19 @@ object Extensions {
     // shingle index.
     "dedup_minhash_calibration" -> ((s, dir) => {
       val docs = plantedDocs(s, dir)
-      // est and sh each feed several consumers, but measured (twice,
-      // same session) pinning either is a wash-to-loss here: AQE's
-      // runtime stage reuse already covers the diamond, and the cache
-      // write tax per bench run exceeds the recompute saved
+      // est (the whole LSH detector) feeds the intersection join AND the
+      // final projection; sh feeds sizes plus both intersection legs.
+      // Pinning both measured ~0.5s on the bench (an earlier note called
+      // this a wash citing AQE stage reuse — but the bench session runs
+      // AQE off, and ReuseExchange only dedups the final exchange, not
+      // the detector pipeline upstream of three differently-keyed
+      // consumers). Caches are the caller's to sweep, as with bm25TopK.
       val est = Dedup.minhashLshPairs(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sh = docs
         .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = est.select(col("i"), col("j"))
         .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))

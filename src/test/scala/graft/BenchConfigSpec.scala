@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's data-sized shuffle-parallelism rule so a refactor
+  * can't silently regress the floor (small fixtures must still keep the
+  * big scans parallel), the cap (never more partitions than cores), or
+  * the slope (one partition per 16 MB of input between them). */
+class BenchConfigSpec extends AnyFunSuite {
+
+  private val MB = 1L << 20
+
+  test("floor: tiny inputs get 8 partitions regardless of core count") {
+    assert(Bench.shufflePartitionsFor(0L, 32) == 8)
+    assert(Bench.shufflePartitionsFor(18 * MB, 32) == 8) // the sf0.1 case
+    assert(Bench.shufflePartitionsFor(127 * MB, 32) == 8)
+  }
+
+  test("slope: one partition per 16 MB between floor and cap") {
+    assert(Bench.shufflePartitionsFor(160 * MB, 32) == 10)
+    assert(Bench.shufflePartitionsFor(256 * MB, 32) == 16)
+  }
+
+  test("cap: partitions never exceed the core count") {
+    assert(Bench.shufflePartitionsFor(10L * 1024 * MB, 32) == 32)
+    assert(Bench.shufflePartitionsFor(Long.MaxValue / 4, 32) == 32)
+    // a smaller host caps lower but the floor still wins below it —
+    // degenerate cpus < 8 keeps the floor (local test hosts)
+    assert(Bench.shufflePartitionsFor(10L * 1024 * MB, 4) == 8)
+  }
+}

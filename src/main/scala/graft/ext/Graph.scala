@@ -53,12 +53,19 @@ object Graph {
     // double its own degree/flow — on every path, so the w=1 ==
     // unweighted-PageRank equivalence holds on any input
     val simple = pairs.filter(col("a") =!= col("b"))
+    // one-pass closure via a map-side explode, NOT union(fwd, rev): a
+    // union's two legs each embed the full upstream plan, so an edge
+    // list that is itself a join (the co-purchase and trade graphs)
+    // would be computed twice — ReuseExchange only dedups the final
+    // exchange, not the upstream join work. The explode doubles rows
+    // map-locally in the same scan task for free.
+    val both = simple.select(explode(array(
+      struct((col("a").as("src") +: col("b").as("dst") +:
+        extra.map(c => col(c).as(c))): _*),
+      struct((col("b").as("src") +: col("a").as("dst") +:
+        extra.map(c => col(c).as(c))): _*))).as("e"))
     val cols = Seq("src", "dst") ++ extra
-    val fwd = simple.select((col("a").as("src") +: col("b").as("dst") +:
-      extra.map(col)): _*)
-    val rev = simple.select((col("b").as("src") +: col("a").as("dst") +:
-      extra.map(col)): _*)
-    val u = fwd.union(rev).toDF(cols: _*)
+    val u = both.select(cols.map(c => col(s"e.$c").as(c)): _*)
     if (dedupSymmetric && extra.isEmpty) u.distinct() else u
   }
 
@@ -316,11 +323,9 @@ object Graph {
     // round — same rationale as the CC pointer-doubling rounds.
     def cp(df: DataFrame): DataFrame =
       if (checkpointRounds) df.localCheckpoint(true) else df
-    val closure = pairs.filter(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.filter(col("a") =!= col("b"))
-        .select(col("b").as("src"), col("a").as("dst")))
-    var ed = cp(if (inputCanonical) closure else closure.distinct())
+    // one-pass symmetric closure (see [[symmetric]] — the union form
+    // would compute the upstream edge build twice)
+    var ed = cp(symmetric(pairs, Nil, dedupSymmetric = !inputCanonical))
     var prevEdges = if (checkpointRounds) ed.count() else -1L
     var round = 0
     var fixedPoint = false
@@ -366,11 +371,7 @@ object Graph {
     // input already one row per undirected edge with a collision-free
     // closure (bipartite domains or canonical orientation), so the
     // full-edge-list distinct shuffle is skipped (spec-asserted equal)
-    val closure = pairs.filter(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.filter(col("a") =!= col("b"))
-        .select(col("b").as("src"), col("a").as("dst")))
-    val ed = if (dedupSymmetric) closure.distinct() else closure
+    val ed = symmetric(pairs, Nil, dedupSymmetric)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // widen BEFORE the product: Long*Long wraps pre-sum for hub degrees
     val dxD = col("dx").cast(DecimalType(19, 0))

@@ -485,14 +485,14 @@ object Extensions {
           .as("ap"),
         hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
           .as("ao"))
-      // ...and the two EXACT distincts split for the same reason: in one
-      // agg they'd plan as Expand ×3 (every lineitem row copied three
-      // times pre-shuffle); separately each is the no-Expand
-      // one-distinct rewrite over just its own column
+      // ...and the two EXACT distincts in ONE agg: this plans as Expand
+      // x3 (each row copied per distinct group), but the partial
+      // aggregate dedups each copy stream to its own distinct values
+      // before the shuffle, so what crosses the wire is ~|parts| +
+      // |orders| keys — one job instead of two single-column jobs
       val exact = li.agg(
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .crossJoin(li.agg(
-          countDistinct(col("l_orderkey")).as("exact_orders")))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
       sketches.crossJoin(exact)
         .select(col("n_rows"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=

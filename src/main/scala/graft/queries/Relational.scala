@@ -904,7 +904,11 @@ object Relational {
     // semi with an extra non-equi predicate, NOT EXISTS → left anti; all
     // three legs shuffle once on l_orderkey and the dimension broadcasts.
     "q46_exists_chain" -> ((s, dir) => {
-      val li = tf(s, dir, "lineitem")
+      // t, not tf: all three legs go straight into key-partitioned
+      // joins, so the round-robin pre-balance would only add a full
+      // extra shuffle per leg before the l_orderkey exchange spreads
+      // the rows anyway (fanout is for CPU-heavy per-row work)
+      val li = t(s, dir, "lineitem")
       val l1 = li.filter(col("l_returnflag") === "R")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, tf}
 import graft.ext.{Classifier, Cluster, Curation, Dedup, Sampling, Similarity, TextOps}
@@ -16,8 +17,18 @@ object Corpus {
 
   /** Near-dup pair set feeding the clustering queries — the (already
     * oracle-checked) n-gram Jaccard detector over the planted corpus. */
-  private def plantedPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Extensions.plantedDocs(s, dir), n = 3, threshold = 0.5)
+  /** The detector edge set over a caller-supplied planted-docs frame —
+    * takes the FRAME (not the session) so consumers that also read the
+    * docs themselves can persist one copy and feed both uses. */
+  private def plantedPairs(docs: DataFrame): DataFrame =
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+
+  /** Pinned planted corpus for queries that consume it at least twice
+    * (detector input + apply/join side). Bench/Verify sweep caches
+    * after every query, so the persist is query-local. */
+  private def plantedPinned(s: SparkSession, dir: String): DataFrame =
+    Extensions.plantedDocs(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   // DuckDB twin of [[plantedPairs]] — the SAME CTE chain the detector's
   // own oracle checks, ending in jp(i, j, jaccard)
@@ -49,10 +60,19 @@ object Corpus {
     // union estimate costs ONE tiny agg over the per-source sketches,
     // where the exact union distinct re-shuffles every document text.
     "corpus_sketch_union" -> ((s, dir) => {
-      val d0 = tf(s, dir, "documents").select(col("source"), col("text"))
+      // exact distincts count md5 DIGESTS, not raw texts: distinct-agg
+      // partials shuffle every candidate value, and 16-byte digests cut
+      // that to ~2% of the text bytes with the identical count (the
+      // oracle's COUNT(DISTINCT text) matches because md5 equality is
+      // text equality on any non-adversarial corpus). The digest+sketch
+      // input frame feeds three aggregations, so it is persisted for
+      // the query (Bench/Verify sweep caches afterwards).
+      val d0 = tf(s, dir, "documents")
+        .select(col("source"), col("text"), md5(col("text")).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val per = d0.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("exact_distinct"))
+        countDistinct(col("d")).as("exact_distinct"))
       val sk = d0.groupBy(col("source"))
         .agg(hll_sketch_agg(col("text")).as("sk"))
       val perEst = per.join(sk.select(col("source"),
@@ -60,7 +80,7 @@ object Corpus {
       val allEst = sk.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       val allRow = d0.agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("text")).as("exact_distinct"))
+          countDistinct(col("d")).as("exact_distinct"))
         .crossJoin(allEst)
         .select(lit("(all)").as("source"), col("n_docs"),
           col("exact_distinct"),
@@ -192,12 +212,13 @@ object Corpus {
     }),
 
     "dedup_cluster" -> ((s, dir) => {
-      Cluster.connectedComponents(plantedPairs(s, dir))
+      Cluster.connectedComponents(plantedPairs(Extensions.plantedDocs(s, dir)))
         .orderBy(col("doc_id"))
     }),
 
     "dedup_apply_cluster" -> ((s, dir) => {
-      Cluster.applyClusterDedup(Extensions.plantedDocs(s, dir), plantedPairs(s, dir))
+      val docs = plantedPinned(s, dir)
+      Cluster.applyClusterDedup(docs, plantedPairs(docs))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -206,7 +227,7 @@ object Corpus {
     // (and exposes boilerplate mega-clusters). Two grouped counts over
     // the (already tiny) component table.
     "dedup_cluster_sizes" -> ((s, dir) => {
-      Cluster.connectedComponents(plantedPairs(s, dir))
+      Cluster.connectedComponents(plantedPairs(Extensions.plantedDocs(s, dir)))
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -220,8 +241,9 @@ object Corpus {
     // per-doc hashing cannot give. Singletons hash their own id (same
     // as sample_split); only clustered docs move.
     "sample_split_clustered" -> ((s, dir) => {
-      val labeled = Extensions.plantedDocs(s, dir)
-        .join(Cluster.connectedComponents(plantedPairs(s, dir)),
+      val docs = plantedPinned(s, dir)
+      val labeled = docs
+        .join(Cluster.connectedComponents(plantedPairs(docs)),
           Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       Sampling.assignSplits(labeled, col("cluster_id"),
@@ -235,8 +257,9 @@ object Corpus {
     // token tail" near-dups beat their originals, demonstrating the
     // survivor really follows the score, not the id.
     "dedup_apply_best" -> ((s, dir) => {
-      Cluster.applyClusterDedupBest(Extensions.plantedDocs(s, dir),
-          plantedPairs(s, dir), length(col("text")))
+      val docs = plantedPinned(s, dir)
+      Cluster.applyClusterDedupBest(docs,
+          plantedPairs(docs), length(col("text")))
         .select(col("doc_id"), col("cluster_id"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
@@ -390,7 +413,8 @@ object Corpus {
     }),
 
     "dedup_apply_pairs" -> ((s, dir) => {
-      Dedup.applyPairDedup(Extensions.plantedDocs(s, dir), plantedPairs(s, dir))
+      val docs = plantedPinned(s, dir)
+      Dedup.applyPairDedup(docs, plantedPairs(docs))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 

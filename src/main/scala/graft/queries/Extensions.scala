@@ -238,7 +238,10 @@ object Extensions {
     // positives; jaccard_only = banding misses). A full-outer join of two
     // EDGE SETS (both ≪ corpus), then one grouped count.
     "dedup_detector_agreement" -> ((s, dir) => {
+      // both detectors shingle the same corpus: pin the planted frame so
+      // the 3-branch union + scan runs once (caches swept by the caller)
       val docs = plantedDocs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val jp = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
         .select(col("i"), col("j"), lit(true).as("in_j"))
       val mh = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.5)
@@ -813,7 +816,11 @@ object Extensions {
     // APPLY the span cut list: duplicated 5-gram spans removed everywhere
     // but their min-doc owner, surviving tokens reassembled
     "dedup_apply_spans" -> ((s, dir) => {
-      Dedup.applySpanDedup(plantedDocs(s, dir), n = 5)
+      // the apply consumes docs twice (gram postings + token stream):
+      // pin the planted frame so the 3-branch union runs once
+      Dedup.applySpanDedup(plantedDocs(s, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          n = 5)
         .orderBy(col("doc_id"))
     }),
 

@@ -186,7 +186,10 @@ object Relational {
 
     // ---- rollup with grouping sets (null grouping rows coalesced for parity)
     "q11_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      // tf: rollup plans as Expand x3 BEFORE the partial aggregate, so
+      // on a single-row-group fixture scan the tripled row stream would
+      // grind through one task; the pre-balance spreads the Expand
+      tf(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
@@ -1097,7 +1100,9 @@ object Relational {
     // order-key set is aggregated once and semi-joins orders — the
     // lineitem fact shuffles once for the HAVING and once for the spend
     "q66_big_orders" -> ((s, dir) => {
-      val l = tf(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      // t, not tf: the lineitem leg goes straight into a keyed groupBy,
+      // so the round-robin pre-balance is a pure extra shuffle
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val bigKeys = l.groupBy(col("l_orderkey"))
         .agg(sum(dec(col("l_quantity"))).as("sum_qty"))

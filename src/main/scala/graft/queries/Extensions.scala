@@ -38,9 +38,23 @@ object Extensions {
     val li = graft.Tables.t(s, dir, "lineitem")
       .filter(col("l_quantity") >= 30)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
-        col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    // posting-list shape, not a self-join: group the (few) bulk parts
+    // of each order into a sorted distinct array and emit the ordered
+    // pairs map-side — the same one-shuffle pattern as the dedup
+    // detectors, replacing the self-join's second sorted leg and the
+    // join itself. Per-order part counts are bounded (an order has ~4-7
+    // lines), so the local pair blowup is trivially safe; identical
+    // pair SET to the join formulation (a < b from a sorted distinct
+    // array), so the DISTINCT below and the DuckDB twin are unchanged.
+    li.groupBy(col("ok"))
+      .agg(array_sort(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ps")) - 1),
+          i => transform(slice(col("ps"), i + 1, size(col("ps")) - i),
+            e => struct(element_at(col("ps"), i).as("a"), e.as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       // the DuckDB twin SELECTs DISTINCT; dedup here too so the two
       // definitions are equivalent on their own, not just after the
       // consumers (triangles/kCore) happen to re-dedup internally
@@ -58,13 +72,21 @@ object Extensions {
   /** Planted-dup corpus: exact copies of doc_id % 25 == 0 (ids +200000)
     * and near-copies (3 appended tokens) of doc_id % 25 == 13 (+100000). */
   def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan, not a 3-branch union: the branches only differ in a
+    // doc_id predicate, and each union leg re-decodes the full parquet
+    // text column (~0.45s at sf0.1, paid by every detector query).
+    // Each row explodes into its 1-3 planted variants map-side; the
+    // row SET is identical to the union form.
     val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
-    val exact = base.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
-    val near = base.filter(col("doc_id") % 25 === 13)
-      .select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" extra token tail")).as("text"))
-    base.unionByName(exact).unionByName(near)
+    base.select(explode(filter(array(
+        struct(col("doc_id"), col("text")),
+        when(col("doc_id") % 25 === 0,
+          struct((col("doc_id") + 200000).as("doc_id"), col("text"))),
+        when(col("doc_id") % 25 === 13,
+          struct((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra token tail")).as("text")))),
+        x => x.isNotNull)).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
   }
 
   private[queries] val plantedSql =

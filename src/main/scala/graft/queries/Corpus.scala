@@ -269,11 +269,18 @@ object Corpus {
     // punctuation-only reformattings that raw-hash dedup misses. Planted:
     // doc_id%25==7 re-landed with doubled spaces and a trailing "!!"
     "dedup_fingerprint" -> ((s, dir) => {
-      val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
-      val reformatted = base.filter(col("doc_id") % 25 === 7)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(regexp_replace(col("text"), " ", "  "), lit(" !!")).as("text"))
-      val docs = base.unionByName(reformatted)
+      // one scan: each row explodes into itself plus (for %25==7) its
+      // reformatted copy map-side — the union form re-decoded the
+      // parquet text column once per branch
+      val docs = tf(s, dir, "documents")
+        .select(explode(filter(array(
+            struct(col("doc_id"), col("text")),
+            when(col("doc_id") % 25 === 7,
+              struct((col("doc_id") + 300000).as("doc_id"),
+                concat(regexp_replace(col("text"), " ", "  "), lit(" !!"))
+                  .as("text")))),
+          x => x.isNotNull)).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
       docs.groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
@@ -404,10 +411,16 @@ object Corpus {
     // embedding-cosine dedup APPLY: planted exact-copy vectors
     // (vec_id%25==0, +100000) must all be dropped at threshold 0.999
     "embed_dedup_apply" -> ((s, dir) => {
-      val base = tf(s, dir, "embeddings")
-      val planted = base.unionByName(
-        base.filter(col("vec_id") % 25 === 0)
-          .withColumn("vec_id", col("vec_id") + 100000))
+      // one scan (the union form decoded the float-array column twice)
+      val planted = tf(s, dir, "embeddings")
+        .select(explode(filter(array(
+            struct(col("vec_id"), col("embedding"), col("label")),
+            when(col("vec_id") % 25 === 0,
+              struct((col("vec_id") + 100000).as("vec_id"),
+                col("embedding"), col("label")))),
+          x => x.isNotNull)).as("d"))
+        .select(col("d.vec_id").as("vec_id"),
+          col("d.embedding").as("embedding"), col("d.label").as("label"))
       Similarity.embedDedupApply(planted, threshold = 0.999)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
@@ -909,7 +922,10 @@ object Corpus {
     // content edits (id%5=1), additions (id%25=0 re-keyed) — classified
     // purely by fingerprint comparison over a slim full-outer join
     "corpus_diff" -> ((s, dir) => {
+      // base feeds the diff AND both branches of the synthetic next
+      // epoch: pin one scan (caches are swept by the caller)
       val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val next = base.filter(col("doc_id") % 10 =!= 3)
         .withColumn("text",
           when(col("doc_id") % 5 === 1, concat(col("text"), lit(" v2")))

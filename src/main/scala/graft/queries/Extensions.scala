@@ -298,13 +298,17 @@ object Extensions {
     // corpus is never re-paired against itself
     "dedup_minhash_incremental" -> ((s, dir) => {
       val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
-      val exact = base.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
-      val near = base.filter(col("doc_id") % 25 === 13)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" extra token tail")).as("text"))
-      Dedup.minhashLshAgainst(base, exact.unionByName(near),
-          n = 3, threshold = 0.5)
+      // the batch's two planted branches in one scan (see plantedDocs)
+      val batch = tf(s, dir, "documents")
+        .select(explode(filter(array(
+            when(col("doc_id") % 25 === 0,
+              struct((col("doc_id") + 200000).as("doc_id"), col("text"))),
+            when(col("doc_id") % 25 === 13,
+              struct((col("doc_id") + 100000).as("doc_id"),
+                concat(col("text"), lit(" extra token tail")).as("text")))),
+          x => x.isNotNull)).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      Dedup.minhashLshAgainst(base, batch, n = 3, threshold = 0.5)
         .orderBy(col("i"), col("j"))
     }),
 
@@ -664,11 +668,15 @@ object Extensions {
     // nearly all char-8-gram winnow fingerprints with their source; the
     // df cap keeps common-substring fingerprints out of the pair pool
     "dedup_winnow_pairs" -> ((s, dir) => {
-      val docs = tf(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.unionByName(
-        docs.filter(col("doc_id") % 25 === 7)
-          .select((col("doc_id") + 300000L).as("doc_id"),
-            concat(col("text"), lit(" !!")).as("text")))
+      // one scan: see plantedDocs — the union form decoded text twice
+      val planted = tf(s, dir, "documents")
+        .select(explode(filter(array(
+            struct(col("doc_id"), col("text")),
+            when(col("doc_id") % 25 === 7,
+              struct((col("doc_id") + 300000L).as("doc_id"),
+                concat(col("text"), lit(" !!")).as("text")))),
+          x => x.isNotNull)).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
       Dedup.winnowPairs(planted, minShared = 10, maxDocFreq = 8)
         .orderBy(col("i"), col("j"))
     }),

@@ -87,12 +87,16 @@ object Graph {
       s"dampingPct must be in (0, 100), got $dampingPct")
     val ed = symmetric(pairs, Nil, dedupSymmetric)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = ed.join(deg, "src").localCheckpoint(true)
+    // lazy persists, ONE materialize job: nodes.count() below computes
+    // adj and the node set together — the eager-localCheckpoint form ran
+    // two extra materialize jobs before the count (plans here are flat
+    // one-shot DAGs, so lineage truncation buys nothing)
+    val adj = ed.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     // node set derived ONCE from the pinned adjacency: n is a count of
     // the cached blocks and ranks_0 reuses them — not a separate
     // countDistinct job plus a distinct shuffle
     val nodes = adj.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     // teleport mass per node, all integer: ((100-d)% of Scale) / n
     val teleportU = ((100L - dampingPct) * Scale / 100L) / n
@@ -145,11 +149,12 @@ object Graph {
       ed0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     else ed0
     val sw = ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
-    val adj = ed.join(sw, "src").localCheckpoint(true)
+    // same lazy-persist + one-count materialization as [[pageRank]]
+    val adj = ed.join(sw, "src").persist(StorageLevel.MEMORY_AND_DISK)
     // same node-set derivation and LAZY rounds as [[pageRank]] (each
     // ranks_r consumed exactly once; only the thrice-read adj is pinned)
     val nodes = adj.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     val teleportU = ((100L - dampingPct) * Scale / 100L) / n
     var ranks = nodes.withColumn("rank_u", lit(Scale / n))

@@ -604,11 +604,15 @@ object TextOps {
     // same restructure as dsirWeights: collapse to per-doc bigram counts
     // and pin them, so the corpus-sized explode runs once instead of
     // feeding the model-stats branch and the scoring join separately;
-    // nll × count equals the per-occurrence decimal sum exactly
+    // nll × count equals the per-occurrence decimal sum exactly.
+    // uni likewise feeds two consumers (the unigram join + the vocab
+    // count) — unpinned, the vocab row replays the token explode.
     val bc = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = bc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
     // vocabulary size = the unigram table's row count — reuses `uni`
     // instead of a second explode over the corpus
@@ -758,7 +762,15 @@ object TextOps {
       .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
     val bc = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // big feeds FOUR consumers (ctx, bwd, btot, the scoring join) and
+    // bc two (big + the join): pinned, or each consumer replays the
+    // corpus explode + both aggregations upstream (ReuseExchange only
+    // dedups identical exchanges, not the post-shuffle aggregation
+    // work). Vocabulary-sized and per-doc-count-sized respectively;
+    // caches are the caller's to sweep, as with bm25TopK's index.
     val big = bc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // context frequency + right continuation diversity in one pass
     val ctx = big.groupBy(col("w1"))
       .agg(sum(col("c12")).as("ctx"), count(lit(1)).as("fol"))

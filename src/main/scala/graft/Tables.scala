@@ -107,6 +107,26 @@ object Tables {
   def tf(spark: SparkSession, dir: String, name: String): DataFrame =
     fanout(t(spark, dir, name))
 
+  /** Totally-ordered presentation of a RESULT frame, for `.transform`.
+    *
+    * A terminal `orderBy` plans a range-partitioned sort whose
+    * partitioner SAMPLES the child RDD to pick split points — executing
+    * the entire upstream plan a SECOND time before the real sort runs
+    * (measured ~2x end-to-end on detector-shaped queries: the sampling
+    * pass re-runs the joins/aggregations, not just a scan). Result
+    * tables are result-sized, so they take one exchange to a single
+    * partition and a local sort instead: the upstream stays fully
+    * parallel, runs exactly once, and the output is the same total
+    * order. RangePartitioner skips sampling entirely at one partition,
+    * which is what this shape guarantees statically.
+    *
+    * This is for RESULT surfaces only. An operator whose OUTPUT is
+    * corpus-sized at 100 TB should keep `orderBy` (q9_set_ops retains
+    * one as the global-sort representative); every oracle/presentation
+    * sort in the query maps qualifies. */
+  def ordered(cols: Column*)(df: DataFrame): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Exact 2-decimal view of a double column (fixtures are 2-dp values). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -47,7 +47,7 @@ object Corpus {
     "text_vocab" -> ((s, dir) => {
       TextOps.vocab(tf(s, dir, "documents").select(col("doc_id"), col("text")))
         .filter(col("n_docs") >= 5)
-        .orderBy(col("term"))
+        .transform(graft.Tables.ordered(col("term")))
     }),
 
     // ---- mergeable distinct sketches across sources (DataSketches HLL):
@@ -90,7 +90,7 @@ object Corpus {
           (abs(col("est") - col("exact_distinct")) <=
             col("exact_distinct") * 0.06).as("within_tol"))
         .unionAll(allRow)
-        .orderBy(col("source"))
+        .transform(graft.Tables.ordered(col("source")))
     }),
 
     // ---- incremental inverted-index maintenance: the document-frequency
@@ -112,7 +112,7 @@ object Corpus {
           (coalesce(col("df"), lit(0L)) +
             coalesce(col("d_df"), lit(0L))).as("df"))
         .filter(col("df") >= 5)
-        .orderBy(col("term"))
+        .transform(graft.Tables.ordered(col("term")))
     }),
 
     "text_bigrams" -> ((s, dir) => {
@@ -120,7 +120,7 @@ object Corpus {
         .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 10)
-        .orderBy(col("bigram"))
+        .transform(graft.Tables.ordered(col("bigram")))
     }),
 
     // gate EVALUATION: confusion matrix of the heuristic quality gate
@@ -132,12 +132,12 @@ object Corpus {
           when(TextOps.qualityKeep(col("text")), 1).otherwise(0).as("keep"),
           when(col("n_chars") >= 300, 1).otherwise(0).as("seed"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("keep"), col("seed"))
+        .transform(graft.Tables.ordered(col("keep"), col("seed")))
     }),
 
     "quality_filter" -> ((s, dir) => {
       TextOps.qualityFlags(tf(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // cross-source score calibration: gate on the percentile WITHIN each
@@ -152,7 +152,7 @@ object Corpus {
       TextOps.calibrateBySource(scored, minPctl = 0.2)
         .select(col("doc_id"), col("source"), col("score"),
           col("pctl"), col("keep"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // curriculum ordering: easy-to-hard buckets by fixed n_chars edges,
@@ -164,7 +164,7 @@ object Corpus {
           col("doc_id"), col("n_chars").cast("double"),
           edges = Seq(200.0, 400.0, 800.0), salt = "cur0")
         .select(col("doc_id"), col("bucket"), col("rn"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // learned quality scoring: logistic regression trained by full-batch
@@ -179,12 +179,12 @@ object Corpus {
     // aggregation itself, not just the scoring pass
     "quality_lr_score" -> ((s, dir) => {
       Classifier.lrTrainScore(tf(s, dir, "documents"), col("n_chars") >= 300)
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     "sample_hash" -> ((s, dir) => {
       Sampling.hashSample(tf(s, dir, "documents"), col("doc_id"), pct = 10)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     "sample_stratified" -> ((s, dir) => {
@@ -192,14 +192,14 @@ object Corpus {
           col("c_mktsegment"),
           Map("AUTOMOBILE" -> 60, "BUILDING" -> 25, "FURNITURE" -> 10))
         .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_custkey")))
     }),
 
     "sample_n_per_stratum" -> ((s, dir) => {
       Sampling.hashSampleNPerStratum(t(s, dir, "customer"), col("c_custkey"),
           col("c_mktsegment"), n = 10)
         .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_custkey")))
     }),
 
     // deterministic 90/5/5 train/val/test labeling — disjoint hash
@@ -208,18 +208,18 @@ object Corpus {
       Sampling.assignSplits(tf(s, dir, "documents"), col("doc_id"),
           Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select(col("doc_id"), col("split"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     "dedup_cluster" -> ((s, dir) => {
       Cluster.connectedComponents(plantedPairs(Extensions.plantedDocs(s, dir)))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     "dedup_apply_cluster" -> ((s, dir) => {
       val docs = plantedPinned(s, dir)
       Cluster.applyClusterDedup(docs, plantedPairs(docs))
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // duplicate-cluster SIZE histogram: how big do near-dup families get
@@ -232,7 +232,7 @@ object Corpus {
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("cluster_id")).as("id_sum"))
-        .orderBy(col("cluster_size"))
+        .transform(graft.Tables.ordered(col("cluster_size")))
     }),
 
     // leakage-safe split assignment: hash the CLUSTER id, not the doc
@@ -249,7 +249,7 @@ object Corpus {
       Sampling.assignSplits(labeled, col("cluster_id"),
           Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select(col("doc_id"), col("cluster_id"), col("split"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // quality-aware survivor policy: keep the LONGEST member of each
@@ -262,7 +262,7 @@ object Corpus {
           plantedPairs(docs), length(col("text")))
         .select(col("doc_id"), col("cluster_id"),
           length(col("text")).cast("long").as("n_chars"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // near-exact dedup on the NORMALIZED fingerprint: catches whitespace/
@@ -284,7 +284,7 @@ object Corpus {
       docs.groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
-        .orderBy(col("fp"))
+        .transform(graft.Tables.ordered(col("fp")))
     }),
 
     // benchmark decontamination: the "eval set" is a 20-token slice of
@@ -296,7 +296,7 @@ object Corpus {
         .select(concat_ws(" ",
           slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
       Dedup.decontaminate(docs, bench, n = 8)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // Bloom-prefiltered decontamination: row-identical to
@@ -309,7 +309,7 @@ object Corpus {
         .select(concat_ws(" ",
           slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
       Dedup.bloomDecontaminate(docs, bench, n = 8)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // NORMALIZED decontamination: the eval slice is reformatted
@@ -326,7 +326,7 @@ object Corpus {
           docs.select(col("doc_id"),
             TextOps.normalizeText(col("text")).as("text")),
           bench.select(TextOps.normalizeText(col("text")).as("text")), n = 8)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // context-window chunking: 64-token chunks at stride 48 (16-token
@@ -334,7 +334,7 @@ object Corpus {
     "corpus_chunk" -> ((s, dir) => {
       TextOps.chunkDocs(
           tf(s, dir, "documents").select(col("doc_id"), col("text")), 64, 48)
-        .orderBy(col("doc_id"), col("chunk_id"))
+        .transform(graft.Tables.ordered(col("doc_id"), col("chunk_id")))
     }),
 
     // END-TO-END curation: the full pre-training pipeline in ONE
@@ -353,7 +353,7 @@ object Corpus {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("bin"))
+        .transform(graft.Tables.ordered(col("bin")))
     }),
 
     // per-doc curation audit: the first gate that dropped each doc
@@ -367,7 +367,7 @@ object Corpus {
         .select(concat_ws(" ",
           slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
       Curation.explainCuration(Extensions.plantedDocs(s, dir), bench)
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // the funnel everyone asks for: per-gate yields, as a rollup of the
@@ -379,7 +379,7 @@ object Corpus {
           slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
       Curation.explainCuration(Extensions.plantedDocs(s, dir), bench)
         .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("reason"))
+        .transform(graft.Tables.ordered(col("reason")))
     }),
 
     // INCREMENTAL dedup: a new batch (doc_id%3==0 stands in for today's
@@ -393,7 +393,7 @@ object Corpus {
       Dedup.incrementalDedup(
           docs.filter(col("doc_id") % 3 =!= 0),
           docs.filter(col("doc_id") % 3 === 0))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // graded contamination: fraction of each doc's distinct 8-grams
@@ -405,7 +405,7 @@ object Corpus {
           slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
       Dedup.contaminationScore(docs, bench, n = 8)
         .filter(col("n_shared") > 0)
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // embedding-cosine dedup APPLY: planted exact-copy vectors
@@ -422,18 +422,18 @@ object Corpus {
         .select(col("d.vec_id").as("vec_id"),
           col("d.embedding").as("embedding"), col("d.label").as("label"))
       Similarity.embedDedupApply(planted, threshold = 0.999)
-        .select(col("vec_id")).orderBy(col("vec_id"))
+        .select(col("vec_id")).transform(graft.Tables.ordered(col("vec_id")))
     }),
 
     "dedup_apply_pairs" -> ((s, dir) => {
       val docs = plantedPinned(s, dir)
       Dedup.applyPairDedup(docs, plantedPairs(docs))
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     "embed_centroid_assign" -> ((s, dir) => {
       Similarity.centroidAssign(tf(s, dir, "embeddings"))
-        .orderBy(col("vec_id"))
+        .transform(graft.Tables.ordered(col("vec_id")))
     }),
 
     // fixture text has no PII, so emails/URLs are planted on doc_id%10==0
@@ -448,7 +448,7 @@ object Corpus {
           TextOps.countMatches(col("text"), TextOps.emailPattern).as("n_emails"),
           TextOps.countMatches(col("text"), TextOps.urlPattern).as("n_urls"),
           md5(TextOps.redactPii(col("text"))).as("red_h"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // corpus-internal boilerplate: fraction of each doc's distinct
@@ -458,7 +458,7 @@ object Corpus {
       TextOps.boilerplateScore(
           tf(s, dir, "documents").select(col("doc_id"), col("text")),
           n = 8, minDocFreq = 2)
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // per-domain URL accounting (blocklist/quota base). The fixture text
@@ -473,7 +473,7 @@ object Corpus {
             lit(" and http://cdn"), (col("doc_id") % 3).cast("string"),
             lit(".example.net/a")))
           .otherwise(col("text")).as("text"))
-      TextOps.urlDomains(planted).orderBy(col("domain"))
+      TextOps.urlDomains(planted).transform(graft.Tables.ordered(col("domain")))
     }),
 
     // domain-blocklist gate: parent-domain match (example.org blocks
@@ -491,7 +491,7 @@ object Corpus {
           .otherwise(col("text")))
       TextOps.domainBlocklistFilter(planted,
           Seq("example.org", "cdn1.example.net"))
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // language-ID quality against the fixture's ground-truth lang column
@@ -499,7 +499,7 @@ object Corpus {
       tf(s, dir, "documents")
         .groupBy(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("lang_guess"))
+        .transform(graft.Tables.ordered(col("lang"), col("lang_guess")))
     }),
 
     // Oracle-checked DESPITE being iterative model training: kMeans is
@@ -516,7 +516,7 @@ object Corpus {
     // a fixture-plumbing choice.
     "embed_kmeans" -> ((s, dir) => {
       Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 3)
-        .orderBy(col("vec_id"))
+        .transform(graft.Tables.ordered(col("vec_id")))
     }),
 
     // dominant-principal-direction projection: power iteration with
@@ -524,7 +524,7 @@ object Corpus {
     // (bit-identical direction vectors in both engines)
     "embed_pca_project" -> ((s, dir) => {
       Similarity.powerIterationPC(t(s, dir, "embeddings"), iters = 4)
-        .orderBy(col("vec_id"))
+        .transform(graft.Tables.ordered(col("vec_id")))
     }),
 
     // embedding-space anomaly gate: same trained centroids as
@@ -532,7 +532,7 @@ object Corpus {
     // moments (oracle replays training AND the gate end-to-end)
     "embed_outliers" -> ((s, dir) => {
       Similarity.embedOutliers(t(s, dir, "embeddings"), k = 8, iters = 3)
-        .orderBy(col("vec_id"))
+        .transform(graft.Tables.ordered(col("vec_id")))
     }),
 
     // SpaceSaving sketch in its exact regime (capacity >= distinct terms
@@ -549,7 +549,7 @@ object Corpus {
         .flatMap(_._2.take(20))
       top.toDF()
         .select(col("item").as("term"), col("count").as("n"))
-        .orderBy(col("n").desc, col("term"))
+        .transform(graft.Tables.ordered(col("n").desc, col("term")))
     }),
 
     // Count–Min point-frequency estimation: the sketch rides ONE
@@ -576,7 +576,7 @@ object Corpus {
       toks.groupBy(col("tok").as("term")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("term")).limit(20)
         .withColumn("n_est", least(probes: _*))
-        .orderBy(col("n_exact").desc, col("term"))
+        .transform(graft.Tables.ordered(col("n_exact").desc, col("term")))
     }),
 
     // vocabulary coverage curve: what fraction of all token occurrences
@@ -613,7 +613,7 @@ object Corpus {
     "text_unigram_kl" -> ((s, dir) => {
       TextOps.unigramKl(
           tf(s, dir, "documents").select(col("source"), col("text")))
-        .orderBy(col("source"))
+        .transform(graft.Tables.ordered(col("source")))
     }),
 
     // Oracle-checked DESPITE being iterative tokenizer training: like
@@ -625,7 +625,7 @@ object Corpus {
     "text_bpe_merges" -> ((s, dir) => {
       graft.ext.Bpe.trainTable(s,
           tf(s, dir, "documents").select(col("doc_id"), col("text")), nMerges = 10)
-        .orderBy(col("rank"))
+        .transform(graft.Tables.ordered(col("rank")))
     }),
 
     // tokenizer ENCODE under the trained merges ([[Bpe.segment]]): the
@@ -638,7 +638,7 @@ object Corpus {
       val merges = graft.ext.Bpe.train(docs, nMerges = 10)
       docs.select(col("doc_id"),
           graft.ext.Bpe.segment(col("text"), merges).as("encoded"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // target-mixture resampling: rates from [[Sampling.mixtureRates]]
@@ -649,7 +649,7 @@ object Corpus {
       val rates = Sampling.mixtureRates(docs, col("source"),
         mixtureTargets)
       Sampling.stratifiedHashSample(docs, col("doc_id"), col("source"), rates)
-        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+        .select(col("doc_id"), col("source")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // temperature-scaled mixture (T=2) over the skewed lang column — the
@@ -662,7 +662,7 @@ object Corpus {
       val rates = Sampling.temperatureRates(docs, col("lang"),
         temperature = 2.0)
       Sampling.stratifiedHashSample(docs, col("doc_id"), col("lang"), rates)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+        .select(col("doc_id"), col("lang")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // sequence packing: docs -> ~2000-token training bins in doc_id order
@@ -672,7 +672,7 @@ object Corpus {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("bin"))
+        .transform(graft.Tables.ordered(col("bin")))
     }),
 
     // deterministic epoch shuffle: every doc gets a reproducible
@@ -682,7 +682,7 @@ object Corpus {
       Layout.shuffleShard(
           t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
           nShards = 8)
-        .orderBy(col("shard"), col("pos"))
+        .transform(graft.Tables.ordered(col("shard"), col("pos")))
     }),
 
     // budget-capped data selection: longest documents first (priority =
@@ -695,7 +695,7 @@ object Corpus {
         TextOps.tokenCount(col("text")).as("n_tokens"))
       TextOps.budgetSelect(items, budget = 10000L)
         .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // stable global example numbering WITHOUT a global sort: the
@@ -705,7 +705,7 @@ object Corpus {
     "corpus_rownum" -> ((s, dir) => {
       Layout.globalRowNumber(
           t(s, dir, "documents").select(col("doc_id")), col("doc_id"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // Z-ORDER key: bit-interleave two dimensions so range-clustering on
@@ -717,7 +717,7 @@ object Corpus {
         .select(col("doc_id"),
           Layout.zValue((col("doc_id") % 256).cast("int"),
             (col("n_chars") % 256).cast("int"), bits = 8).as("z"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // next-action training-example construction: per user-ordered event
@@ -758,7 +758,7 @@ object Corpus {
       val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
       trans
         .withColumn("p", col("n").cast("double") / sum(col("n")).over(wp))
-        .orderBy(col("prev"), col("nxt"))
+        .transform(graft.Tables.ordered(col("prev"), col("nxt")))
     }),
 
     // PMI collocation mining: adjacent-pair association strength against
@@ -776,7 +776,7 @@ object Corpus {
     "quality_ccnet_buckets" -> ((s, dir) => {
       TextOps.ccnetBuckets(tf(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // tokenizer fertility readout under the trained BPE merges: per
@@ -802,7 +802,7 @@ object Corpus {
           col("n_pieces").cast("double") / col("n_words"))
         .withColumn("chars_per_piece",
           col("n_chars").cast("double") / col("n_pieces"))
-        .orderBy(col("source"))
+        .transform(graft.Tables.ordered(col("source")))
     }),
 
     // Kneser–Ney-smoothed bigram NLL — the continuation-diversity
@@ -811,7 +811,7 @@ object Corpus {
     "text_kn_nll" -> ((s, dir) => {
       TextOps.knNll(
           tf(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // PSI distribution drift between two corpus epochs (doc_id parity as
@@ -875,7 +875,7 @@ object Corpus {
         .crossJoin(broadcast(g.select(col("docs"))))
         .select(concat(lit("lang_"), col("lang")).as("metric"), col("n"),
           (col("n").cast("double") / col("docs")).as("ratio"))
-      global.unionByName(langs).orderBy(col("metric"))
+      global.unionByName(langs).transform(graft.Tables.ordered(col("metric")))
     }),
 
     // quality-gate ABLATION: per sub-rule, how many docs it rejects and
@@ -905,7 +905,7 @@ object Corpus {
             |  'mean_tok_len', f2, u2,
             |  'stop_ratio',   f3, u3,
             |  'punct_ratio',  f4, u4) AS (rule, n_fail, n_unique_fail)""".stripMargin))
-        .orderBy(col("rule"))
+        .transform(graft.Tables.ordered(col("rule")))
     }),
 
     // robust median/MAD outlier gate over document length — the
@@ -915,7 +915,7 @@ object Corpus {
       TextOps.madOutliers(
           tf(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           col("n_chars"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // snapshot diff between corpus versions: deletions (id%10=3),
@@ -936,7 +936,7 @@ object Corpus {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
           min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
-        .orderBy(col("status"))
+        .transform(graft.Tables.ordered(col("status")))
     }),
 
     // change-log compaction: latest state per entity (MERGE INTO view)
@@ -944,7 +944,7 @@ object Corpus {
       graft.pipeline.Cdc.latestSnapshot(
           graft.Tables.events(s, dir), "user_id", "ts", "event_id")
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-        .orderBy(col("user_id"))
+        .transform(graft.Tables.ordered(col("user_id")))
     }),
 
     // TIME TRAVEL: per-user state as of Jan 15 (mid-history) — only
@@ -955,7 +955,7 @@ object Corpus {
           graft.Tables.events(s, dir), "user_id", "ts", "event_id",
           lit("2024-01-15 00:00:00").cast("timestamp"))
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
-        .orderBy(col("user_id"))
+        .transform(graft.Tables.ordered(col("user_id")))
     }),
 
     // MERGE INTO: apply an I/U/D changeset (odd event_ids, op derived
@@ -972,7 +972,7 @@ object Corpus {
             .when(col("event_id") % 3 === 0, "I").otherwise("U"))
       graft.pipeline.Cdc.applyChangeset(
           base, changes, "user_id", "ts", "event_id", "op")
-        .orderBy(col("user_id"))
+        .transform(graft.Tables.ordered(col("user_id")))
     }),
 
     // SCD-2 history: every change versioned [valid_from, valid_to)
@@ -981,7 +981,7 @@ object Corpus {
           graft.Tables.events(s, dir), "user_id", "ts", "event_id")
         .select(col("user_id"), col("event_id"), col("valid_from"),
           col("valid_to"), col("is_current"), col("value"))
-        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+        .transform(graft.Tables.ordered(col("user_id"), col("valid_from"), col("event_id")))
     }),
 
     // incremental aggregate maintenance: the 80% "materialized" base is
@@ -996,7 +996,7 @@ object Corpus {
       graft.pipeline.Cdc.incrementalAgg(base, delta, "o_custkey", "o_totalprice")
         .select(col("o_custkey"), col("n"),
           col("total").cast("double").as("total_d"))
-        .orderBy(col("o_custkey"))
+        .transform(graft.Tables.ordered(col("o_custkey")))
     }),
 
     // per-GROUP sketching: one bounded SpaceSaving buffer per source,
@@ -1013,7 +1013,7 @@ object Corpus {
         .agg(agg.toColumn.name("hh"))
         .flatMap { case (src, hh) => hh.take(5).map(h => (src, h.item, h.count)) }
         .toDF("source", "term", "n")
-        .orderBy(col("source"), col("n").desc, col("term"))
+        .transform(graft.Tables.ordered(col("source"), col("n").desc, col("term")))
     }),
 
     "docs_by_source" -> ((s, dir) => {
@@ -1022,7 +1022,7 @@ object Corpus {
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
             .as("avg_chars"))
-        .orderBy(col("source"))
+        .transform(graft.Tables.ordered(col("source")))
     })
   )
 

@@ -138,7 +138,7 @@ object Extensions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => {
       TextOps.textStats(tf(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // EXACT-substring contamination: eval snippets (deterministic slices
@@ -150,7 +150,7 @@ object Extensions {
         .filter(col("doc_id") % 50 === 7 && length(col("text")) >= 80)
         .select(col("doc_id").as("eval_id"),
           substring(col("text"), 21, 40).as("eval_text"))
-      Dedup.substringContamination(docs, snippets).orderBy(col("doc_id"))
+      Dedup.substringContamination(docs, snippets).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // SAME contamination check with the Aho-Corasick kernel FORCED
@@ -163,7 +163,7 @@ object Extensions {
         .select(col("doc_id").as("eval_id"),
           substring(col("text"), 21, 40).as("eval_text"))
       Dedup.substringContamination(docs, snippets, automatonThreshold = 0)
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // the TRANSPOSED leak report: per eval snippet, how many corpus docs
@@ -175,7 +175,7 @@ object Extensions {
         .filter(col("doc_id") % 50 === 7 && length(col("text")) >= 80)
         .select(col("doc_id").as("eval_id"),
           substring(col("text"), 21, 40).as("eval_text"))
-      Dedup.contaminationReport(docs, snippets).orderBy(col("eval_id"))
+      Dedup.contaminationReport(docs, snippets).transform(graft.Tables.ordered(col("eval_id")))
     }),
 
     // Gopher repetition gates: top-token fraction + duplicate-n-gram
@@ -184,7 +184,7 @@ object Extensions {
     "text_repetition" -> ((s, dir) => {
       TextOps.repetitionSignals(
         tf(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // bigram-LM perplexity proxy: add-one-smoothed bigram NLL, trained on
@@ -192,7 +192,7 @@ object Extensions {
     // order-independent decimal-sum determinism contract)
     "text_bigram_nll" -> ((s, dir) => {
       TextOps.bigramNll(tf(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // DSIR importance weights toward a designated target domain (sources
@@ -202,7 +202,7 @@ object Extensions {
     "sample_dsir_weights" -> ((s, dir) => {
       TextOps.dsirWeights(tf(s, dir, "documents"),
           col("source").isin("src0", "src1", "src2", "src3"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // the DSIR SELECTION step: hash-derived Gumbel noise turns weighted
@@ -212,21 +212,21 @@ object Extensions {
         col("source").isin("src0", "src1", "src2", "src3"))
       Sampling.gumbelTopK(w, col("doc_id"), col("log_weight"), k = 100)
         .select(col("doc_id"), col("log_weight"), col("gumbel_key"))
-        .orderBy(col("gumbel_key").desc, col("doc_id"))
+        .transform(graft.Tables.ordered(col("gumbel_key").desc, col("doc_id")))
     }),
 
     "dedup_exact" -> ((s, dir) => {
-      Dedup.exactGroups(plantedDocs(s, dir)).orderBy(col("h"))
+      Dedup.exactGroups(plantedDocs(s, dir)).transform(graft.Tables.ordered(col("h")))
     }),
 
     "dedup_apply_exact" -> ((s, dir) => {
       Dedup.dedupExact(plantedDocs(s, dir))
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id")).transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(plantedDocs(s, dir), n = 3, threshold = 0.5)
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     // paragraph-level dedup over the planted corpus: whole-doc duplicates
@@ -234,24 +234,24 @@ object Extensions {
     // trailing segment their extra tokens land in
     "dedup_paragraph" -> ((s, dir) => {
       Dedup.segmentDedup(plantedDocs(s, dir), segWords = 10)
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // directed subset-duplication detector: the planted near-dups contain
     // their originals at ~1.0 even where symmetric Jaccard dips
     "dedup_containment" -> ((s, dir) => {
       Dedup.containmentPairs(plantedDocs(s, dir), n = 3, threshold = 0.8)
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(plantedDocs(s, dir), n = 3, threshold = 0.5)
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(plantedDocs(s, dir), maxHamming = 3)
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     // detector AGREEMENT matrix: exact n-gram Jaccard vs MinHash-LSH over
@@ -278,7 +278,7 @@ object Extensions {
           .otherwise("minhash_only").as("verdict"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("pi") + col("pj")).as("id_sum"))
-        .orderBy(col("verdict"))
+        .transform(graft.Tables.ordered(col("verdict")))
     }),
 
     // sub-document storage dedup: content-defined chunks shared across
@@ -290,7 +290,7 @@ object Extensions {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"),
           max(col("clen")).as("clen"))
         .filter(col("n") > 1)
-        .orderBy(col("chash"))
+        .transform(graft.Tables.ordered(col("chash")))
     }),
 
     // incremental crawl dedup: tonight's batch (exact + near copies)
@@ -309,13 +309,13 @@ object Extensions {
           x => x.isNotNull)).as("d"))
         .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
       Dedup.minhashLshAgainst(base, batch, n = 3, threshold = 0.5)
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // ---- hybrid retrieval: reciprocal-rank fusion of the dense leg
@@ -353,14 +353,14 @@ object Extensions {
         .filter(col("rk") <= 10)
         .select(col("qid"), col("rk"), col("doc_id"),
           col("r_dense"), col("r_lex"), col("rrf"))
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // contrastive hard negatives: nearest CROSS-label neighbors per query
     "embed_hard_negatives" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // ---- mean-pooling chunk embeddings into document vectors (the
@@ -379,7 +379,7 @@ object Extensions {
           sum(round(col("x"), 7).cast(DecimalType(20, 7))).as("sx"))
         .select(col("grp"), col("pos").cast("long").as("pos"), col("n"),
           (col("sx").cast("double") / col("n").cast("double")).as("pooled"))
-        .orderBy(col("grp"), col("pos"))
+        .transform(graft.Tables.ordered(col("grp"), col("pos")))
     }),
 
     "embed_neardup" -> ((s, dir) => {
@@ -398,7 +398,7 @@ object Extensions {
     "ann_mips_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Similarity.mipsTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // int8-quantized brute-force top-k: exact integer dot products over
@@ -408,7 +408,7 @@ object Extensions {
     "ann_int8_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // Product-quantization ADC retrieve + EXACT re-rank: the trained-
@@ -422,7 +422,7 @@ object Extensions {
       val emb = tf(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") % 100 === 0)
       Similarity.rescoreExact(Quantize.pqTopK(emb, qs, k = JoinBackAnnK), emb, qs)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // PQ with the closed-form codebook (codeword j = subvector j of the
@@ -433,7 +433,7 @@ object Extensions {
     "ann_pq_adc" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
       Quantize.pqTopKFixed(emb, emb.filter(col("vec_id") % 100 === 0), k = JoinBackAnnK)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // LSH retrieve with exact scoring: lshTopK already re-scores its
@@ -445,7 +445,7 @@ object Extensions {
       val emb = tf(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0),
           k = JoinBackAnnK)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // LSH at ZERO bits × one table: every vector lands in the single
@@ -458,7 +458,7 @@ object Extensions {
       val emb = tf(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
           nBits = 0, nTables = 1)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // IVF retrieve with exact scoring: same join-back oracle contract as
@@ -468,7 +468,7 @@ object Extensions {
       val emb = tf(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
           k = JoinBackAnnK)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // IVF at FULL probe (nProbe = nCells): every cell is scanned, so the
@@ -480,7 +480,7 @@ object Extensions {
       val emb = tf(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
           nCells = 16, nProbe = 16)
-        .orderBy(col("qid"), col("rk"))
+        .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 
     // Tolerance-gated oracle: HLL sketch VALUES are engine-specific
@@ -547,7 +547,7 @@ object Extensions {
         .select(col("c_mktsegment"),
           concat_ws(",", transform(col("top_ids"), _.cast("string")))
             .as("top_ids_csv"))
-        .orderBy(col("c_mktsegment"))
+        .transform(graft.Tables.ordered(col("c_mktsegment")))
     }),
 
     // TF-IDF: top term per document (deterministic tfidf-desc/term tiebreak)
@@ -558,7 +558,7 @@ object Extensions {
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // MinHash calibration: estimated vs TRUE Jaccard for every pair the
@@ -597,7 +597,7 @@ object Extensions {
           round(abs(col("est_jaccard") - col("true_jaccard")), 6))
         .select(col("i"), col("j"), col("est_jaccard"),
           col("true_jaccard"), col("abs_err"))
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     // per-source token-length histogram (fixed 32-token bins, integer
@@ -610,7 +610,7 @@ object Extensions {
         .groupBy(col("source"), expr("n_tok div 32").as("bin"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
-        .orderBy(col("source"), col("bin"))
+        .transform(graft.Tables.ordered(col("source"), col("bin")))
     }),
 
     // source-overlap matrix: source-pair Jaccard over distinct shingle
@@ -619,7 +619,7 @@ object Extensions {
       Dedup.sourceOverlap(
         tf(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("source")))
-        .orderBy(col("src_a"), col("src_b"))
+        .transform(graft.Tables.ordered(col("src_a"), col("src_b")))
     }),
 
     // n-gram novelty curve: per-doc fraction of shingles first seen in
@@ -628,7 +628,7 @@ object Extensions {
     "text_ngram_novelty" -> ((s, dir) => {
       TextOps.ngramNovelty(
         tf(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // BM25 retrieval: top-10 docs per query for a deterministic query
@@ -648,7 +648,7 @@ object Extensions {
         .withColumn("rn", row_number().over(w9))
         .select(when(col("rn") <= 3, 1L).when(col("rn") <= 6, 2L)
           .otherwise(3L).as("qid"), col("term"))
-      TextOps.bm25TopK(docs, qt).orderBy(col("qid"), col("rn"))
+      TextOps.bm25TopK(docs, qt).transform(graft.Tables.ordered(col("qid"), col("rn")))
     }),
 
     // Winnowing fingerprints summarized to scalars. Oracle-checked: the
@@ -661,7 +661,7 @@ object Extensions {
       tf(s, dir, "documents")
         .select(col("doc_id"), size(fp).cast("long").as("n_fp"),
           element_at(fp, 1).as("min_fp"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // MOSS-style near-dup pairs: planted copies (text || ' !!') share
@@ -678,7 +678,7 @@ object Extensions {
           x => x.isNotNull)).as("d"))
         .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
       Dedup.winnowPairs(planted, minShared = 10, maxDocFreq = 8)
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     // REAL image decode, hash-graded: Spark parses P2 bytes with the
@@ -695,14 +695,14 @@ object Extensions {
     "text_entropy" -> ((s, dir) => {
       TextOps.charEntropy(
           tf(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     "multimodal_pgm_decode" -> ((s, dir) => {
       Multimodal.pgmFeatures(s,
         Multimodal.pgmMediaTable(
           tf(s, dir, "documents").select(col("doc_id"))))
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // REAL audio codec: deterministic PCM encoded as actual RIFF/WAVE
@@ -714,7 +714,7 @@ object Extensions {
       Multimodal.wavFeatures(s,
         Multimodal.wavMediaTable(s,
           tf(s, dir, "documents").select(col("doc_id"))))
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // REAL video: deterministic frames encoded as actual YUV4MPEG2
@@ -726,7 +726,7 @@ object Extensions {
       Multimodal.y4mSceneCuts(s,
         Multimodal.y4mMediaTable(s,
           tf(s, dir, "documents").select(col("doc_id"))))
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // scene-aware frame sampling: first frame of every DETECTED scene
@@ -736,7 +736,7 @@ object Extensions {
         Multimodal.y4mMediaTable(s,
           tf(s, dir, "documents").select(col("doc_id"))))
         .toDF()
-        .orderBy(col("media_id"), col("scene_idx"))
+        .transform(graft.Tables.ordered(col("media_id"), col("scene_idx")))
     }),
 
     // cross-modal training-example MANIFEST: one row per example joining
@@ -757,7 +757,7 @@ object Extensions {
         .select(col("media_id").as("doc_id"),
           col("n_frames").as("video_frames"), col("n_cuts"))
       docs.join(wav, Seq("doc_id")).join(vid, Seq("doc_id"))
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // acoustic fingerprints over the PLANTED wav corpus (exact audio
@@ -766,7 +766,7 @@ object Extensions {
       Multimodal.wavFingerprints(s,
         Multimodal.plantedWavMediaTable(s,
           tf(s, dir, "documents").select(col("doc_id"))), frame = 16)
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // audio dedup CANDIDATE pairs: fingerprint equality over the planted
@@ -784,7 +784,7 @@ object Extensions {
       a.join(b, col("fp") === col("fpb") &&
           col("n_frames") === col("nfb") && col("i") < col("j"))
         .select(col("i"), col("j"), col("fp"))
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     // the full audio kernel chain: decode → INTEGER-exact linear
@@ -796,7 +796,7 @@ object Extensions {
         Multimodal.wavMediaTable(s,
           tf(s, dir, "documents").select(col("doc_id"))),
         targetRate = 5500)
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // the full real-pixel kernel chain (parse → NN resize → stats); the
@@ -805,7 +805,7 @@ object Extensions {
       Multimodal.pgmResizeStats(s,
         Multimodal.pgmMediaTable(
           tf(s, dir, "documents").select(col("doc_id"))), tw = 12, th = 9)
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // REAL perceptual hash (dHash-56 on decoded+resized pixels); oracle
@@ -814,7 +814,7 @@ object Extensions {
       Multimodal.pgmPhash(s,
         Multimodal.pgmMediaTable(
           tf(s, dir, "documents").select(col("doc_id"))))
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // image near-dup pairs at hamming <= 3 via 4x14-bit pigeonhole
@@ -824,7 +824,7 @@ object Extensions {
       Multimodal.phashPairs(s,
         Multimodal.pgmMediaTable(
           tf(s, dir, "documents").select(col("doc_id"))), maxDist = 3)
-        .orderBy(col("i"), col("j"))
+        .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
     "multimodal_features" -> ((s, dir) => {
@@ -833,14 +833,14 @@ object Extensions {
           col("meta.n_bytes").as("n_bytes"),
           hex(substring(col("payload"), 1, 4)).as("header_hex"),
           sha2(col("payload"), 256).as("payload_sha"))
-        .orderBy(col("media_id"))
+        .transform(graft.Tables.ordered(col("media_id")))
     }),
 
     // span-level exact dedup: maximal cross-document repeated 5-gram
     // runs — the cut list a substring-level deduper consumes
     "dedup_repeated_spans" -> ((s, dir) => {
       Dedup.repeatedSpans(plantedDocs(s, dir), n = 5)
-        .orderBy(col("doc_id"), col("start_tok"))
+        .transform(graft.Tables.ordered(col("doc_id"), col("start_tok")))
     }),
 
     // APPLY the span cut list: duplicated 5-gram spans removed everywhere
@@ -851,7 +851,7 @@ object Extensions {
       Dedup.applySpanDedup(plantedDocs(s, dir)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
           n = 5)
-        .orderBy(col("doc_id"))
+        .transform(graft.Tables.ordered(col("doc_id")))
     }),
 
     // ---- iterative graph analytics: 3 rounds of fixed-point PageRank
@@ -867,7 +867,7 @@ object Extensions {
       // (bipartite), and e is already distinct — the reversed closure
       // cannot collide, so the re-dedup shuffle is provably redundant
       Graph.pageRank(e, iters = 3, dampingPct = 85,
-        dedupSymmetric = false).orderBy(col("node"))
+        dedupSymmetric = false).transform(graft.Tables.ordered(col("node")))
     }),
 
     // degree distribution of the same trade graph — the first thing to
@@ -884,7 +884,7 @@ object Extensions {
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg").as("degree"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))
-        .orderBy(col("degree"))
+        .transform(graft.Tables.ordered(col("degree")))
     }),
 
     // ---- exact triangle counting over the part co-purchase graph
@@ -896,7 +896,7 @@ object Extensions {
       // Bench times plan+execution; Bench/Verify sweep the two caches
       Graph.triangles(bulkCoPurchaseEdges(s, dir), materialize = false,
           inputCanonical = true)
-        .orderBy(col("node"))
+        .transform(graft.Tables.ordered(col("node")))
     }),
 
     // ---- pre-join skew report for the conversion-funnel self-join:
@@ -924,7 +924,7 @@ object Extensions {
       // same bipartite-distinct attestation as graph_pagerank: one row
       // per (a, b) from the groupBy, closure collision-free
       Graph.pageRankWeighted(e, iters = 3, dampingPct = 85,
-        dedupSymmetric = false).orderBy(col("node"))
+        dedupSymmetric = false).transform(graft.Tables.ordered(col("node")))
     }),
 
     // ---- degree assortativity of the full trade graph: exact integer
@@ -946,7 +946,7 @@ object Extensions {
     "graph_kcore" -> ((s, dir) => {
       Graph.kCore(bulkCoPurchaseEdges(s, dir), k = 8, rounds = 5,
           inputCanonical = true)
-        .orderBy(col("node"))
+        .transform(graft.Tables.ordered(col("node")))
     }),
 
     // ---- blocked fuzzy record linkage: within-(brand,size) part-name
@@ -955,7 +955,7 @@ object Extensions {
     "dedup_fuzzy_pairs" -> ((s, dir) => {
       Dedup.editDistancePairs(t(s, dir, "part"),
           "p_partkey", "p_name", Seq("p_brand", "p_size"), maxDist = 8)
-        .orderBy(col("p_brand"), col("p_size"), col("k1"), col("k2"))
+        .transform(graft.Tables.ordered(col("p_brand"), col("p_size"), col("k1"), col("k2")))
     })
   )
 

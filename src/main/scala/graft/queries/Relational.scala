@@ -43,7 +43,7 @@ object Relational {
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .transform(graft.Tables.ordered(col("l_returnflag"), col("l_linestatus")))
     }),
 
     // ---- TPC-H Q6 shape: tight filter (all predicates push to parquet) → scalar agg
@@ -79,7 +79,7 @@ object Relational {
       o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
+        .transform(graft.Tables.ordered(col("o_orderpriority")))
     }),
 
     // ---- TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on keys
@@ -98,7 +98,7 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(revTerm).cast(D).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .transform(graft.Tables.ordered(col("revenue").desc, col("n_name")))
     }),
 
     // ---- window: row_number per customer, top-3 orders by price
@@ -109,7 +109,7 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
-        .orderBy(col("o_custkey"), col("rn"))
+        .transform(graft.Tables.ordered(col("o_custkey"), col("rn")))
     }),
 
     // ---- windows: rank + lag + running exact sum over per-customer order history
@@ -123,7 +123,7 @@ object Relational {
           sum(dec(col("o_totalprice"))).over(
             wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast(D).as("running_spend"))
-        .orderBy(col("o_custkey"), col("rnk"))
+        .transform(graft.Tables.ordered(col("o_custkey"), col("rnk")))
     }),
 
     // ---- global sort + limit (TakeOrderedAndProject — no full sort at scale)
@@ -146,7 +146,7 @@ object Relational {
         .unionByName(
           a.intersectAll(b).groupBy(col("o_custkey"))
             .agg((count(lit(1)) * -1).as("n_excess")))
-        .orderBy(col("o_custkey"), col("n_excess"))
+        .transform(graft.Tables.ordered(col("o_custkey"), col("n_excess")))
     }),
 
     // ---- unpivot (inverse of q23's pivot): wide per-status totals back
@@ -164,7 +164,7 @@ object Relational {
           Array(col("total_f"), col("total_o")),
           "status", "total")
         .withColumn("status", upper(substring(col("status"), -1, 1)))
-        .orderBy(col("o_orderpriority"), col("status"))
+        .transform(graft.Tables.ordered(col("o_orderpriority"), col("status")))
     }),
 
     "q9_set_ops" -> ((s, dir) => {
@@ -195,7 +195,7 @@ object Relational {
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
           col("sum_qty"), col("n"))
-        .orderBy(col("returnflag"), col("linestatus"))
+        .transform(graft.Tables.ordered(col("returnflag"), col("linestatus")))
     }),
 
     // ---- cube
@@ -206,7 +206,7 @@ object Relational {
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"))
-        .orderBy(col("status"), col("priority"))
+        .transform(graft.Tables.ordered(col("status"), col("priority")))
     }),
 
     // ---- group + having
@@ -215,7 +215,7 @@ object Relational {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"), davg(col("p_retailprice")).as("avg_price"))
         .filter(col("n_parts") > 5)
-        .orderBy(col("p_brand"))
+        .transform(graft.Tables.ordered(col("p_brand")))
     }),
 
     // ---- anti join: customers with no 'P'-status orders
@@ -225,7 +225,7 @@ object Relational {
         .select(col("o_custkey"))
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_custkey")))
     }),
 
     // ---- scalar expression sampler: case/when, string fns, date parts, arithmetic
@@ -244,7 +244,7 @@ object Relational {
           (dec(col("o_totalprice")) % 97).cast(D).as("price_mod"),
           abs(col("o_custkey") - lit(1000)).as("key_dist"),
           length(col("o_orderpriority")).as("prio_len"))
-        .orderBy(col("o_orderkey"))
+        .transform(graft.Tables.ordered(col("o_orderkey")))
     }),
 
     // ---- left outer join + null handling
@@ -257,7 +257,7 @@ object Relational {
         .select(col("c_custkey"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("spend"), lit(0.0)).as("spend"))
-        .orderBy(col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_custkey")))
     }),
 
     // ---- event-time tumbling window aggregation (batch twin of the
@@ -267,7 +267,7 @@ object Relational {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
           countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("hour"), col("event_type"))
+        .transform(graft.Tables.ordered(col("hour"), col("event_type")))
     }),
 
     // ---- HOPPING (sliding) window aggregation: 2-hour windows sliding
@@ -285,7 +285,7 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .select(col("w.start").as("w_start"), col("event_type"),
           col("n"), col("total"))
-        .orderBy(col("w_start"), col("event_type"))
+        .transform(graft.Tables.ordered(col("w_start"), col("event_type")))
     }),
 
     // ---- rate-anomaly detection: hours whose event count exceeds that
@@ -308,7 +308,7 @@ object Relational {
           col("n") > col("mean") + lit(2.0) * col("sigma"))
         .select(col("event_type"), col("hour"), col("n"),
           round((col("n") - col("mean")) / col("sigma"), 4).as("z"))
-        .orderBy(col("event_type"), col("hour"))
+        .transform(graft.Tables.ordered(col("event_type"), col("hour")))
     }),
 
     // ---- per-user exponential smoothing, engine-portable: the
@@ -341,7 +341,7 @@ object Relational {
             (expr("""shiftleft(cast(1 as bigint), 16)
                 - shiftleft(cast(1 as bigint), 16 - size(xs))""")
               .cast("double") * 100.0)).as("ewma"))
-        .orderBy(col("user_id"), col("event_id"))
+        .transform(graft.Tables.ordered(col("user_id"), col("event_id")))
     }),
 
     // ---- forward-fill (last-observation-carried-forward): sensor-style
@@ -359,7 +359,7 @@ object Relational {
             .otherwise(col("value")).as("v"))
         .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
         .select(col("user_id"), col("event_id"), col("v"), col("v_filled"))
-        .orderBy(col("user_id"), col("event_id"))
+        .transform(graft.Tables.ordered(col("user_id"), col("event_id")))
     }),
 
     // ---- lag-7 autocorrelation of the daily event count (weekly
@@ -415,7 +415,7 @@ object Relational {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-        .orderBy(col("k_bucket"))
+        .transform(graft.Tables.ordered(col("k_bucket")))
     }),
 
     // ---- sessionization: 30-minute inactivity gap via lag window
@@ -434,7 +434,7 @@ object Relational {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
-        .orderBy(col("user_id"), col("session_seq"))
+        .transform(graft.Tables.ordered(col("user_id"), col("session_seq")))
     }),
 
     // ---- built-in session_window grouping (the declarative form of q20's
@@ -448,7 +448,7 @@ object Relational {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("w_start"),
           col("w.end").as("w_end"), col("n_events"))
-        .orderBy(col("user_id"), col("w_start"))
+        .transform(graft.Tables.ordered(col("user_id"), col("w_start")))
     }),
 
     // ---- LIKE / string-predicate pushdown (StringContains/StartsWith to scan)
@@ -456,7 +456,7 @@ object Relational {
       t(s, dir, "part")
         .filter(col("p_name").contains("widget") || col("p_name").startsWith("blue"))
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
-        .orderBy(col("p_partkey"))
+        .transform(graft.Tables.ordered(col("p_partkey")))
     }),
 
     // ---- IN-subquery (planned as left-semi) over a derived key set
@@ -467,7 +467,7 @@ object Relational {
         .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy(col("o_orderstatus"))
+        .transform(graft.Tables.ordered(col("o_orderstatus")))
     }),
 
     // ---- SQL LATERAL correlated subquery: per nation, its top-2
@@ -509,7 +509,7 @@ object Relational {
               .otherwise(col("c_custkey").cast("string")),
             lit("999999")).cast("long").as("parsed"),
           try_element_at(split(col("c_name"), "#"), lit(2)).as("name_suffix"))
-        .orderBy(col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_custkey")))
     }),
 
     // ---- pivot-shape conditional aggregation (one pass, no shuffle per column)
@@ -524,7 +524,7 @@ object Relational {
           sum(when(col("o_orderstatus") === "P", dec(col("o_totalprice")))
             .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(D).as("total_p"),
           count(lit(1)).as("n"))
-        .orderBy(col("o_orderpriority"))
+        .transform(graft.Tables.ordered(col("o_orderpriority")))
     }),
 
     // ---- semi-structured VARIANT: parse the JSON props column ONCE into
@@ -544,7 +544,7 @@ object Relational {
           sum(col("k").cast("long")).as("sum_k"),
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
-        .orderBy(col("event_type"))
+        .transform(graft.Tables.ordered(col("event_type")))
     }),
 
     // ---- array aggregation + array functions
@@ -559,7 +559,7 @@ object Relational {
           size(col("supp_keys")).as("n_supp"),
           element_at(col("supp_keys"), 1).as("first_key"),
           array_contains(col("supp_keys"), 1L).as("has_supp1"))
-        .orderBy(col("s_nationkey"))
+        .transform(graft.Tables.ordered(col("s_nationkey")))
     }),
 
     // ---- string function battery
@@ -574,7 +574,7 @@ object Relational {
           substring(col("p_name"), 1, 4).as("prefix4"),
           split(col("p_name"), " ").getItem(0).as("first_word"),
           length(col("p_name")).as("name_len"))
-        .orderBy(col("p_partkey"))
+        .transform(graft.Tables.ordered(col("p_partkey")))
     }),
 
     // ---- date/time function battery + interval arithmetic
@@ -590,7 +590,7 @@ object Relational {
           last_day(col("o_orderdate")).as("month_end"),
           datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
             .as("days_to_2002"))
-        .orderBy(col("o_orderkey"))
+        .transform(graft.Tables.ordered(col("o_orderkey")))
     }),
 
     // ---- as-of join: each purchase picks up the user's most recent
@@ -605,7 +605,7 @@ object Relational {
           Seq("ts" -> "view_ts", "value" -> "view_value"))
         .withColumnRenamed("ts", "purchase_ts")
         .withColumnRenamed("value", "purchase_value")
-        .orderBy(col("event_id"))
+        .transform(graft.Tables.ordered(col("event_id")))
     }),
 
     // ---- the SAME as-of semantics through the whole-operator path:
@@ -622,7 +622,7 @@ object Relational {
           Seq("ts" -> "view_ts", "value" -> "view_value"))
         .withColumnRenamed("ts", "purchase_ts")
         .withColumnRenamed("value", "purchase_value")
-        .orderBy(col("event_id"))
+        .transform(graft.Tables.ordered(col("event_id")))
     }),
 
     // ---- banded time-range join: same-user event pairs within 5 minutes
@@ -632,7 +632,7 @@ object Relational {
       graft.ops.RangeJoin.timeWindowPairs(ev, ev, "user_id", "ts", "event_id", 300)
         .select(col("k").as("user_id"), col("i").as("event_i"),
           col("j").as("event_j"), col("lt").as("ts_i"), col("rt").as("ts_j"))
-        .orderBy(col("user_id"), col("event_i"), col("event_j"))
+        .transform(graft.Tables.ordered(col("user_id"), col("event_i"), col("event_j")))
     }),
 
     // ---- TPC-H Q17 shape: correlated aggregate threshold (per-part avg)
@@ -664,7 +664,7 @@ object Relational {
           round(cume_dist().over(w), 6).as("cume"),
           first(col("c_custkey")).over(wf).as("richest_cust"),
           nth_value(col("c_custkey"), 2).over(wf).as("second_cust"))
-        .orderBy(col("c_mktsegment"), col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_mktsegment"), col("c_custkey")))
     }),
 
     // ---- explicit GROUPING SETS (beyond rollup/cube)
@@ -677,7 +677,7 @@ object Relational {
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"))
-        .orderBy(col("status"), col("priority"))
+        .transform(graft.Tables.ordered(col("status"), col("priority")))
     }),
 
     // ---- SQL FILTER-clause aggregates: per-group conditional
@@ -708,7 +708,7 @@ object Relational {
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("gid"), col("g_status"))
-        .orderBy(col("gid"), col("status"), col("priority"))
+        .transform(graft.Tables.ordered(col("gid"), col("status"), col("priority")))
     }),
 
     // ---- posexplode: position-preserving array flattening (token
@@ -720,7 +720,7 @@ object Relational {
         .select(col("p_partkey"), col("pos").cast("long").as("pos"),
           col("col").as("word"))
         .filter(length(col("word")) >= 5)
-        .orderBy(col("p_partkey"), col("pos"))
+        .transform(graft.Tables.ordered(col("p_partkey"), col("pos")))
     }),
 
     // ---- skyline: parts NOT dominated under (min price, max size).
@@ -733,7 +733,7 @@ object Relational {
       graft.ext.Curation.paretoFrontier2d(p, col("_pc"), col("p_size"))
         .select(col("p_partkey"), col("p_name"), col("p_size"),
           col("p_retailprice"))
-        .orderBy(col("p_partkey"))
+        .transform(graft.Tables.ordered(col("p_partkey")))
     }),
 
     // ---- k-anonymity report over the (nation, segment) quasi-identifier:
@@ -747,7 +747,7 @@ object Relational {
         .groupBy(col("gsz").as("group_size"))
         .agg(count(lit(1)).as("n_groups"),
           sum(col("gsz")).as("n_rows"))
-        .orderBy(col("group_size"))
+        .transform(graft.Tables.ordered(col("group_size")))
     }),
 
     // ---- data-contract audit: referential integrity, key uniqueness,
@@ -780,7 +780,7 @@ object Relational {
         .unionAll(check("dup_custkey", dupCust))
         .unionAll(check("dup_lineitem_pk", dupLineKey))
         .unionAll(check("null_orderdate", nullDates))
-        .orderBy(col("check_name"))
+        .transform(graft.Tables.ordered(col("check_name")))
     }),
 
     // ---- TPC-H Q7 shape: bidirectional nation-pair volume with
@@ -801,7 +801,7 @@ object Relational {
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(revTerm).cast(D).as("revenue"), count(lit(1)).as("n"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .transform(graft.Tables.ordered(col("supp_nation"), col("cust_nation"), col("l_year")))
     }),
 
     // ---- TPC-H Q19 shape: deeply disjunctive predicate (OR of ANDs)
@@ -833,7 +833,7 @@ object Relational {
           col("c_custkey") === col("o_custkey"), "left_anti")
       noOrders.groupBy(col("cntry"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
-        .orderBy(col("cntry"))
+        .transform(graft.Tables.ordered(col("cntry")))
     }),
 
     // ---- histogram by fixed-width buckets (portable floor arithmetic;
@@ -842,7 +842,7 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy(floor(col("l_extendedprice") / 10000).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
-        .orderBy(col("bucket"))
+        .transform(graft.Tables.ordered(col("bucket")))
     }),
 
     // ---- TPC-H Q2 shape: correlated-min subquery (cheapest supplier per part)
@@ -868,7 +868,7 @@ object Relational {
         .filter(col("unit_cost") === col("min_cost"))
         .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
           col("unit_cost"))
-        .orderBy(col("p_partkey"), col("l_suppkey"))
+        .transform(graft.Tables.ordered(col("p_partkey"), col("l_suppkey")))
     }),
 
     // ---- TPC-H Q11 shape: HAVING against a global scalar aggregate
@@ -886,7 +886,7 @@ object Relational {
       value.crossJoin(broadcast(threshold))
         .filter(col("part_value") > col("thresh"))
         .select(col("l_partkey"), col("part_value"))
-        .orderBy(col("part_value").desc, col("l_partkey"))
+        .transform(graft.Tables.ordered(col("part_value").desc, col("l_partkey")))
     }),
 
     // ---- NOT IN with non-null key set (anti join; the classic null trap
@@ -898,7 +898,7 @@ object Relational {
         .join(bigOrderParts, col("p_partkey") === col("l_partkey"), "left_anti")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"))
-        .orderBy(col("p_brand"))
+        .transform(graft.Tables.ordered(col("p_brand")))
     }),
 
     // ---- TPC-H Q21 shape (no receiptdate in the fixture, so the "late"
@@ -949,7 +949,7 @@ object Relational {
         .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
-        .orderBy(col("c_mktsegment"))
+        .transform(graft.Tables.ordered(col("c_mktsegment")))
     }),
 
     // ---- TPC-H Q20 shape: nested semi chain — suppliers whose shipped
@@ -968,7 +968,7 @@ object Relational {
       t(s, dir, "supplier")
         .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
-        .orderBy(col("s_suppkey"))
+        .transform(graft.Tables.ordered(col("s_suppkey")))
     }),
 
     // ---- RANGE window frame (value-based, not row-based): rolling
@@ -983,7 +983,7 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           sum(dec(col("o_totalprice"))).over(w).cast("double")
             .as("rev_30d"))
-        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .transform(graft.Tables.ordered(col("o_custkey"), col("o_orderdate"), col("o_orderkey")))
     }),
 
     // ---- statistical moments from EXACT decimal sums: var/stddev/corr
@@ -1010,7 +1010,7 @@ object Relational {
             sqrt((n * col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D)) *
               (n * col("syy").cast(D) - col("sy").cast(D) * col("sy").cast(D))), 6)
             .as("corr_qty_price"))
-        .orderBy(col("l_returnflag"))
+        .transform(graft.Tables.ordered(col("l_returnflag")))
     }),
 
     // ---- TPC-H Q8 shape: market share of one supplier-nation inside a
@@ -1038,7 +1038,7 @@ object Relational {
           round(sum(when(col("n2.n_name") === "NATION_7", revTerm).otherwise(zero))
             .cast(D) / sum(revTerm).cast(D), 6).as("mkt_share"),
           count(lit(1)).as("n_lines"))
-        .orderBy(col("o_year"))
+        .transform(graft.Tables.ordered(col("o_year")))
     }),
 
     // ---- TPC-H Q9 shape: per-nation per-year product profit over a
@@ -1057,7 +1057,7 @@ object Relational {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(sum(profit).cast(D).as("sum_profit"), count(lit(1)).as("n_lines"))
-        .orderBy(col("nation"), col("o_year").desc)
+        .transform(graft.Tables.ordered(col("nation"), col("o_year").desc))
     }),
 
     // ---- TPC-H Q10 shape: top-20 customers by returned-item revenue in
@@ -1163,7 +1163,7 @@ object Relational {
           (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
         .groupBy(col("cohort_wk"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("cohort_wk"), col("week_offset"))
+        .transform(graft.Tables.ordered(col("cohort_wk"), col("week_offset")))
     }),
 
     // ---- rank-function suite: ntile quartiles + percent_rank/cume_dist
@@ -1193,7 +1193,7 @@ object Relational {
           max(col("o_totalprice")).as("hi_price"),
           min(col("pr")).as("min_pr"),
           max(col("cd")).as("max_cd"))
-        .orderBy(col("c_mktsegment"), col("quartile"))
+        .transform(graft.Tables.ordered(col("c_mktsegment"), col("quartile")))
     }),
 
     // ---- data profiling (ANALYZE surface): per-column row/null/distinct
@@ -1205,7 +1205,7 @@ object Relational {
           t(s, dir, "orders").withColumn("o_totalprice",
             dec(col("o_totalprice"))),
           Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
-        .orderBy(col("col_name"))
+        .transform(graft.Tables.ordered(col("col_name")))
     }),
 
     // ---- calendar gap-fill: a generated date axis LEFT JOIN a sparse
@@ -1226,7 +1226,7 @@ object Relational {
         .select(col("day"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
-        .orderBy(col("day"))
+        .transform(graft.Tables.ordered(col("day")))
     }),
 
     // ---- ordered string aggregation: collect_list is unordered by
@@ -1237,7 +1237,7 @@ object Relational {
         .groupBy(col("s_nationkey"))
         .agg(array_join(array_sort(collect_list(col("s_name"))), "|").as("names"),
           count(lit(1)).as("n_supp"))
-        .orderBy(col("s_nationkey"))
+        .transform(graft.Tables.ordered(col("s_nationkey")))
     }),
 
     // ---- distribution window functions: ntile / percent_rank / cume_dist
@@ -1250,7 +1250,7 @@ object Relational {
           ntile(4).over(w).as("quartile"),
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"))
-        .orderBy(col("c_mktsegment"), col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_mktsegment"), col("c_custkey")))
     }),
 
     // ---- explicit frame bounds: first/last/nth over the FULL partition
@@ -1264,7 +1264,7 @@ object Relational {
           first(col("s_name")).over(w).as("poorest"),
           last(col("s_name")).over(w).as("richest"),
           nth_value(col("s_name"), 2).over(w).as("second_poorest"))
-        .orderBy(col("s_suppkey"))
+        .transform(graft.Tables.ordered(col("s_suppkey")))
     }),
 
     // ---- bitwise aggregates (order-independent, map-side combinable)
@@ -1275,7 +1275,7 @@ object Relational {
           bit_or(col("l_orderkey")).as("k_or"),
           bit_xor(col("l_orderkey")).as("k_xor"),
           count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
+        .transform(graft.Tables.ordered(col("l_returnflag")))
     }),
 
     // ---- time-series analytics: month-over-month revenue change
@@ -1290,7 +1290,7 @@ object Relational {
         .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
         .withColumn("mom_pct",
           round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100, 6))
-        .orderBy(col("month"))
+        .transform(graft.Tables.ordered(col("month")))
     }),
 
     // ---- argmax/argmin aggregation (max_by with a collision-free ordinal
@@ -1307,7 +1307,7 @@ object Relational {
           min_by(col("o_orderkey"), ord).as("cheapest_order"),
           max(col("o_totalprice")).as("max_price"),
           min(col("o_totalprice")).as("min_price"))
-        .orderBy(col("o_orderpriority"))
+        .transform(graft.Tables.ordered(col("o_orderpriority")))
     }),
 
     // ---- conditional distinct counts WITHOUT tripling the fact table.
@@ -1334,7 +1334,7 @@ object Relational {
       val supp = li.filter(col("l_suppkey").isNotNull)
         .select(col("l_returnflag"), col("l_suppkey")).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_supp"))
-      parts.join(supp, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+      parts.join(supp, Seq("l_returnflag")).transform(graft.Tables.ordered(col("l_returnflag")))
     }),
 
     // ---- TPC-H Q13 shape: order-count distribution via left join + double agg
@@ -1345,7 +1345,7 @@ object Relational {
         .agg(count(col("o_orderkey")).as("c_count"))
       counts.groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
+        .transform(graft.Tables.ordered(col("custdist").desc, col("c_count").desc))
     }),
 
     // ---- TPC-H Q15 shape: top-revenue supplier via max-equality subquery
@@ -1361,7 +1361,7 @@ object Relational {
         .crossJoin(broadcast(maxRev))
         .filter(col("total_revenue") === col("mr"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-        .orderBy(col("s_suppkey"))
+        .transform(graft.Tables.ordered(col("s_suppkey")))
     }),
 
     // ---- exact interpolated quantiles per group
@@ -1373,7 +1373,7 @@ object Relational {
           round(expr("percentile(c_acctbal, 0.25)"), 6).as("q1_bal"),
           round(expr("percentile(c_acctbal, 0.75)"), 6).as("q3_bal"),
           count(lit(1)).as("n"))
-        .orderBy(col("c_mktsegment"))
+        .transform(graft.Tables.ordered(col("c_mktsegment")))
     }),
 
     // ---- correlated scalar-subquery shape: customers above their nation's avg balance
@@ -1384,7 +1384,7 @@ object Relational {
       c.join(broadcast(navg), col("c_nationkey") === col("nk"))
         .filter(col("c_acctbal") > col("nation_avg"))
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-        .orderBy(col("c_custkey"))
+        .transform(graft.Tables.ordered(col("c_custkey")))
     })
   )
 

@@ -30,6 +30,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TPC-H Q1 shape: scan → filter → hash agg (map-side partial) → sort
     "q1_agg" -> ((s, dir) => {
+      // tf: six decimal aggregates per row want the 32-core spread more
+      // than they mind the round-robin exchange (measured both ways)
       tf(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -806,7 +808,7 @@ object Relational {
 
     // ---- TPC-H Q19 shape: deeply disjunctive predicate (OR of ANDs)
     "q33_disjunctive" -> ((s, dir) => {
-      tf(s, dir, "lineitem")
+      t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
@@ -1300,7 +1302,7 @@ object Relational {
     "q35_argmax" -> ((s, dir) => {
       val ord = (dec(col("o_totalprice")) * 100).cast("long") * 10000000000L +
         col("o_orderkey")
-      tf(s, dir, "orders")
+      t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
           max_by(col("o_orderkey"), ord).as("priciest_order"),

@@ -44,6 +44,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
   }
 
+  test("Tables.ordered: no range sampling, one partition, total order") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).toDF("id")
+      .select(col("id"), (col("id") * 37 % 101).as("k"))
+      .transform(graft.Tables.ordered(col("k"), col("id")))
+    // a rangepartitioning exchange would re-execute the upstream plan
+    // once more just to sample split points — ordered must never plan one
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"ordered planned a range sort (sampling double-execution):\n$p")
+    assert(df.rdd.getNumPartitions == 1, "result must be a single partition")
+    val rows = df.collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(rows.toSeq == rows.toSeq.sorted, "output not totally ordered")
+  }
+
   test("q4_semi_join stays a semi join in the physical plan") {
     assert(plan("q4_semi_join").contains("LeftSemi"))
   }

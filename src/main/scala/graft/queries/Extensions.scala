@@ -880,7 +880,10 @@ object Extensions {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      // one-pass endpoint explode, not unionAll(a-leg, b-leg): each
+      // union leg embeds the full edge build (join + distinct), so the
+      // trade graph was computed twice (see Graph.symmetric)
+      e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg").as("degree"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))

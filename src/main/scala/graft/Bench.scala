@@ -152,10 +152,17 @@ object Bench {
         if (a < 0 || b < 0) -1.0
         else {
           val (lo, hi) = (math.min(a, b), math.max(a, b))
-          // still-divergent sample pair => one tie-break run
+          // still-divergent sample pair => one tie-break run; the
+          // heaviest queries (>= 1s floor) additionally always get a
+          // third sample — run-to-run comparison across full suites
+          // shows THEIR min-of-2 still moves +/-30% with host band,
+          // and ~15 such queries dominate the published total
           if (hi > 2 * lo && hi - lo > 0.25) {
             val c = runOnce(fn)
             if (c < 0) -1.0 else math.min(lo, c)
+          } else if (lo >= 1.0) {
+            val c = runOnce(fn)
+            if (c < 0) lo else math.min(lo, c)
           } else lo
         }
       n -> v

@@ -517,4 +517,49 @@ class ExtensionsSpec extends SparkSpec {
       assert(d.nonEmpty || l.nonEmpty, "a fused row must come from a leg")
     }
   }
+
+  test("plantedDocs single-scan explode equals the 3-branch union form") {
+    import org.apache.spark.sql.functions._
+    // the union formulation the conditional explode replaced (round 8):
+    // any drift in the planted arithmetic breaks every detector oracle
+    val base = graft.Tables.tf(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val unionForm = base
+      .unionByName(base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 25 === 13)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token tail")).as("text")))
+    val got = Extensions.plantedDocs(spark, sf)
+    assert(got.count() == unionForm.count())
+    assert(got.exceptAll(unionForm).isEmpty && unionForm.exceptAll(got).isEmpty,
+      "single-scan planted corpus diverged from the union form")
+  }
+
+  test("co-purchase posting-list edges equal the self-join form") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val joinForm = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    // the posting-list form is private to the query map; compare through
+    // the public consumer surface (triangles' input is (node, degree)
+    // keyed rows — degree preserves the full edge multiset around a<b)
+    val postingForm = li.groupBy(col("ok"))
+      .agg(array_sort(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ps")) - 1),
+          i => transform(slice(col("ps"), i + 1, size(col("ps")) - i),
+            e => struct(element_at(col("ps"), i).as("a"), e.as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    assert(postingForm.exceptAll(joinForm).isEmpty &&
+      joinForm.exceptAll(postingForm).isEmpty,
+      "posting-list co-purchase edges diverged from the self-join form")
+  }
 }

@@ -47,10 +47,15 @@ object Bench {
     // (sp4 = 216s underused the cores; this rule picks 8 at sf0.1).
     // At production scale the same rule lands at the cap and AQE
     // coalesces from there, so nothing here is bench-special-cased.
+    // recursive walk, not Files.list: Spark-written tables are
+    // DIRECTORIES of part files (<t>.parquet/part-*.parquet), and a
+    // non-recursive listing would count each as one ~4KB dirent —
+    // silently pinning the 8-partition floor on a multi-GB fixture
     val inputBytes = scala.util.Try {
-      val d = java.nio.file.Paths.get(sfDir)
-      val s = java.nio.file.Files.list(d)
-      try s.mapToLong(p => p.toFile.length()).sum() finally s.close()
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(p => p.toFile.length()).sum()
+      finally s.close()
     }.getOrElse(0L)
     val shufflePartitions = shufflePartitionsFor(inputBytes, cpus.toInt).toString
     val spark = extra.foldLeft(SparkSession.builder()
@@ -80,18 +85,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Every unpartitioned window this engine executes ranks a BOUNDED
-    // frame: a limit-N result (zipf/vocab top ranks), the grid CDF whose
-    // cardinality TextOps.lowerMedian guards with a runtime error, a
-    // per-month series, or one micro-batch. WindowExec's blanket
-    // move-everything warning is noise for those — and a constant
-    // partition key cannot state the bound in the plan because
-    // EliminateWindowPartitions strips foldable keys — so the one
-    // logger is pinned to ERROR; the genuinely dangerous case dies on
-    // the lowerMedian guard instead of a warning nobody reads.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    Tables.silenceBoundedWindowWarn()
 
     // warmup: JIT + whole-stage-codegen compile paths + page-cache the
     // inputs. Each read individually guarded — one missing fixture table
@@ -203,13 +197,21 @@ object Bench {
         new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
       }.toOption
     // failed/skipped published alongside the total so a consumer can see
-    // when duckdb_total silently covers a smaller query set
+    // when duckdb_total silently covers a smaller query set. EVERY field
+    // is Option-guarded (not just failed/skipped): a script that exits 0
+    // but emits JSON without total/n must degrade to omitting the
+    // denominator — an unguarded .asDouble would NPE here AFTER the
+    // whole timed suite ran and lose the results
     val duckdbFields = duckdb
-      .map { n =>
-        s""","duckdb_total":${fmt(n.get("total").asDouble())}""" +
-        s""","duckdb_n":${n.get("n").asInt()}""" +
-        s""","duckdb_failed":${Option(n.get("failed")).map(_.asInt()).getOrElse(0)}""" +
-        s""","duckdb_skipped":${Option(n.get("skipped")).map(_.asInt()).getOrElse(0)}"""
+      .flatMap { n =>
+        for {
+          tot <- Option(n.get("total")).map(_.asDouble())
+          cnt <- Option(n.get("n")).map(_.asInt())
+        } yield
+          s""","duckdb_total":${fmt(tot)}""" +
+          s""","duckdb_n":$cnt""" +
+          s""","duckdb_failed":${Option(n.get("failed")).map(_.asInt()).getOrElse(0)}""" +
+          s""","duckdb_skipped":${Option(n.get("skipped")).map(_.asInt()).getOrElse(0)}"""
       }
       .getOrElse("")
     // per-query DuckDB map (BENCH_FULL.json only — too long for stdout)

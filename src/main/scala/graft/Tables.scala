@@ -107,6 +107,20 @@ object Tables {
   def tf(spark: SparkSession, dir: String, name: String): DataFrame =
     fanout(t(spark, dir, name))
 
+  /** Shared by the Bench/Verify mains. Every unpartitioned window this
+    * engine executes ranks a BOUNDED frame: a limit-N result (zipf/vocab
+    * top ranks), the grid CDF whose cardinality TextOps.lowerMedian
+    * guards with a runtime error, a per-month series, or one
+    * micro-batch. WindowExec's blanket move-everything warning is noise
+    * for those — and a constant partition key cannot state the bound in
+    * the plan because EliminateWindowPartitions strips foldable keys —
+    * so the one logger is pinned to ERROR; the genuinely dangerous case
+    * dies on the lowerMedian guard instead of a warning nobody reads. */
+  def silenceBoundedWindowWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Totally-ordered presentation of a RESULT frame, for `.transform`.
     *
     * A terminal `orderBy` plans a range-partitioned sort whose
@@ -120,12 +134,32 @@ object Tables {
     * order. RangePartitioner skips sampling entirely at one partition,
     * which is what this shape guarantees statically.
     *
-    * This is for RESULT surfaces only. An operator whose OUTPUT is
-    * corpus-sized at 100 TB should keep `orderBy` (q9_set_ops retains
-    * one as the global-sort representative); every oracle/presentation
-    * sort in the query maps qualifies. */
+    * Contract: PRESENTATION surfaces only — the terminal sort the
+    * driver's hash-compare consumes (it re-sorts rows anyway). Every
+    * terminal sort in the query maps qualifies, including per-document
+    * outputs: at production scale a presentation sort of a corpus-sized
+    * output would simply be dropped (nobody totally orders 100 TB of
+    * output to look at it), so the honest scale story is "no sort",
+    * not "distributed sort". Library operators (graft.ext, graft.ops)
+    * must NEVER call this — an operator that needs ordered data at
+    * scale uses `orderBy`/`sortWithinPartitions` on its own partitioning
+    * (q9_set_ops keeps one genuine global `orderBy` as that operator's
+    * representative). */
   def ordered(cols: Column*)(df: DataFrame): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** ONE-scan planted-variant corpus: each input row explodes into the
+    * rows of `variants` that are non-null for it (pass unconditional
+    * variants as plain structs, conditional ones as
+    * `when(pred, struct(...))` — when without otherwise is null). The
+    * union-of-filtered-branches formulation this replaces re-decoded the
+    * scanned columns once per branch (~0.45s/branch on the sf0.1 text
+    * column); the explode is map-side and the row SET is identical.
+    * All variant structs must share the field names in `fields`. */
+  def plantedVariants(df: DataFrame, fields: Seq[String],
+      variants: Column*): DataFrame =
+    df.select(explode(filter(array(variants: _*), v => v.isNotNull)).as("_v"))
+      .select(fields.map(f => col(s"_v.$f").as(f)): _*)
 
   /** Exact 2-decimal view of a double column (fixtures are 2-dp values). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

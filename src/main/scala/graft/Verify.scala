@@ -16,18 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Every unpartitioned window this engine executes ranks a BOUNDED
-    // frame: a limit-N result (zipf/vocab top ranks), the grid CDF whose
-    // cardinality TextOps.lowerMedian guards with a runtime error, a
-    // per-month series, or one micro-batch. WindowExec's blanket
-    // move-everything warning is noise for those — and a constant
-    // partition key cannot state the bound in the plan because
-    // EliminateWindowPartitions strips foldable keys — so the one
-    // logger is pinned to ERROR; the genuinely dangerous case dies on
-    // the lowerMedian guard instead of a warning nobody reads.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    Tables.silenceBoundedWindowWarn()
     // wipe any previous run's outputs FIRST: a failing query must leave a
     // missing dir (which the compare reports as FAIL), never a stale
     // parquet from an older build that would silently pass

@@ -270,17 +270,14 @@ object Corpus {
     // doc_id%25==7 re-landed with doubled spaces and a trailing "!!"
     "dedup_fingerprint" -> ((s, dir) => {
       // one scan: each row explodes into itself plus (for %25==7) its
-      // reformatted copy map-side — the union form re-decoded the
-      // parquet text column once per branch
-      val docs = tf(s, dir, "documents")
-        .select(explode(filter(array(
-            struct(col("doc_id"), col("text")),
-            when(col("doc_id") % 25 === 7,
-              struct((col("doc_id") + 300000).as("doc_id"),
-                concat(regexp_replace(col("text"), " ", "  "), lit(" !!"))
-                  .as("text")))),
-          x => x.isNotNull)).as("d"))
-        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      // reformatted copy map-side (see [[graft.Tables.plantedVariants]])
+      val docs = graft.Tables.plantedVariants(
+        tf(s, dir, "documents"), Seq("doc_id", "text"),
+        struct(col("doc_id"), col("text")),
+        when(col("doc_id") % 25 === 7,
+          struct((col("doc_id") + 300000).as("doc_id"),
+            concat(regexp_replace(col("text"), " ", "  "), lit(" !!"))
+              .as("text"))))
       docs.groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
@@ -412,15 +409,12 @@ object Corpus {
     // (vec_id%25==0, +100000) must all be dropped at threshold 0.999
     "embed_dedup_apply" -> ((s, dir) => {
       // one scan (the union form decoded the float-array column twice)
-      val planted = tf(s, dir, "embeddings")
-        .select(explode(filter(array(
-            struct(col("vec_id"), col("embedding"), col("label")),
-            when(col("vec_id") % 25 === 0,
-              struct((col("vec_id") + 100000).as("vec_id"),
-                col("embedding"), col("label")))),
-          x => x.isNotNull)).as("d"))
-        .select(col("d.vec_id").as("vec_id"),
-          col("d.embedding").as("embedding"), col("d.label").as("label"))
+      val planted = graft.Tables.plantedVariants(
+        tf(s, dir, "embeddings"), Seq("vec_id", "embedding", "label"),
+        struct(col("vec_id"), col("embedding"), col("label")),
+        when(col("vec_id") % 25 === 0,
+          struct((col("vec_id") + 100000).as("vec_id"),
+            col("embedding"), col("label"))))
       Similarity.embedDedupApply(planted, threshold = 0.999)
         .select(col("vec_id")).transform(graft.Tables.ordered(col("vec_id")))
     }),

@@ -34,9 +34,14 @@ object Extensions {
     * (and their oracles, via [[bulkCoPurchaseEdgesSql]]) can never
     * drift onto different graphs. Output is DISTINCT with a < b — the
     * contract behind the consumers' inputCanonical attestation. */
-  private def bulkCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bulkCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    // isNotNull matches the self-join formulation this replaced: an
+    // inner join on ok = ok never matches NULL keys, but groupBy would
+    // collect every NULL-key row into ONE pair-producing group. The
+    // fixture has no NULL orderkeys; the filter keeps the equivalence
+    // unconditional (and ExtensionsSpec pins it against the join form).
     val li = graft.Tables.t(s, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
+      .filter(col("l_quantity") >= 30 && col("l_orderkey").isNotNull)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     // posting-list shape, not a self-join: group the (few) bulk parts
     // of each order into a sorted distinct array and emit the ordered
@@ -71,23 +76,17 @@ object Extensions {
 
   /** Planted-dup corpus: exact copies of doc_id % 25 == 0 (ids +200000)
     * and near-copies (3 appended tokens) of doc_id % 25 == 13 (+100000). */
-  def plantedDocs(s: SparkSession, dir: String): DataFrame = {
-    // ONE scan, not a 3-branch union: the branches only differ in a
-    // doc_id predicate, and each union leg re-decodes the full parquet
-    // text column (~0.45s at sf0.1, paid by every detector query).
-    // Each row explodes into its 1-3 planted variants map-side; the
-    // row SET is identical to the union form.
-    val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
-    base.select(explode(filter(array(
-        struct(col("doc_id"), col("text")),
-        when(col("doc_id") % 25 === 0,
-          struct((col("doc_id") + 200000).as("doc_id"), col("text"))),
-        when(col("doc_id") % 25 === 13,
-          struct((col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" extra token tail")).as("text")))),
-        x => x.isNotNull)).as("d"))
-      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
-  }
+  def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    // ONE scan, not a 3-branch union (see [[graft.Tables.plantedVariants]])
+    graft.Tables.plantedVariants(
+      tf(s, dir, "documents").select(col("doc_id"), col("text")),
+      Seq("doc_id", "text"),
+      struct(col("doc_id"), col("text")),
+      when(col("doc_id") % 25 === 0,
+        struct((col("doc_id") + 200000).as("doc_id"), col("text"))),
+      when(col("doc_id") % 25 === 13,
+        struct((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra token tail")).as("text"))))
 
   private[queries] val plantedSql =
     """docs AS (
@@ -298,16 +297,14 @@ object Extensions {
     // corpus is never re-paired against itself
     "dedup_minhash_incremental" -> ((s, dir) => {
       val base = tf(s, dir, "documents").select(col("doc_id"), col("text"))
-      // the batch's two planted branches in one scan (see plantedDocs)
-      val batch = tf(s, dir, "documents")
-        .select(explode(filter(array(
-            when(col("doc_id") % 25 === 0,
-              struct((col("doc_id") + 200000).as("doc_id"), col("text"))),
-            when(col("doc_id") % 25 === 13,
-              struct((col("doc_id") + 100000).as("doc_id"),
-                concat(col("text"), lit(" extra token tail")).as("text")))),
-          x => x.isNotNull)).as("d"))
-        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      // the batch's two planted branches in one scan
+      val batch = graft.Tables.plantedVariants(
+        tf(s, dir, "documents"), Seq("doc_id", "text"),
+        when(col("doc_id") % 25 === 0,
+          struct((col("doc_id") + 200000).as("doc_id"), col("text"))),
+        when(col("doc_id") % 25 === 13,
+          struct((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra token tail")).as("text"))))
       Dedup.minhashLshAgainst(base, batch, n = 3, threshold = 0.5)
         .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
@@ -669,14 +666,12 @@ object Extensions {
     // df cap keeps common-substring fingerprints out of the pair pool
     "dedup_winnow_pairs" -> ((s, dir) => {
       // one scan: see plantedDocs — the union form decoded text twice
-      val planted = tf(s, dir, "documents")
-        .select(explode(filter(array(
-            struct(col("doc_id"), col("text")),
-            when(col("doc_id") % 25 === 7,
-              struct((col("doc_id") + 300000L).as("doc_id"),
-                concat(col("text"), lit(" !!")).as("text")))),
-          x => x.isNotNull)).as("d"))
-        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      val planted = graft.Tables.plantedVariants(
+        tf(s, dir, "documents"), Seq("doc_id", "text"),
+        struct(col("doc_id"), col("text")),
+        when(col("doc_id") % 25 === 7,
+          struct((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" !!")).as("text"))))
       Dedup.winnowPairs(planted, minShared = 10, maxDocFreq = 8)
         .transform(graft.Tables.ordered(col("i"), col("j")))
     }),

@@ -545,19 +545,9 @@ class ExtensionsSpec extends SparkSpec {
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
-    // the posting-list form is private to the query map; compare through
-    // the public consumer surface (triangles' input is (node, degree)
-    // keyed rows — degree preserves the full edge multiset around a<b)
-    val postingForm = li.groupBy(col("ok"))
-      .agg(array_sort(collect_set(col("pk"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-      .select(explode(flatten(transform(
-          sequence(lit(1), size(col("ps")) - 1),
-          i => transform(slice(col("ps"), i + 1, size(col("ps")) - i),
-            e => struct(element_at(col("ps"), i).as("a"), e.as("b"))))))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    // exercise the PRODUCTION posting-list path (private[queries]), not
+    // a re-implementation a production edit could silently drift from
+    val postingForm = Extensions.bulkCoPurchaseEdges(spark, sf)
     assert(postingForm.exceptAll(joinForm).isEmpty &&
       joinForm.exceptAll(postingForm).isEmpty,
       "posting-list co-purchase edges diverged from the self-join form")

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * Numeric min/max stringify AFTER aggregation (min of the value, not of
   * its string form — "9" > "10" lexicographically). Callers profiling
   * doubles should cast to DECIMAL first for engine-portable rendering.
+  *
+  * INPUT CONTRACT: `df` should be a (possibly filtered) TABLE SCAN.
+  * The bytes-read-identical argument above relies on columnar pruning;
+  * a DERIVED frame (a join/aggregation output) would re-execute its
+  * whole upstream once per column leg — persist such a frame first, or
+  * accept the single-agg Expand form instead. Profiling is an
+  * ANALYZE-style pre-planning surface, so scans are the expected input
+  * (the in-repo callers all pass scans).
   */
 object Profile {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -28,6 +28,18 @@ object Bench {
   private[graft] def shufflePartitionsFor(inputBytes: Long, cpus: Int): Int =
     math.max(8L, math.min(cpus.toLong, inputBytes / (16L << 20))).toInt
 
+  /** Total bytes of regular files under `dir`, RECURSIVE — Spark-written
+    * tables are directories of part files, and a non-recursive listing
+    * would count each as one ~4KB dirent and pin the partition floor at
+    * any data size. 0 on an unreadable/missing dir (the floor applies).
+    * Extracted from main so BenchConfigSpec can pin the recursion. */
+  private[graft] def fixtureBytes(dir: String): Long = scala.util.Try {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(p => p.toFile.length()).sum()
+    finally s.close()
+  }.getOrElse(0L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,16 +59,7 @@ object Bench {
     // (sp4 = 216s underused the cores; this rule picks 8 at sf0.1).
     // At production scale the same rule lands at the cap and AQE
     // coalesces from there, so nothing here is bench-special-cased.
-    // recursive walk, not Files.list: Spark-written tables are
-    // DIRECTORIES of part files (<t>.parquet/part-*.parquet), and a
-    // non-recursive listing would count each as one ~4KB dirent —
-    // silently pinning the 8-partition floor on a multi-GB fixture
-    val inputBytes = scala.util.Try {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
-      try s.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(p => p.toFile.length()).sum()
-      finally s.close()
-    }.getOrElse(0L)
+    val inputBytes = fixtureBytes(sfDir)
     val shufflePartitions = shufflePartitionsFor(inputBytes, cpus.toInt).toString
     val spark = extra.foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")

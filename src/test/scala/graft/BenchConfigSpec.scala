@@ -21,6 +21,21 @@ class BenchConfigSpec extends AnyFunSuite {
     assert(Bench.shufflePartitionsFor(256 * MB, 32) == 16)
   }
 
+  test("fixtureBytes recurses into table DIRECTORIES of part files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fb")
+    val tableDir = root.resolve("t.parquet")
+    java.nio.file.Files.createDirectory(tableDir)
+    java.nio.file.Files.write(tableDir.resolve("part-0.parquet"),
+      new Array[Byte](1000))
+    java.nio.file.Files.write(tableDir.resolve("part-1.parquet"),
+      new Array[Byte](500))
+    java.nio.file.Files.write(root.resolve("flat.parquet"),
+      new Array[Byte](200))
+    assert(Bench.fixtureBytes(root.toString) == 1700L,
+      "part files inside a table directory must be counted")
+    assert(Bench.fixtureBytes(root.resolve("missing").toString) == 0L)
+  }
+
   test("cap: partitions never exceed the core count") {
     assert(Bench.shufflePartitionsFor(10L * 1024 * MB, 32) == 32)
     assert(Bench.shufflePartitionsFor(Long.MaxValue / 4, 32) == 32)

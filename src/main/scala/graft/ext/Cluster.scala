@@ -109,13 +109,20 @@ object Cluster {
       // does. Checkpointing truncates the logical plan to the cached
       // blocks each round, keeping analysis O(1) per round; old block
       // sets are dropped by the context cleaner.
+      // the convergence probe rides the checkpoint job as an Observation
+      // (CollectMetrics executes inside the materializing action) — one
+      // job per round instead of checkpoint + a separate changed-count
+      val obs = org.apache.spark.sql.Observation()
       val stepped = lbl.join(nbrMin, Seq("id"))
         .join(l2, Seq("id"))
         .select(col("id"),
           least(col("comp"), col("nbr_comp"), col("jump_comp")).as("comp"),
           col("comp").as("prev"))
+        .observe(obs, coalesce(sum(
+          when(col("comp") =!= col("prev"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
         .localCheckpoint(true)
-      val changed = stepped.filter(col("comp") =!= col("prev")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = stepped
       converged = changed == 0

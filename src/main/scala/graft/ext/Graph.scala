@@ -328,26 +328,39 @@ object Graph {
     // round — same rationale as the CC pointer-doubling rounds.
     def cp(df: DataFrame): DataFrame =
       if (checkpointRounds) df.localCheckpoint(true) else df
+    // the fixed-point probe's edge count rides the checkpoint job as an
+    // Observation (CollectMetrics executes inside the materializing
+    // action), replacing the separate count() job each round ran over
+    // the cached blocks — one job per round instead of two
+    def cpCounted(df: DataFrame): (DataFrame, Long) =
+      if (checkpointRounds) {
+        val obs = org.apache.spark.sql.Observation()
+        val out = df.observe(obs, count(lit(1)).as("edges"))
+          .localCheckpoint(true)
+        (out, obs.get("edges").asInstanceOf[Long])
+      } else (df, -1L)
     // one-pass symmetric closure (see [[symmetric]] — the union form
     // would compute the upstream edge build twice)
-    var ed = cp(symmetric(pairs, Nil, dedupSymmetric = !inputCanonical))
-    var prevEdges = if (checkpointRounds) ed.count() else -1L
+    val closure = symmetric(pairs, Nil, dedupSymmetric = !inputCanonical)
+    var (ed, prevEdges) =
+      if (checkpointRounds) cpCounted(closure) else (closure, -1L)
     var round = 0
     var fixedPoint = false
     while (round < rounds && !fixedPoint) {
       val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("n"))
-      ed = cp(ed
+      val next = ed
         .join(keep, ed("src") === keep("n"), "left_semi")
-        .join(keep, ed("dst") === keep("n"), "left_semi"))
+        .join(keep, ed("dst") === keep("n"), "left_semi")
       round += 1
       if (checkpointRounds) {
-        val c = ed.count()
+        val (nextEd, c) = cpCounted(next)
+        ed = nextEd
         // unchanged count == no edge dropped == every node kept: the
         // next round's keep-set is identical, hence a fixed point
         if (c == prevEdges) fixedPoint = true
         prevEdges = c
-      }
+      } else ed = next
     }
     (ed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg")), round)

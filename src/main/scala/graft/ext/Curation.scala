@@ -30,7 +30,11 @@ object Curation {
     // equivalent) — a pure scan-stage filter, not a self-join back onto
     // the flag table, so the corpus really is scanned once and nothing
     // shuffles before dedup
+    // kept feeds the fingerprint-min detector AND the semi-join's left
+    // side: pin it so the scan + quality predicate (token stats +
+    // regexes over every text) run once (caller sweeps caches)
     val kept = docs.filter(TextOps.qualityKeep(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dedupKeep = kept
       .groupBy(TextOps.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))

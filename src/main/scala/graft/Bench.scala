@@ -168,16 +168,19 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val total = fmt(results.values.filter(_ >= 0).sum)
 
-    // same-session DuckDB denominator: the standalone oracle SQL (the
-    // few __GRAFT_VERIFY_OUT__ join-back oracles read engine output and
-    // are skipped — sub-second queries, noise-level) timed by the same
-    // two-pass-min protocol. Best-effort: a host without python3/duckdb
-    // just omits the fields.
+    // same-session DuckDB denominator: the standalone oracle SQL, with
+    // the three __GRAFT_VERIFY_OUT__ join-back ANN oracles REPLACED by
+    // their exact-top-k twins (SparkEntry.benchTwinSql) so every timed
+    // query carries a denominator (duckdb_skipped: 0) — bench_duckdb.py
+    // still defensively skips any residual join-back marker. Timed by
+    // the same two-pass-min protocol. Best-effort: a host without
+    // python3/duckdb just omits the fields.
     val duckdb: Option[com.fasterxml.jackson.databind.JsonNode] =
       if (only.nonEmpty) None
       else scala.util.Try {
         val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
-        val sqlJson = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (k, v) =>
+        val sqlJson = (SparkEntry.oracleSql ++ SparkEntry.benchTwinSql)
+          .toSeq.sortBy(_._1).map { case (k, v) =>
           "\"" + k + "\":" + com.fasterxml.jackson.databind.json.JsonMapper
             .builder().build().writeValueAsString(v)
         }.mkString("{", ",", "}")

@@ -21,4 +21,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Parity.oracle ++
       graft.queries.Extensions.oracle ++ graft.queries.Corpus.oracle
+
+  /** Bench-denominator-only standalone twins for the join-back ANN
+    * oracles (exact top-k brute force — see the Extensions scaladoc).
+    * [[Bench]] overlays these on [[oracleSql]] before invoking
+    * tools/bench_duckdb.py so every timed query carries a DuckDB
+    * denominator; [[Verify]] ignores them (correctness keeps the
+    * stricter join-back hash check). */
+  def benchTwinSql: Map[String, String] = graft.queries.Extensions.benchTwinSql
 }

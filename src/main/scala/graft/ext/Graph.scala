@@ -391,29 +391,98 @@ object Graph {
     // full-edge-list distinct shuffle is skipped (spec-asserted equal)
     val ed = symmetric(pairs, Nil, dedupSymmetric)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // widen BEFORE the product: Long*Long wraps pre-sum for hub degrees
-    val dxD = col("dx").cast(DecimalType(19, 0))
-    val dyD = col("dy").cast(DecimalType(19, 0))
-    val withD = ed
-      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
-      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
-    withD.agg(
-        count(lit(1)).as("n"),
-        sum(dxD).as("sxd"), sum(dyD).as("syd"),
-        sum((dxD * dyD).cast(DecimalType(38, 0))).as("sxyd"),
-        sum((dxD * dxD).cast(DecimalType(38, 0))).as("sxxd"),
-        sum((dyD * dyD).cast(DecimalType(38, 0))).as("syyd"))
+    // ONE degree join, not two, and the final moment aggregation runs
+    // over |V| node rows instead of |E| edge rows. On the symmetric
+    // closure every per-edge moment decomposes through the degree
+    // sequence: sum over directed edges of dx (= deg(src)) is
+    // sum_v deg(v)^2, sum of dx^2 is sum_v deg(v)^3, and by symmetry
+    // sy == sx and syy == sxx. Only sxy = sum_e deg(src)*deg(dst)
+    // needs joint endpoint info, and it factors as
+    // sum_v deg(v) * S(v) with S(v) = sum of v's neighbors' degrees —
+    // so tagging each edge with its SOURCE degree and re-keying by dst
+    // yields a per-node frame (deg(v) = group count, S(v) = sum of the
+    // tagged source degrees) that carries everything. Net plan vs the
+    // naive two-join form: the ed-by-src exchange is shared between
+    // the degree count and the join (ReuseExchange), the dst-side
+    // second join and the full-edge-list final scan disappear.
+    val perNode = ed.join(deg, Seq("src"))
+      .groupBy(col("dst"))
+      // widen BEFORE summing: per-node neighbor-degree mass for a hub
+      // (~1e6 neighbors of degree ~1e6) already passes 2^63
+      .agg(count(lit(1)).as("d"),
+        sum(col("deg").cast(DecimalType(19, 0))).as("snbr"))
+    val dD = col("d").cast(DecimalType(19, 0))
+    val d2 = (dD * dD).cast(DecimalType(38, 0))
+    perNode.agg(
+        // n (directed edges) = sum of degrees; coalesce keeps the
+        // empty-graph row at 0 like the count(1) form it replaces
+        coalesce(sum(dD), lit(0).cast(DecimalType(19, 0)))
+          .cast("long").as("n"),
+        sum(d2).as("sxd"),
+        sum((d2 * dD).cast(DecimalType(38, 0))).as("sxxd"),
+        sum((dD * col("snbr")).cast(DecimalType(38, 0))).as("sxyd"))
       .withColumn("r",
         (col("n").cast("double") * col("sxyd").cast("double") -
-          col("sxd").cast("double") * col("syd").cast("double")) /
+          col("sxd").cast("double") * col("sxd").cast("double")) /
         (sqrt(col("n").cast("double") * col("sxxd").cast("double") -
             col("sxd").cast("double") * col("sxd").cast("double")) *
-          sqrt(col("n").cast("double") * col("syyd").cast("double") -
-            col("syd").cast("double") * col("syd").cast("double"))))
+          sqrt(col("n").cast("double") * col("sxxd").cast("double") -
+            col("sxd").cast("double") * col("sxd").cast("double"))))
       .select(col("n"),
-        col("sxd").cast("long").as("sx"), col("syd").cast("long").as("sy"),
+        col("sxd").cast("long").as("sx"), col("sxd").cast("long").as("sy"),
         col("sxyd").cast("long").as("sxy"),
         col("sxxd").cast("long").as("sxx"),
-        col("syyd").cast("long").as("syy"), col("r"))
+        col("sxxd").cast("long").as("syy"), col("r"))
+  }
+
+  /** [[assortativity]] specialized to a BIPARTITE edge list — `pairs`
+    * must be one row per distinct (a, b) edge with the a-domain and
+    * b-domain disjoint (the caller's attestation, same contract shape
+    * as `dedupSymmetric = false`). Row-identical to the general path
+    * (GraphSpec asserts it) but never materializes the symmetric
+    * closure: on a bipartite graph every directed-closure moment
+    * splits into an a-side and a b-side degree-sequence term —
+    * n = 2|E|, sx = Σda² + Σdb², sxx = Σda³ + Σdb³ — and the one
+    * joint moment factors through the neighbor-degree sum,
+    * sxy = 2·Σ_b db(b)·S(b) with S(b) = Σ of b's partners' a-degrees.
+    * So the plan is: one a-keyed exchange (degree count + the single
+    * degree join share it), one b-keyed exchange for the per-b frame,
+    * and two 1-row moment rollups — versus the general path's
+    * closure-doubled src- and dst-keyed exchanges over 2|E| rows.
+    * Best fed by a dedup already partitioned on `a` (the trade-graph
+    * caller repartitions by a before distinct so the dedup, the degree
+    * count, and the join all ride ONE exchange). */
+  def assortativityBipartite(pairs: DataFrame): DataFrame = {
+    val da = pairs.groupBy(col("a")).agg(count(lit(1)).as("da"))
+    val daD = col("da").cast(DecimalType(19, 0))
+    val dbD = col("db").cast(DecimalType(19, 0))
+    val da2 = (daD * daD).cast(DecimalType(38, 0))
+    val db2 = (dbD * dbD).cast(DecimalType(38, 0))
+    val aMom = da.agg(
+      coalesce(sum(daD), lit(0).cast(DecimalType(19, 0))).as("ne_a"),
+      sum(da2).as("sa2"), sum((da2 * daD).cast(DecimalType(38, 0))).as("sa3"))
+    val perB = pairs.join(da, Seq("a"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("db"), sum(daD).as("sb"))
+    val bMom = perB.agg(
+      sum(db2).as("sb2"), sum((db2 * dbD).cast(DecimalType(38, 0))).as("sb3"),
+      sum((dbD * col("sb")).cast(DecimalType(38, 0))).as("sxyh"))
+    aMom.crossJoin(bMom)
+      .select((col("ne_a") * 2).cast("long").as("n"),
+        (col("sa2") + col("sb2")).as("sxd"),
+        (col("sa3") + col("sb3")).as("sxxd"),
+        (col("sxyh") * 2).as("sxyd"))
+      .withColumn("r",
+        (col("n").cast("double") * col("sxyd").cast("double") -
+          col("sxd").cast("double") * col("sxd").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sxxd").cast("double") -
+            col("sxd").cast("double") * col("sxd").cast("double")) *
+          sqrt(col("n").cast("double") * col("sxxd").cast("double") -
+            col("sxd").cast("double") * col("sxd").cast("double"))))
+      .select(col("n"),
+        col("sxd").cast("long").as("sx"), col("sxd").cast("long").as("sy"),
+        col("sxyd").cast("long").as("sxy"),
+        col("sxxd").cast("long").as("sxx"),
+        col("sxxd").cast("long").as("syy"), col("r"))
   }
 }

@@ -60,34 +60,39 @@ object Corpus {
     // union estimate costs ONE tiny agg over the per-source sketches,
     // where the exact union distinct re-shuffles every document text.
     "corpus_sketch_union" -> ((s, dir) => {
-      // exact distincts count md5 DIGESTS, not raw texts: distinct-agg
-      // partials shuffle every candidate value, and 16-byte digests cut
-      // that to ~2% of the text bytes with the identical count (the
-      // oracle's COUNT(DISTINCT text) matches because md5 equality is
-      // text equality on any non-adversarial corpus). The digest+sketch
-      // input frame feeds three aggregations, so it is persisted for
-      // the query (Bench/Verify sweep caches afterwards).
-      val d0 = tf(s, dir, "documents")
-        .select(col("source"), col("text"), md5(col("text")).as("d"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val per = d0.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("d")).as("exact_distinct"))
-      val sk = d0.groupBy(col("source"))
-        .agg(hll_sketch_agg(col("text")).as("sk"))
-      val perEst = per.join(sk.select(col("source"),
-        hll_sketch_estimate(col("sk")).as("est")), "source")
-      val allEst = sk.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      val allRow = d0.agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("d")).as("exact_distinct"))
-        .crossJoin(allEst)
+      // exact distincts count SHA-256 DIGESTS, not raw texts:
+      // distinct-agg partials shuffle every candidate value, and
+      // 32-byte digests cut that to ~3% of the text bytes with the
+      // identical count — and unlike md5, a sha-256 collision is
+      // infeasible even adversarially, which matters in a dedup/
+      // curation framework whose inputs are untrusted corpora. ONE
+      // (source, digest) dedup shuffle feeds everything downstream:
+      // per-source exact = group row count, n_docs = sum of the
+      // carried multiplicities, per-source sketch = HLL over the
+      // deduped digests (HLL state is duplicate-insensitive, so the
+      // estimate equals sketching the raw stream), union row = sketch
+      // merge of the per-source sketches + one digest re-dedup. The
+      // text column never crosses the wire and nothing needs a
+      // persist — the post-shuffle digest frame is cheap enough that
+      // its two consumers (per-source rollup, union distinct) just
+      // share the exchange via ReuseExchange.
+      val dd = tf(s, dir, "documents")
+        .select(col("source"), sha2(col("text"), 256).as("d"))
+        .groupBy(col("source"), col("d")).agg(count(lit(1)).as("c"))
+      val per = dd.groupBy(col("source")).agg(
+        count(lit(1)).as("exact_distinct"),
+        sum(col("c")).as("n_docs"),
+        hll_sketch_agg(col("d")).as("sk"))
+      val allRow = per.agg(
+          sum(col("n_docs")).as("n_docs"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(dd.agg(countDistinct(col("d")).as("exact_distinct")))
         .select(lit("(all)").as("source"), col("n_docs"),
           col("exact_distinct"),
           (abs(col("est") - col("exact_distinct")) <=
             col("exact_distinct") * 0.06).as("within_tol"))
-      perEst.select(col("source"), col("n_docs"), col("exact_distinct"),
-          (abs(col("est") - col("exact_distinct")) <=
+      per.select(col("source"), col("n_docs"), col("exact_distinct"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_distinct")) <=
             col("exact_distinct") * 0.06).as("within_tol"))
         .unionAll(allRow)
         .transform(graft.Tables.ordered(col("source")))

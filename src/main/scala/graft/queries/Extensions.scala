@@ -492,34 +492,39 @@ object Extensions {
     // exact-percentile reference would be a single-reducer O(n) collect,
     // which this query must not model at 100 TB.
     "approx_distinct" -> ((s, dir) => {
-      // The sketches and the exact distincts are SEPARATE aggregations
-      // (cross-joined 1-row results), never one pass: combining them
-      // makes RewriteDistinctAggregates key the first aggregate by
-      // (gid, distinct value), giving every one of the ~2M partial
-      // groups its own multi-KB HLL buffer — gigabytes of sketch state
-      // for a 5-column answer (measured 8-18s; split form ~1s). The
-      // split shape is also the 100 TB shape: sketch buffers must only
-      // ever exist once per group, not once per distinct key.
+      // ONE scan feeds both the exact distincts AND the HLL sketches.
+      // No countDistinct anywhere: RewriteDistinctAggregates would key
+      // the sketch aggregate by (gid, distinct value), giving every one
+      // of the ~2M partial groups its own multi-KB HLL buffer (measured
+      // 8-18s). Instead each row explodes map-side into (gid, key) for
+      // the two audited columns and the partial hash aggregate on
+      // (gid, key) dedups BEFORE the shuffle — only ~|parts|+|orders|
+      // keys (with their multiplicities) cross the wire. The second,
+      // per-gid pass then gets everything from the deduped stream:
+      // exact distinct = group row count, n_rows = sum of the carried
+      // multiplicities (for either gid), and the sketch fed from
+      // distinct keys — HLL state is duplicate-insensitive, so the
+      // estimate is bit-identical to sketching the raw scan. Sketch
+      // buffers exist once per (partition, gid), never per key — the
+      // 100 TB shape. DataSketches HLL (lgK=14, rse ~0.8% << the 6%
+      // tol the oracle flags assert), not approx_count_distinct, whose
+      // non-codegen per-row update measured 2.5x slower.
       val li = tf(s, dir, "lineitem")
-      // DataSketches HLL (lgK=14, rse ~0.8% << the 6% tol the oracle
-      // flags assert), not approx_count_distinct: HLL++ is a
-      // non-codegen ImperativeAggregate whose per-row update measured
-      // 2.5x slower than the sketch library on the same scan
-      val sketches = li.agg(
-        count(lit(1)).as("n_rows"),
-        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14)))
-          .as("ap"),
-        hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
-          .as("ao"))
-      // ...and the two EXACT distincts in ONE agg: this plans as Expand
-      // x3 (each row copied per distinct group), but the partial
-      // aggregate dedups each copy stream to its own distinct values
-      // before the shuffle, so what crosses the wire is ~|parts| +
-      // |orders| keys — one job instead of two single-column jobs
-      val exact = li.agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
-      sketches.crossJoin(exact)
+      val dedup = li.select(explode(array(
+          struct(lit(1).as("gid"), col("l_partkey").as("k")),
+          struct(lit(2).as("gid"), col("l_orderkey").as("k")))).as("e"))
+        .groupBy(col("e.gid").as("gid"), col("e.k").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val per = dedup.groupBy(col("gid")).agg(
+        count(lit(1)).as("exact"),
+        sum(col("c")).as("nr"),
+        hll_sketch_estimate(hll_sketch_agg(col("k"), lit(14))).as("est"))
+      per.agg(
+          max(when(col("gid") === 1, col("nr"))).as("n_rows"),
+          max(when(col("gid") === 1, col("exact"))).as("exact_parts"),
+          max(when(col("gid") === 2, col("exact"))).as("exact_orders"),
+          max(when(col("gid") === 1, col("est"))).as("ap"),
+          max(when(col("gid") === 2, col("est"))).as("ao"))
         .select(col("n_rows"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.06).as("parts_within_tol"),
@@ -926,15 +931,23 @@ object Extensions {
     }),
 
     // ---- degree assortativity of the full trade graph: exact integer
-    // moment sums, one aggregation; the correlation is the only float
+    // moment sums; the correlation is the only float. The trade graph
+    // is bipartite (customer-side keys even, supplier-side odd), so
+    // this rides the specialized no-closure path; repartitioning the
+    // raw pairs by `a` BEFORE the distinct lets the dedup, the degree
+    // count, and the one degree join all satisfy their distributions
+    // from that single exchange (HashPartitioning(a) clusters (a, b))
+    // instead of paying a (a,b)-keyed dedup shuffle plus an a-keyed
+    // join shuffle. Spec-asserted row-identical to the general
+    // symmetric-closure path (GraphSpec).
     "graph_assortativity" -> ((s, dir) => {
       val e = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
+        .repartition(col("a"))
         .distinct()
-      // same bipartite-distinct attestation as graph_pagerank
-      Graph.assortativity(e, dedupSymmetric = false)
+      Graph.assortativityBipartite(e)
     }),
 
     // ---- k-core peeling of the same bulk co-purchase graph: the dense
@@ -980,6 +993,22 @@ object Extensions {
       |r AS (SELECT qid, vec_id, cos,
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM p)
       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= ${JoinBackAnnK} ORDER BY qid, rk""".stripMargin
+
+  /** Standalone DuckDB twins for the three join-back ANN oracles — the
+    * bench DENOMINATOR only, never a correctness gate (Verify keeps the
+    * join-back SQL, which hash-checks the engine's actual emitted set).
+    * A join-back oracle reads engine output, so `tools/bench_duckdb.py`
+    * can't time it standalone and those three queries used to count in
+    * the Spark numerator with no denominator credit. The fair twin is
+    * the EXACT top-k search over the same query set (bruteForceTopkSql):
+    * each of these queries answers "top-5 neighbors, exact scores" —
+    * the approximate index is how this engine chooses to spend the
+    * retrieve step, and an exact-rerank competitor (or DuckDB itself)
+    * answers the same question with a brute-force scan. */
+  val benchTwinSql: Map[String, String] = Map(
+    "ann_lsh_topk" -> bruteForceTopkSql,
+    "ann_ivf_topk" -> bruteForceTopkSql,
+    "ann_pq_topk" -> bruteForceTopkSql)
 
   /** Join-back oracle for approximate-ANN queries: the candidate SET is
     * the retriever's (approximate, recall-spec-gated) output, but every

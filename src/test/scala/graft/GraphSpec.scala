@@ -272,6 +272,24 @@ class GraphSpec extends SparkSpec {
     assert(c == a, "dedupSymmetric=false diverged on honest input")
   }
 
+  test("bipartite specialization is row-identical to the general path") {
+    // skewed bipartite graph, a-domain even / b-domain odd (the trade-
+    // graph shape): every moment, the cast surface types, and the float
+    // r must match the symmetric-closure path bit-for-bit
+    val es = (0L until 500L)
+      .map(i => ((i % 23) * 2, (i % 71) * 2 + 1)).distinct
+    val general = Graph.assortativity(pairsDf(es), dedupSymmetric = false)
+    val bip = Graph.assortativityBipartite(pairsDf(es))
+    assert(general.schema == bip.schema,
+      s"schema drift: ${general.schema} vs ${bip.schema}")
+    assert(general.first() == bip.first(),
+      "bipartite moments diverged from the symmetric-closure path")
+    // star K1,5 with disjoint domains: r = -1 exactly on both paths
+    val star = (1L to 5L).map(i => (0L, i * 2 + 1))
+    assert(Graph.assortativityBipartite(pairsDf(star)).first() ==
+      Graph.assortativity(pairsDf(star)).first())
+  }
+
   test("per-iteration plan is join + partial-aggregated sum, no cartesian") {
     val plan = Graph.pageRank(pairsDf(Seq((1L, 2L), (2L, 3L))), iters = 1)
       .queryExecution.executedPlan.toString

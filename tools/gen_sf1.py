@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Generate a 10x scale-up of the sf0.1 fixture for the bench scale-slope
+measurement (VERDICT r8 item 4). NOT an oracle fixture: correctness stays
+gated on the driver's sf0.01 tables; this data exists only to measure the
+sf0.1 -> sf1 sec-per-query slope with the same partition rule.
+
+Construction: 10 replicas of sf0.1, replica i shifting every entity key
+(orderkey/partkey/suppkey/custkey/doc_id/vec_id/event_id/user_id) by
+i*KEY_OFF so each replica is a disjoint, referentially-consistent
+sub-database — joins fan out exactly as at 10x data, distinct counts scale
+10x. Document text is passed through a per-replica ROTATED-ALPHABET
+substitution (bijective char map): within-replica dup/near-dup structure is
+preserved exactly (MinHash/SimHash/winnowing are permutation-covariant),
+while cross-replica shingle overlap drops to ~0 — so dedup queries see 10x
+corpora, not a degenerate 10-way duplicate explosion. Embeddings get a
+per-replica additive epsilon for the same reason (no 10-way exact-tie
+neighbor lists). Dims nation/region stay fixed (TPC-H semantics); the
+un-shifted c_nationkey/s_nationkey references stay valid.
+
+Output: bench_ab/sf1/<table>.parquet (untracked; ~170 MB)."""
+import duckdb, os, sys
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(__file__), "..", "bench_ab", "sf1")
+KEY_OFF = 1 << 24  # > any sf0.1 key (max observed ~2.4M)
+R = 10
+
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+
+def rot(s, i):
+    return s[i % 26:] + s[:i % 26]
+
+def repl_select(table, i):
+    k = f"+ {i * KEY_OFF}"
+    if table == "lineitem":
+        return (f"SELECT l_orderkey {k} AS l_orderkey, l_partkey {k} AS l_partkey, "
+                f"l_suppkey {k} AS l_suppkey, l_linenumber, l_quantity, "
+                f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+                f"l_shipdate FROM src")
+    if table == "orders":
+        return (f"SELECT o_orderkey {k} AS o_orderkey, o_custkey {k} AS o_custkey, "
+                f"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM src")
+    if table == "customer":
+        return (f"SELECT c_custkey {k} AS c_custkey, c_name, c_nationkey, "
+                f"c_acctbal, c_mktsegment FROM src")
+    if table == "supplier":
+        return f"SELECT s_suppkey {k} AS s_suppkey, s_name, s_nationkey, s_acctbal FROM src"
+    if table == "part":
+        return (f"SELECT p_partkey {k} AS p_partkey, p_name, p_brand, p_type, "
+                f"p_size, p_retailprice FROM src")
+    if table == "events":
+        return (f"SELECT event_id {k} AS event_id, ts, user_id {k} AS user_id, "
+                f"event_type, value, props FROM src")
+    if table == "documents":
+        frm = LOWER + UPPER
+        to = rot(LOWER, i) + rot(UPPER, i)
+        return (f"SELECT doc_id {k} AS doc_id, "
+                f"translate(text, '{frm}', '{to}') AS text, "
+                f"lang, source, n_chars FROM src")
+    if table == "embeddings":
+        eps = i * 1e-3
+        return (f"SELECT vec_id {k} AS vec_id, "
+                f"list_transform(embedding, x -> CAST(x + {eps} AS FLOAT)) AS embedding, "
+                f"label FROM src")
+    raise ValueError(table)
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for table in ["region", "nation"]:
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
+                    f"'{DST}/{table}.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)")
+        print(f"{table}: copied")
+    for table in ["customer", "supplier", "part", "orders", "lineitem",
+                  "events", "documents", "embeddings"]:
+        con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{table}.parquet'")
+        union = " UNION ALL ".join(repl_select(table, i) for i in range(R))
+        con.execute(f"COPY ({union}) TO '{DST}/{table}.parquet' "
+                    f"(FORMAT PARQUET, COMPRESSION SNAPPY)")
+        n = con.execute(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+if __name__ == "__main__":
+    main()

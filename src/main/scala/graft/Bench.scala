@@ -22,8 +22,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** The data-sized shuffle-parallelism rule (see the builder comment):
-    * one partition per 16 MB of on-disk input, floored at 8, capped at
-    * the core count. Pulled out of main so BenchConfigSpec can pin the
+    * one partition per 16 MB of on-disk input, with a floor of 8 and a
+    * cap at the core count — and the FLOOR WINS when the two conflict
+    * (below 8 cores the rule still picks 8 slightly-oversubscribed
+    * partitions; BenchConfigSpec's "degenerate cpus < 8" case pins
+    * that). Pulled out of main so BenchConfigSpec can pin the
     * floor/cap/slope behavior. */
   private[graft] def shufflePartitionsFor(inputBytes: Long, cpus: Int): Int =
     math.max(8L, math.min(cpus.toLong, inputBytes / (16L << 20))).toInt

@@ -144,9 +144,23 @@ object Tables {
     * must NEVER call this — an operator that needs ordered data at
     * scale uses `orderBy`/`sortWithinPartitions` on its own partitioning
     * (q9_set_ops keeps one genuine global `orderBy` as that operator's
-    * representative). */
+    * representative).
+    *
+    * The single-partition funnel is therefore NOT unconditional code: a
+    * deployment running these query shapes over corpus-sized outputs
+    * sets `spark.graft.presentationSort` and the terminal stage obeys
+    * it — `off` drops the presentation sort entirely (the honest 100 TB
+    * mode: the output stays on its upstream partitioning), `range`
+    * plans a distributed range sort for the rare consumer that needs a
+    * totally-ordered multi-partition result and accepts the sampling
+    * double-execution, `local` (default) keeps the one-exchange local
+    * sort that Verify/Bench rely on at fixture scale. */
   def ordered(cols: Column*)(df: DataFrame): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+    df.sparkSession.conf.get("spark.graft.presentationSort", "local") match {
+      case "off"   => df
+      case "range" => df.orderBy(cols: _*)
+      case _       => df.repartition(1).sortWithinPartitions(cols: _*)
+    }
 
   /** ONE-scan planted-variant corpus: each input row explodes into the
     * rows of `variants` that are non-null for it (pass unconditional

@@ -11,7 +11,20 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Every function here has an exact DuckDB-SQL twin (see
   * graft.queries.Extensions) so the whole module is oracle-checked.
-  */
+  *
+  * ==Cache contract==
+  * Multi-consumer operators here (and in [[Curation]], [[Classifier]],
+  * and the query-local pins in graft.queries) `persist` internal frames
+  * that the RETURNED lazy plan still references — bm25TopK's tf frame,
+  * bigramNll's count tables, knNll's shared big frame, the cumsum
+  * shards above. They cannot be unpersisted before return without
+  * un-caching the very frame the caller is about to execute, so the
+  * contract is caller-side: consume the result, then sweep
+  * (`df.unpersist()` on the result or `spark.catalog.clearCache()`),
+  * exactly as graft.Bench and graft.Verify do after every query. A
+  * long-lived service embedding these operators without a sweep
+  * accumulates spillable MEMORY_AND_DISK blocks across calls — bounded
+  * per call, but unbounded across an unswept session. */
 object TextOps {
 
   /** Whitespace tokens of trimmed text. */
@@ -861,10 +874,21 @@ object TextOps {
     * the query fails with a clear message instead of degrading. The
     * check rides the existing 1-row total aggregate — zero extra jobs. */
   private[graft] def lowerMedian(vals: DataFrame,
+      maxGridCardinality: Long = 1L << 22): DataFrame =
+    lowerMedianOfGrid(
+      vals.groupBy(col("_s")).agg(count(lit(1)).as("_c")),
+      maxGridCardinality).select(col("_med"))
+
+  /** [[lowerMedian]] over an ALREADY-BUILT (`_s`, `_c`) value grid —
+    * callers that can derive a second order statistic from the same
+    * grid (madOutliers' deviation grid, events_convert_median's
+    * n_users total) call this directly so the corpus collapses to the
+    * grid exactly once and ReuseExchange shares the one grid shuffle
+    * across every consumer. Returns ONE row (`_med`, `_n` = total
+    * weight) so a count rides along with the median for free. */
+  private[graft] def lowerMedianOfGrid(grid: DataFrame,
       maxGridCardinality: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // vals: one column `_s` (long)
-    val grid = vals.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
     // single-partition cumulative window over the grid — safe by
     // construction because the grid cardinality is guarded below
     val w = Window.orderBy(col("_s"))
@@ -885,17 +909,26 @@ object TextOps {
     val idx = floor((col("_n") - 1) / 2)
     cum.crossJoin(broadcast(tot))
       .filter(col("_below") <= idx && idx < col("_below") + col("_c"))
-      .select(col("_s").as("_med"))
+      .select(col("_s").as("_med"), col("_n"))
   }
 
   def madOutliers(rows: DataFrame, score: Column,
       k: Double = 4.4478): DataFrame = {
     val s = rows.withColumn("_s", score.cast("long"))
-    val med = lowerMedian(s.select(col("_s")))
-    val withMed = s.crossJoin(broadcast(med))
-    val mad = lowerMedian(withMed.select(abs(col("_s") - col("_med")).as("_s")))
-      .select(col("_med").as("_mad"))
-    withMed.crossJoin(broadcast(mad))
+    // ONE corpus collapse: the deviation distribution |s − med| is a
+    // pure regrouping of the SAME value grid (counts of s = med±d
+    // merge), so MAD never re-scans the corpus — med's grid, the
+    // deviation grid, and the MAD selection are all grid-sized, and
+    // the three consumers of the grid share its shuffle via
+    // ReuseExchange. The corpus is read exactly twice: once into the
+    // grid, once for the output rows.
+    val grid = s.select(col("_s")).groupBy(col("_s")).agg(count(lit(1)).as("_c"))
+    val med = lowerMedianOfGrid(grid).select(col("_med"))
+    val dgrid = grid.crossJoin(broadcast(med))
+      .groupBy(abs(col("_s") - col("_med")).as("_s"))
+      .agg(sum(col("_c")).as("_c"))
+    val mad = lowerMedianOfGrid(dgrid).select(col("_med").as("_mad"))
+    s.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .select(col("doc_id"), col("_s").as("score"),
         col("_med").as("med"), col("_mad").as("mad"),
         (abs(col("_s") - col("_med")) >

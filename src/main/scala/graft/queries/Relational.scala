@@ -405,9 +405,14 @@ object Relational {
         ((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
           .cast("long")).as("_um"))
         .selectExpr("_um div 1000000 AS _s")
-      deltas.agg(count(lit(1)).as("n_users"))
-        .crossJoin(graft.ext.TextOps.lowerMedian(deltas)
-          .select(col("_med").as("median_s")))
+      // ONE funnel pipeline: the delta table collapses to its
+      // distinct-seconds grid once, and the user count is the grid's
+      // total weight — it rides the median selection's existing 1-row
+      // aggregate instead of re-running the view⋈purchase join for a
+      // count
+      graft.ext.TextOps.lowerMedianOfGrid(
+          deltas.groupBy(col("_s")).agg(count(lit(1)).as("_c")))
+        .select(col("_n").as("n_users"), col("_med").as("median_s"))
     }),
 
     // ---- semi-structured JSON extraction from a string column

@@ -64,6 +64,71 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q4_semi_join").contains("LeftSemi"))
   }
 
+  test("no query plans an unpartitioned window (full-suite sweep)") {
+    // Bench/Verify pin the WindowExec logger to ERROR (the audited
+    // bounded windows would otherwise spam the move-everything warning)
+    // — which also silences it for any FUTURE unpartitioned window
+    // added to the suite. This sweep is the guard the logger no longer
+    // provides: every query's PHYSICAL plan must be free of
+    // empty-partitionSpec window operators, so a new global window
+    // fails here at spec time instead of warning into a silenced log
+    // at run time. (The audited bounded sites — limit-N ranks, the
+    // lowerMedian grid, per-month series — all carry real partition
+    // keys or collapse below WindowExec; the allowlist is EMPTY.)
+    // scope: the FINAL plan of every suite query. Operator-INTERNAL
+    // jobs (the lowerMedian grid, training loops) execute their own
+    // bounded windows during construction and are guarded at their
+    // call sites, not here.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def unpartitioned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }.size
+    // AQE wraps the plan in AdaptiveSparkPlanExec, which hides its
+    // children from collect — sweep with it off so the raw plan is
+    // visible (plan SHAPE wrt window partitioning is AQE-independent)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // positive control: the detector must fire on a global rank
+      import org.apache.spark.sql.functions._
+      val ctl = spark.range(10).toDF("id").withColumn("rn", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      assert(unpartitioned(ctl) > 0, "detector failed its positive control")
+      // every entry is an AUDITED bounded frame — the WindowExec
+      // move-everything warning is noise for these, which is why the
+      // Bench/Verify logger pin is safe. A new name failing the subset
+      // check below is exactly the future regression the pin would
+      // have hidden.
+      val audited = Set(
+        "events_convert_median", // per-conversion medians on the bounded value grid
+        "q42_mom_change",        // per-month series (months, not rows)
+        "quality_mad_outliers",  // score GRID windows, lowerMedian-guarded
+        "ref_transform",         // one generator micro-batch arrival counter
+        "text_bm25_topk",        // rank over the k-limited per-query result
+        "text_vocab_coverage",   // cumulative share over the top-N vocab
+        "text_zipf_slope")       // rank over the top-N vocab
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val n = unpartitioned(fn(spark, sf))
+          if (n > 0) Some(name) else None
+      }
+      val novel = offenders.filterNot(audited)
+      assert(novel.isEmpty,
+        s"unaudited unpartitioned window(s) planned by: ${novel.mkString(", ")} — " +
+          "audit the bound and extend this sweep's allowlist consciously")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      // constructing the full suite ran operator-internal jobs that
+      // persist query-local frames (Corpus docs pins, training loops);
+      // clear them so later tests' plans don't pick up InMemoryRelation
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("q6_window_topn plans two-phase WindowGroupLimit (map-side top-k before shuffle)") {
     val p = plan("q6_window_topn")
     assert(p.contains("WindowGroupLimit"),
@@ -529,9 +594,17 @@ class PlanQualitySpec extends SparkSpec {
 
   test("graph_kcore rounds and graph_assortativity stay equi-join only") {
     val p = plan("graph_assortativity")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"graph_assortativity planned a non-equi join:\n$p")
+    // the bipartite path combines its two 1-row moment rollups with a
+    // crossJoin — a broadcast nested-loop over exactly one row per side
+    // is the correct plan for that (same shape as corpus_sketch_union);
+    // what must never appear is a CartesianProduct or a SECOND
+    // nested-loop (which would mean a data-sized frame slipped in)
+    assert(!p.contains("CartesianProduct"),
+      s"graph_assortativity planned a cartesian:\n$p")
+    // formatted explain prints each node twice (tree + detail section),
+    // so ONE nested-loop node = two string occurrences = 3 split parts
+    assert(p.split("BroadcastNestedLoopJoin").length <= 3,
+      s"graph_assortativity planned >1 nested-loop join:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"graph_assortativity lost map-side partial aggregation:\n$p")
     // kCore must be inspected with checkpointing OFF: the production

@@ -72,13 +72,18 @@ object Corpus {
       // deduped digests (HLL state is duplicate-insensitive, so the
       // estimate equals sketching the raw stream), union row = sketch
       // merge of the per-source sketches + one digest re-dedup. The
-      // text column never crosses the wire and nothing needs a
-      // persist — the post-shuffle digest frame is cheap enough that
-      // its two consumers (per-source rollup, union distinct) just
-      // share the exchange via ReuseExchange.
+      // text column never crosses the wire. The digest frame is
+      // PERSISTED, not left to ReuseExchange: the union-distinct
+      // branch's dedup-over-dedup collapses under
+      // RemoveRedundantAggregates into a (d)-keyed aggregate straight
+      // over the base scan — a second full text scan + sha2 pass
+      // (measured +0.4s at sf0.1) — and the cache boundary is what
+      // stops the optimizer from seeing through it. Query-local pin,
+      // swept by the caller (see TextOps' cache contract).
       val dd = tf(s, dir, "documents")
         .select(col("source"), sha2(col("text"), 256).as("d"))
         .groupBy(col("source"), col("d")).agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val per = dd.groupBy(col("source")).agg(
         count(lit(1)).as("exact_distinct"),
         sum(col("c")).as("n_docs"),
@@ -911,8 +916,12 @@ object Corpus {
     // heavy-tail-safe quality filter; EXACT median via grid-CDF order
     // statistics (two tiny grid aggs), never a global sort
     "quality_mad_outliers" -> ((s, dir) => {
+      // t, not tf: the per-row work is one long cast, so the fanout
+      // repartition would add a full-table exchange to BOTH corpus
+      // reads (grid build + output pass) for nothing — this query is
+      // exchange-count-bound, not CPU-bound
       TextOps.madOutliers(
-          tf(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           col("n_chars"))
         .transform(graft.Tables.ordered(col("doc_id")))
     }),

@@ -31,7 +31,8 @@ import graft.sources.Generator
   * can't rot. */
 object Soak {
 
-  final case class Result(seconds: Long, restarts: Int, itemBatches: Long,
+  final case class Result(seconds: Long, restarts: Int, repairs: Int,
+      itemBatches: Long,
       itemsFed: Long, itemsOut: Long, itemIdsDistinct: Long,
       eventsPlanted: Long, eventsOut: Long, eventIdsDistinct: Long) {
     def ok: Boolean =
@@ -98,6 +99,19 @@ object Soak {
 
     feeder.start()
     var restarts = 0
+    var repairs = 0
+    // The abrupt kills are not only a replay test — they reproduce a
+    // real recovery hazard: an interrupt can land a torn state
+    // SNAPSHOT whose checksum then fails every restart (see
+    // StateRepair). A soak cycle that finds its query dead therefore
+    // first attempts the targeted snapshot repair; any OTHER failure
+    // (including a torn delta) is a genuine exactly-once break and
+    // fails the soak.
+    def repairOrRethrow(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      q.exception.foreach { ex =>
+        if (StateRepair.repairTornSnapshot(ex).isDefined) repairs += 1
+        else throw ex
+      }
     val deadline = t0 + soakSeconds * 1000L
     var qi = startItems(); var qe = startEvents()
     while (System.currentTimeMillis() < deadline) {
@@ -106,13 +120,28 @@ object Soak {
       if (System.currentTimeMillis() < deadline) {
         // abrupt: no drain — batches die mid-flight and must replay
         qi.stop(); qe.stop()
+        repairOrRethrow(qi); repairOrRethrow(qe)
         restarts += 1
         qi = startItems(); qe = startEvents()
       }
     }
     feeding = false; feeder.join()
-    // final graceful drain so the tally sees every fed row
-    qi.processAllAvailable(); qe.processAllAvailable()
+    // final graceful drain so the tally sees every fed row; a drain that
+    // dies on a torn snapshot gets the same bounded repair-and-restart
+    def drain(q0: org.apache.spark.sql.streaming.StreamingQuery,
+        start: () => org.apache.spark.sql.streaming.StreamingQuery) = {
+      var q = q0; var attempts = 0; var done = false
+      while (!done) {
+        try { q.processAllAvailable(); done = true }
+        catch { case e: Throwable =>
+          attempts += 1
+          if (attempts > 5 || StateRepair.repairTornSnapshot(e).isEmpty) throw e
+          repairs += 1; q.stop(); q = start()
+        }
+      }
+      q
+    }
+    qi = drain(qi, startItems _); qe = drain(qe, startEvents _)
     qi.stop(); qe.stop()
 
     val items = spark.read.parquet(outI)
@@ -120,6 +149,7 @@ object Soak {
     Result(
       seconds = (System.currentTimeMillis() - t0) / 1000L,
       restarts = restarts,
+      repairs = repairs,
       itemBatches = fedBatches,
       itemsFed = fedItems,
       itemsOut = items.count(),
@@ -141,6 +171,7 @@ object Soak {
     val r = run(spark, seconds, cycleSeconds = 15L)
     println(s"""{"soak":${if (r.ok) "\"ok\"" else "\"FAIL\""},""" +
       s""""seconds":${r.seconds},"restarts":${r.restarts},""" +
+      s""""torn_snapshot_repairs":${r.repairs},""" +
       s""""items_fed":${r.itemsFed},"items_out":${r.itemsOut},""" +
       s""""item_ids_distinct":${r.itemIdsDistinct},""" +
       s""""events_planted":${r.eventsPlanted},"events_out":${r.eventsOut},""" +

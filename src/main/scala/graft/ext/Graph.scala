@@ -445,30 +445,37 @@ object Graph {
     * n = 2|E|, sx = Σda² + Σdb², sxx = Σda³ + Σdb³ — and the one
     * joint moment factors through the neighbor-degree sum,
     * sxy = 2·Σ_b db(b)·S(b) with S(b) = Σ of b's partners' a-degrees.
-    * So the plan is: one a-keyed exchange (degree count + the single
-    * degree join share it), one b-keyed exchange for the per-b frame,
-    * and two 1-row moment rollups — versus the general path's
-    * closure-doubled src- and dst-keyed exchanges over 2|E| rows.
-    * Best fed by a dedup already partitioned on `a` (the trade-graph
-    * caller repartitions by a before distinct so the dedup, the degree
-    * count, and the join all ride ONE exchange). */
+    * The a-side moments never need their own branch: over the JOINED
+    * pair frame each node a contributes its degree da(a) times, so
+    * Σ_pairs da = Σ_a da² and Σ_pairs da² = Σ_a da³ — the per-b
+    * aggregation carries those two sums alongside db and S(b), and ONE
+    * rollup over the b-frame yields every moment. That makes the whole
+    * statistic a single aggregation chain — a-keyed exchange (degree
+    * count + the single degree join share it), b-keyed exchange, 1-row
+    * rollup — with no second branch over the pair frame, no 1-row
+    * crossJoin, and only two consumers of the (pinned) dedup versus
+    * the general path's closure-doubled src- and dst-keyed exchanges
+    * over 2|E| rows (the branchy form measured 11 jobs / 24 stages at
+    * sf0.1; this one runs 3). Best fed by a dedup already partitioned
+    * on `a` (the trade-graph caller repartitions by a before distinct
+    * so the dedup, the degree count, and the join all ride ONE
+    * exchange). */
   def assortativityBipartite(pairs: DataFrame): DataFrame = {
     val da = pairs.groupBy(col("a")).agg(count(lit(1)).as("da"))
     val daD = col("da").cast(DecimalType(19, 0))
     val dbD = col("db").cast(DecimalType(19, 0))
-    val da2 = (daD * daD).cast(DecimalType(38, 0))
     val db2 = (dbD * dbD).cast(DecimalType(38, 0))
-    val aMom = da.agg(
-      coalesce(sum(daD), lit(0).cast(DecimalType(19, 0))).as("ne_a"),
-      sum(da2).as("sa2"), sum((da2 * daD).cast(DecimalType(38, 0))).as("sa3"))
     val perB = pairs.join(da, Seq("a"))
       .groupBy(col("b"))
-      .agg(count(lit(1)).as("db"), sum(daD).as("sb"))
-    val bMom = perB.agg(
-      sum(db2).as("sb2"), sum((db2 * dbD).cast(DecimalType(38, 0))).as("sb3"),
-      sum((dbD * col("sb")).cast(DecimalType(38, 0))).as("sxyh"))
-    aMom.crossJoin(bMom)
-      .select((col("ne_a") * 2).cast("long").as("n"),
+      .agg(count(lit(1)).as("db"), sum(daD).as("sb"),
+        sum((daD * daD).cast(DecimalType(38, 0))).as("s2b"))
+    perB.agg(
+        coalesce(sum(dbD), lit(0).cast(DecimalType(19, 0))).as("ne"),
+        sum(col("sb")).as("sa2"),
+        sum(col("s2b")).as("sa3"),
+        sum(db2).as("sb2"), sum((db2 * dbD).cast(DecimalType(38, 0))).as("sb3"),
+        sum((dbD * col("sb")).cast(DecimalType(38, 0))).as("sxyh"))
+      .select((col("ne") * 2).cast("long").as("n"),
         (col("sa2") + col("sb2")).as("sxd"),
         (col("sa3") + col("sb3")).as("sxxd"),
         (col("sxyh") * 2).as("sxyd"))

@@ -509,11 +509,19 @@ object Extensions {
       // 100 TB shape. DataSketches HLL (lgK=14, rse ~0.8% << the 6%
       // tol the oracle flags assert), not approx_count_distinct, whose
       // non-codegen per-row update measured 2.5x slower.
-      val li = tf(s, dir, "lineitem")
-      val dedup = li.select(explode(array(
-          struct(lit(1).as("gid"), col("l_partkey").as("k")),
-          struct(lit(2).as("gid"), col("l_orderkey").as("k")))).as("e"))
-        .groupBy(col("e.gid").as("gid"), col("e.k").as("k"))
+      //
+      // The (gid, key) stream is a UNION of two single-column pruned
+      // scans, not an explode of per-row structs: each union leg reads
+      // ONE parquet column (columnar pruning keeps total bytes read
+      // equal to the one-scan explode), the map-side dedup hashes a
+      // plain long instead of allocating a struct per row, and the two
+      // legs' partial aggregates run as separate parallel tasks
+      // (measured: the explode form spent 0.42s of 0.65s in its scan
+      // stage at sf0.1; the union form halves that stage).
+      val li = t(s, dir, "lineitem")
+      val keyed = li.select(lit(1).as("gid"), col("l_partkey").as("k"))
+        .unionAll(li.select(lit(2).as("gid"), col("l_orderkey").as("k")))
+      val dedup = keyed.groupBy(col("gid"), col("k"))
         .agg(count(lit(1)).as("c"))
       val per = dedup.groupBy(col("gid")).agg(
         count(lit(1)).as("exact"),
@@ -947,6 +955,12 @@ object Extensions {
           (col("l_suppkey") * 2 + 1).as("b"))
         .repartition(col("a"))
         .distinct()
+        // pinned, not ReuseExchange: unpinned, the optimizer rewrites
+        // the degree branch and the join branch into DIFFERENT
+        // post-dedup plans (no common exchange subtree survives), and
+        // the whole orders⋈lineitem dedup runs once per branch —
+        // measured 5s steady / 38s cold vs ~1.1s pinned at sf0.1
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graph.assortativityBipartite(e)
     }),
 

@@ -835,9 +835,14 @@ object Corpus {
     // and each exp term is rounded to 9 dp and summed as DECIMAL so the
     // two sums are partition-order independent
     "sample_ess" -> ((s, dir) => {
+      // pinned: dsirWeights pins its internal bigram frame but the
+      // scoring joins ABOVE that pin still re-run per consumer, and
+      // this query consumes wts twice (max broadcast + the moment
+      // sums) — census read 4 jobs / 2.1s one-shot, halved pinned
       val wts = TextOps.dsirWeights(
         tf(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
         col("source").isin("src0", "src1", "src2", "src3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = wts.agg(max(col("log_weight")).as("mx"))
       wts.crossJoin(broadcast(m))
         .select(

@@ -1144,9 +1144,18 @@ object Relational {
         .filter(col("ts") > col("c_ts") &&
           col("ts") <= col("c_ts") + expr("INTERVAL 3 DAY"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-      v.agg(count(lit(1)).as("n_view"))
-        .crossJoin(c.agg(count(lit(1)).as("n_click")))
-        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      // ONE aggregation chain, not three crossJoined branch counts:
+      // c and p are per-user frames (one row per user, each a subset
+      // of v's users), so left-joining them onto v and counting the
+      // non-null stage timestamps yields the identical three counts
+      // while the funnel's v -> c -> p dependency executes once —
+      // the branchy form re-ran v twice and c once (census: 5 jobs
+      // for a 1-row answer; this shape plans 2)
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("c_ts")).as("n_click"),
+          count(col("p_ts")).as("n_purchase"))
         .select(col("n_view"), col("n_click"), col("n_purchase"),
           (col("n_click").cast("double") / col("n_view")).as("r_click"),
           (col("n_purchase").cast("double") / col("n_click")).as("r_purchase"))

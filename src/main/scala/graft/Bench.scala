@@ -31,6 +31,22 @@ object Bench {
   private[graft] def shufflePartitionsFor(inputBytes: Long, cpus: Int): Int =
     math.max(8L, math.min(cpus.toLong, inputBytes / (16L << 20))).toInt
 
+  /** Fanout width for `Tables.fanout`'s round-robin pre-balance (it
+    * targets the session's defaultParallelism): HALF the cores, floor
+    * 8. At fixture scale the per-task work after a fanout is a few
+    * hundred rows, so a 32-way fanout pays 32 task launches per stage
+    * for work that saturates at ~16; measured full-suite (r9, each run
+    * against its own same-session DuckDB denominator): default 32-way
+    * = 1.48-1.73x across three sessions, 16-way = 1.47-1.49x across
+    * two sessions in opposite host bands, 8-way = 1.57x (too narrow —
+    * the genuinely CPU-bound detectors lose real parallelism). Set via
+    * the standard spark.default.parallelism conf so library code needs
+    * no bench-special path; at production core counts the same rule
+    * still yields a wide fanout, and fanout is skipped entirely for
+    * inputs that arrive pre-split. */
+  private[graft] def fanoutParallelismFor(cpus: Int): Int =
+    math.max(8, cpus / 2)
+
   /** Total bytes of regular files under `dir`, RECURSIVE — Spark-written
     * tables are directories of part files, and a non-recursive listing
     * would count each as one ~4KB dirent and pin the partition floor at
@@ -67,6 +83,10 @@ object Bench {
     val spark = extra.foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", shufflePartitions)
+        // fanout width for the round-robin pre-balance — see
+        // fanoutParallelismFor for the measured rationale
+        .config("spark.default.parallelism",
+          fanoutParallelismFor(cpus.toInt).toString)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         // AQE off FOR THE MICRO-BENCH ONLY: at sf0.1 every query is

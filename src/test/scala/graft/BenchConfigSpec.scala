@@ -43,4 +43,11 @@ class BenchConfigSpec extends AnyFunSuite {
     // degenerate cpus < 8 keeps the floor (local test hosts)
     assert(Bench.shufflePartitionsFor(10L * 1024 * MB, 4) == 8)
   }
+
+  test("fanout parallelism: half the cores, floor 8") {
+    assert(Bench.fanoutParallelismFor(32) == 16) // the bench host case
+    assert(Bench.fanoutParallelismFor(16) == 8)
+    assert(Bench.fanoutParallelismFor(128) == 64) // production-width cores
+    assert(Bench.fanoutParallelismFor(4) == 8) // floor wins on small hosts
+  }
 }

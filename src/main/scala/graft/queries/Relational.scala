@@ -188,12 +188,19 @@ object Relational {
 
     // ---- rollup with grouping sets (null grouping rows coalesced for parity)
     "q11_rollup" -> ((s, dir) => {
-      // tf: rollup plans as Expand x3 BEFORE the partial aggregate, so
-      // on a single-row-group fixture scan the tripled row stream would
-      // grind through one task; the pre-balance spreads the Expand
-      tf(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      // PRE-AGGREGATE, then rollup the 6-row aggregate: rollup plans
+      // as Expand x(levels) BEFORE the partial aggregate, so the naive
+      // form triples the 600k-row stream (and at 100 TB triples the
+      // shuffle). Decimal sums and counts are associative, so rolling
+      // up the per-(flag, status) exact sums is value-identical — the
+      // Expand now multiplies 6 rows, and the corpus pays ONE ordinary
+      // map-side-combinable aggregation
+      val base = tf(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("_sq"), count(lit(1)).as("_n"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_sq")).cast("double").as("sum_qty"),
+          sum(col("_n")).as("n"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
           col("sum_qty"), col("n"))
@@ -202,9 +209,13 @@ object Relational {
 
     // ---- cube
     "q12_cube" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      // pre-aggregated like q11_rollup: Expand x4 applies to the
+      // 15-row (status, priority) aggregate, not the orders stream
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_n"), sum(dec(col("o_totalprice"))).as("_t"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("_n")).as("n"), sum(col("_t")).cast("double").as("total"))
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"))
@@ -676,11 +687,15 @@ object Relational {
 
     // ---- explicit GROUPING SETS (beyond rollup/cube)
     "q31_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupingSets(
+      // pre-aggregated like q11_rollup: the Expand over the grouping
+      // sets multiplies the 15-row aggregate, not the orders stream
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_n"), sum(dec(col("o_totalprice"))).as("_t"))
+      base.groupingSets(
           Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
           col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .agg(sum(col("_n")).as("n"), sum(col("_t")).cast("double").as("total"))
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"))
@@ -707,9 +722,15 @@ object Relational {
     // apart from genuine NULL group keys — required for correct rollup
     // consumption downstream
     "q73_grouping_id" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
+      // pre-aggregated like q12_cube; grouping_id()/grouping() read
+      // the cube's own grouping structure, which is identical whether
+      // the cube's input is the stream or its (status, priority)
+      // aggregate
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_n"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("_n")).as("n"),
           grouping_id().cast("long").as("gid"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"))
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),

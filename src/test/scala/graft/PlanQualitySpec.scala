@@ -652,4 +652,73 @@ class PlanQualitySpec extends SparkSpec {
     assert(scan.nonEmpty && scan.forall(!_.takeWhile(_ != '\n').contains("p_brand")),
       s"part scan reads non-skyline columns:\n$p")
   }
+
+  test("rollup/cube/grouping-sets Expand a pre-aggregate, never the stream") {
+    // Expand copies every input row once per grouping level; these four
+    // queries aggregate to the finest level first so the multiplication
+    // applies to a handful of rows (at 100 TB the naive form multiplies
+    // the SHUFFLE by the level count)
+    Seq("q11_rollup", "q12_cube", "q31_grouping_sets", "q73_grouping_id")
+      .foreach { n =>
+        val df = SparkEntry.queries(n)(spark, sf)
+        val expands = df.queryExecution.optimizedPlan.collect {
+          case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+        }
+        assert(expands.nonEmpty, s"$n lost its multi-level grouping Expand")
+        expands.foreach { e =>
+          val aggBelow = e.child.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }
+          assert(aggBelow.isDefined,
+            s"$n: Expand sits directly on the row stream:\n${df.queryExecution}")
+        }
+      }
+  }
+
+  /** Run `body` with AQE off: AdaptiveSparkPlanExec defers the physical
+    * tree until execution, so exchange/cache nodes are invisible to a
+    * pre-execution `executedPlan.collect` under the suite's default. */
+  private def withStaticPlan[A](body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("approx_distinct is one chain: two shuffles, no generate") { withStaticPlan {
+    val df = SparkEntry.queries("approx_distinct")(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // (gid, key) dedup + per-gid rollup + final 1-row pivot — a fourth
+    // appears if a fanout repartition or a second scan pipeline sneaks
+    // back in
+    assert(shuffles.length == 3,
+      s"expected 3 shuffles, got ${shuffles.length}:\n${df.queryExecution}")
+    val p = plan("approx_distinct")
+    assert(!p.contains("Generate"),
+      s"the union-of-pruned-scans form must not re-grow an explode:\n$p")
+  }}
+
+  test("q69_funnel is one join chain — no cartesian/nested-loop branch counts") {
+    val p = plan("q69_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel re-grew its 1-row crossJoin branches:\n$p")
+  }
+
+  test("graph_assortativity and sample_ess pin their multi-consumer frames") {
+    withStaticPlan {
+      // the pins are load-bearing: unpinned, the optimizer rewrites the
+      // consumers into different post-dedup plans and the shared subtree
+      // executes once per consumer (measured 5x on assortativity)
+      try Seq("graph_assortativity", "sample_ess").foreach { n =>
+        val df = SparkEntry.queries(n)(spark, sf)
+        val cached = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+        }
+        assert(cached.nonEmpty, s"$n lost its query-local pin")
+      } finally spark.catalog.clearCache()
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -30,21 +30,47 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TPC-H Q1 shape: scan → filter → hash agg (map-side partial) → sort
     "q1_agg" -> ((s, dir) => {
-      // tf: six decimal aggregates per row want the 32-core spread more
-      // than they mind the round-robin exchange (measured both ways)
-      tf(s, dir, "lineitem")
+      // TWO-PHASE INTEGER-CENTS AGGREGATION, decimal finalization. The
+      // r8 sweep measured a long-cents sum ~5x cheaper per row than
+      // DECIMAL(18,2) accumulation but kept decimal for overflow
+      // headroom; this form takes the cheap accumulate AND the
+      // headroom. Phase 1 groups by (flag, status, input partition)
+      // and sums exact integer units in LONGs — values are 2-decimal
+      // money, so cents (1e-2), discounted price in 1e-4 units, and
+      // charge in 1e-6 units are all exact integers; the tightest
+      // bound is charge: <= 1e11/row x ~4M rows/128MB-split = 4e17,
+      // 20x inside Long range INDEPENDENT OF TOTAL DATA SIZE (the
+      // per-split row count is what bounds a partial). Phase 2 re-sums
+      // the per-partition partials as DECIMAL(38,0) — exact at any
+      // scale — and divides back to money scale BEFORE the double
+      // cast, so published values are bit-identical to the all-decimal
+      // form (same exact rational, same one rounding to double).
+      // tf: the per-row integer math still wants the core spread.
+      val cents = (c: Column) => round(c * 100).cast("long") // exact for 2-dec doubles
+      val dp4 = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+      val ch6 = dp4 * (lit(100L) + cents(col("l_tax")))
+      val d38 = (c: Column) => sum(c.cast(DecimalType(38, 0)))
+      val fin = (c: Column, unit: Int) =>
+        (d38(c) / lit(unit).cast(DecimalType(9, 0))).cast(D)
+      val part = tf(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("_p"))
+        .agg(sum(cents(col("l_quantity"))).as("_q"),
+          sum(cents(col("l_extendedprice"))).as("_ep"),
+          sum(dp4).as("_dp"), sum(ch6).as("_ch"),
+          sum(cents(col("l_discount"))).as("_d"),
+          count(lit(1)).as("_n"))
+      part.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(revTerm).cast(D).as("sum_disc_price"),
-          sum((revTerm * (lit(1) + dec(col("l_tax")))).cast(DecimalType(18, 6)))
-            .cast(D).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          fin(col("_q"), 100).as("sum_qty"),
+          fin(col("_ep"), 100).as("sum_base_price"),
+          fin(col("_dp"), 10000).as("sum_disc_price"),
+          fin(col("_ch"), 1000000).as("sum_charge"),
+          (fin(col("_q"), 100) / sum(col("_n"))).as("avg_qty"),
+          (fin(col("_ep"), 100) / sum(col("_n"))).as("avg_price"),
+          (fin(col("_d"), 100) / sum(col("_n"))).as("avg_disc"),
+          sum(col("_n")).as("count_order"))
         .transform(graft.Tables.ordered(col("l_returnflag"), col("l_linestatus")))
     }),
 
@@ -1132,9 +1158,12 @@ object Relational {
       // so the round-robin pre-balance is a pure extra shuffle
       val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
+      // integer-cents accumulate (see q1_agg): the per-order quantity
+      // total sums exact cents in a LONG — bounded by lines-per-order,
+      // not data size — and the 250-unit gate compares integers
       val bigKeys = l.groupBy(col("l_orderkey"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
-        .filter(col("sum_qty") > 250)
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("_sq"))
+        .filter(col("_sq") > 25000L)
         .select(col("l_orderkey"))
       o.join(bigKeys, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .join(c, col("o_custkey") === col("c_custkey"))

@@ -221,11 +221,16 @@ object Relational {
       // up the per-(flag, status) exact sums is value-identical — the
       // Expand now multiplies 6 rows, and the corpus pays ONE ordinary
       // map-side-combinable aggregation
+      // integer-cents base (see q1_agg): long partials per input
+      // partition, decimal finalization after the rollup
       val base = tf(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).as("_sq"), count(lit(1)).as("_n"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("_p"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("_sq"),
+          count(lit(1)).as("_n"))
       base.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("_sq")).cast("double").as("sum_qty"),
+        .agg((sum(col("_sq").cast(DecimalType(38, 0))) /
+            lit(100).cast(DecimalType(9, 0))).cast(D).as("sum_qty"),
           sum(col("_n")).as("n"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),

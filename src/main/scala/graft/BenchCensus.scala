@@ -46,15 +46,43 @@ object BenchCensus {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // listener events are async; a fixed sleep lets late events from
+    // query N leak into query N+1 on a loaded host. Drain the bus
+    // properly: LiveListenerBus.waitUntilEmpty is private[spark], so
+    // reach it via reflection (no-arg on Spark 3.1+, timeout-arg on
+    // older); fall back to count-quiescence polling if the internals
+    // ever move.
+    val drainBus: () => Unit = {
+      val sc = spark.sparkContext
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val m = bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        m match {
+          case Some(wait0) => () => { wait0.invoke(bus); () }
+          case None =>
+            val wait1 = bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            () => { wait1.invoke(bus, Long.box(2000L)); () }
+        }
+      } catch { case _: Throwable => () => {
+        // quiescence fallback: settle once the counters stop moving
+        var prev = (-1, -1, -1); var same = 0; var spins = 0
+        while (same < 2 && spins < 25) {
+          Thread.sleep(20)
+          val cur = (jobs, stages, tasks)
+          if (cur == prev) same += 1 else { same = 0; prev = cur }
+          spins += 1
+        }
+      } }
+    }
     try names.flatMap { name =>
       val fn = SparkEntry.queries(name)
+      drainBus() // flush any straggler events into the PRIOR reset
       jobs = 0; stages = 0; tasks = 0
       val t0 = System.nanoTime()
       val r = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        // listener events are async (and the bus is private[spark]);
-        // a short settle keeps the counts honest for a census
-        Thread.sleep(80)
+        drainBus()
         Some(Row(name, (System.nanoTime() - t0) / 1e9, jobs, stages, tasks))
       } catch { case _: Throwable => None }
       finally {

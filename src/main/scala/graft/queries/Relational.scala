@@ -34,17 +34,23 @@ object Relational {
       // r8 sweep measured a long-cents sum ~5x cheaper per row than
       // DECIMAL(18,2) accumulation but kept decimal for overflow
       // headroom; this form takes the cheap accumulate AND the
-      // headroom. Phase 1 groups by (flag, status, input partition)
-      // and sums exact integer units in LONGs — values are 2-decimal
-      // money, so cents (1e-2), discounted price in 1e-4 units, and
-      // charge in 1e-6 units are all exact integers; the tightest
-      // bound is charge: <= 1e11/row x ~4M rows/128MB-split = 4e17,
-      // 20x inside Long range INDEPENDENT OF TOTAL DATA SIZE (the
-      // per-split row count is what bounds a partial). Phase 2 re-sums
-      // the per-partition partials as DECIMAL(38,0) — exact at any
-      // scale — and divides back to money scale BEFORE the double
-      // cast, so published values are bit-identical to the all-decimal
-      // form (same exact rational, same one rounding to double).
+      // headroom. Phase 1 groups by (flag, status, partition id) and
+      // sums exact integer units in LONGs via try_sum — values are
+      // 2-decimal money, so cents (1e-2), discounted price in 1e-4
+      // units, and charge in 1e-6 units are all exact integers. The
+      // partition id is taken AFTER tf's round-robin fanout, whose
+      // width is cores-derived, NOT data-derived — so per-partition
+      // rows GROW with input size and a Long partial is only safe
+      // while rows/partition stays under ~9e7 (charge is the tightest
+      // term at ~1e11/row). try_sum turns a wrap into NULL instead of
+      // a silent wrong sum, and the assert_true gate below raises
+      // before phase 2 can publish — a too-big partition fails loudly
+      // and the caller re-runs with the all-decimal form or a wider
+      // fanout. Phase 2 re-sums the per-partition partials as
+      // DECIMAL(38,0) — exact at any scale — and divides back to
+      // money scale BEFORE the double cast, so published values are
+      // bit-identical to the all-decimal form (same exact rational,
+      // same one rounding to double).
       // tf: the per-row integer math still wants the core spread.
       val cents = (c: Column) => round(c * 100).cast("long") // exact for 2-dec doubles
       val dp4 = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
@@ -56,12 +62,20 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"),
           spark_partition_id().as("_p"))
-        .agg(sum(cents(col("l_quantity"))).as("_q"),
-          sum(cents(col("l_extendedprice"))).as("_ep"),
-          sum(dp4).as("_dp"), sum(ch6).as("_ch"),
-          sum(cents(col("l_discount"))).as("_d"),
+        .agg(try_sum(cents(col("l_quantity"))).as("_q"),
+          try_sum(cents(col("l_extendedprice"))).as("_ep"),
+          try_sum(dp4).as("_dp"), try_sum(ch6).as("_ch"),
+          try_sum(cents(col("l_discount"))).as("_d"),
           count(lit(1)).as("_n"))
-      part.groupBy(col("l_returnflag"), col("l_linestatus"))
+      // loud overflow gate: inputs are non-null, so a NULL partial can
+      // only mean a try_sum Long wrap — refuse to publish. The guard
+      // lives in a Filter condition so column pruning cannot drop it.
+      part.filter(assert_true(
+          col("_q").isNotNull && col("_ep").isNotNull && col("_dp").isNotNull &&
+            col("_ch").isNotNull && col("_d").isNotNull,
+          lit("q1_agg: integer-cents Long partial overflowed " +
+            "(rows per partition exceeded the safe bound)")).isNull)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           fin(col("_q"), 100).as("sum_qty"),
           fin(col("_ep"), 100).as("sum_base_price"),
@@ -221,13 +235,18 @@ object Relational {
       // up the per-(flag, status) exact sums is value-identical — the
       // Expand now multiplies 6 rows, and the corpus pays ONE ordinary
       // map-side-combinable aggregation
-      // integer-cents base (see q1_agg): long partials per input
-      // partition, decimal finalization after the rollup
+      // integer-cents base (see q1_agg): try_sum long partials per
+      // fanout partition with the same loud assert_true overflow gate
+      // (per-partition rows grow with input — a wrap must raise, not
+      // publish), decimal finalization after the rollup
       val base = tf(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"),
           spark_partition_id().as("_p"))
-        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("_sq"),
+        .agg(try_sum(round(col("l_quantity") * 100).cast("long")).as("_sq"),
           count(lit(1)).as("_n"))
+        .filter(assert_true(col("_sq").isNotNull,
+          lit("q11_rollup: integer-cents Long partial overflowed " +
+            "(rows per partition exceeded the safe bound)")).isNull)
       base.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg((sum(col("_sq").cast(DecimalType(38, 0))) /
             lit(100).cast(DecimalType(9, 0))).cast(D).as("sum_qty"),

@@ -41,8 +41,10 @@ object StateRepair {
     * of one failure.
     */
   def repairTornSnapshot(e: Throwable): Option[String] = {
-    tornSnapshotFile(e).map { fileName =>
-      val p = toLocalPath(fileName)
+    for {
+      fileName <- tornSnapshotFile(e)
+      p <- toLocalPath(fileName)
+    } yield {
       Files.deleteIfExists(p)
       Files.deleteIfExists(p.resolveSibling(p.getFileName.toString + ".crc"))
       fileName
@@ -69,9 +71,18 @@ object StateRepair {
     None
   }
 
-  /** Checkpoint file names arrive as `file:/...` URIs or bare paths. */
-  private def toLocalPath(fileName: String) =
+  /** Checkpoint file names arrive as `file:/...` URIs or bare local
+    * paths — those this repair can act on. Any OTHER URI scheme
+    * (hdfs:, s3a:, ...) is a checkpoint this local java.nio delete
+    * cannot touch: returning a path for it would make deleteIfExists
+    * silently no-op on a phantom relative path and report a "repair"
+    * that repaired nothing, so non-local schemes return None and the
+    * caller falls through to its fatal-rethrow branch. */
+  private val uriScheme = "^[a-zA-Z][a-zA-Z0-9+.-]*:".r
+  private[graft] def toLocalPath(fileName: String): Option[java.nio.file.Path] =
     if (fileName.startsWith("file:"))
-      Paths.get(java.net.URI.create(fileName.replace(" ", "%20")))
-    else Paths.get(fileName)
+      Some(Paths.get(java.net.URI.create(fileName.replace(" ", "%20"))))
+    else if (uriScheme.findPrefixOf(fileName).isEmpty)
+      Some(Paths.get(fileName)) // bare path
+    else None // hdfs:/s3a:/...: not locally repairable
 }

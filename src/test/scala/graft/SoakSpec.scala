@@ -57,6 +57,27 @@ class SoakSpec extends SparkSpec {
     assert(Files.exists(delta), "repair must never touch a delta file")
   }
 
+  test("StateRepair refuses non-local checkpoint schemes — no phantom repairs") {
+    // an hdfs:/s3a: fileName used to be treated as a RELATIVE local
+    // path: deleteIfExists no-oped, yet the repair reported success and
+    // the caller's retry loop spun on a permanently wedged query. A
+    // non-file scheme must fall through to the fatal-rethrow path.
+    def remote(uri: String): Throwable =
+      new SparkException(
+        errorClass = "CHECKPOINT_FILE_CHECKSUM_VERIFICATION_FAILED",
+        messageParameters = Map("fileName" -> uri,
+          "expectedSize" -> "2076", "expectedChecksum" -> "1",
+          "computedSize" -> "2069", "computedChecksum" -> "2"),
+        cause = null)
+    assert(StateRepair.repairTornSnapshot(
+      remote("hdfs://nn:8020/ckpt/state/0/0/59.snapshot")).isEmpty)
+    assert(StateRepair.repairTornSnapshot(
+      remote("s3a://bucket/ckpt/state/0/0/59.snapshot")).isEmpty)
+    // bare paths (no scheme) remain repairable
+    assert(StateRepair.toLocalPath("relative/59.snapshot").isDefined)
+    assert(StateRepair.toLocalPath("/abs/59.snapshot").isDefined)
+  }
+
   test("StateRepair ignores unrelated failures") {
     assert(StateRepair.repairTornSnapshot(
       new RuntimeException("boom", new IllegalStateException("x"))).isEmpty)

@@ -1,6 +1,5 @@
 package graft.ext
 
-import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,10 +10,17 @@ final case class MediaMeta(format: String, n_bytes: Long, source: String)
 final case class MediaRecord(media_id: Long, kind: String,
     payload: Array[Byte], meta: MediaMeta)
 
-/** Decoded/extracted features per media object. */
-final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-    header_hex: String, payload_sha: String, width: Int, height: Int,
-    n_frames: Int, feature: Array[Float])
+/** Decoded/extracted features per media object — every field computed
+  * from a REAL codec parse of the payload bytes (see [[Multimodal.decodeMedia]]):
+  * container format from magic-byte sniffing, dimensions from the
+  * parsed header, and exact integer statistics + 4-bin histogram over
+  * the decoded value stream (pixels / PCM samples / luma planes).
+  * `feature` is the normalized histogram as an ordinary vector column
+  * for downstream similarity/dedup operators. */
+final case class MediaFeatures(media_id: Long, kind: String, format: String,
+    n_bytes: Long, width: Int, height: Int, n_frames: Int, n_values: Long,
+    v_min: Int, v_max: Int, v_sum: Long, v_sumsq: Long,
+    h0: Long, h1: Long, h2: Long, h3: Long, feature: Array[Float])
 
 /** One sampled frame of a video payload (or the single "frame" of a
   * still image): the unit row after frame-sampling explodes media. */
@@ -22,103 +28,191 @@ final case class MediaFrame(media_id: Long, frame_idx: Int,
     width: Int, height: Int, frame: Array[Byte])
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata (SURVEY.md north-star ops).
+  * columns with typed metadata (SURVEY.md north-star ops), decoded by
+  * the REAL codecs below — PGM for images, RIFF/WAVE PCM16 for audio,
+  * YUV4MPEG2 for video. Dispatch is by magic-byte sniffing (what a real
+  * ingest does), dimensions come from the parsed headers, and every
+  * statistic is computed over actually-decoded pixel/sample values.
+  * Codec-class formats whose libraries aren't in this container
+  * (JPEG/MP3/H.264) would slot in as extra [[sniffFormat]] branches.
   *
-  * The DECODE step is a clearly-marked deterministic STUB — real codec
-  * libraries aren't in this container. Everything around it is the real
-  * 100 TB design: binary payloads stay columnar in Parquet, the typed
-  * `Dataset[MediaRecord] → Dataset[MediaFeatures]` boundary runs
+  * The 100 TB design: binary payloads stay columnar in Parquet, the
+  * typed `Dataset[MediaRecord] → Dataset[MediaFeatures]` boundary runs
   * per-partition (`mapPartitions` — one iterator per task, payloads are
   * never collected to the driver), and downstream feature columns are
   * ordinary columns for the relational/similarity operators.
   */
 object Multimodal {
 
-  /** Build a media table from the documents fixture: payload = UTF-8 bytes
-    * of `text` standing in for real image/audio/video blobs. */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        lit("fake/v1").as("format"),
-        // byte length of the UTF-8 payload, not character count — length()
-        // on the binary cast counts bytes, agreeing with the payload column
-        // (and DuckDB's octet_length) for non-ASCII text too
-        length(col("text").cast("binary")).cast("long").as("n_bytes"),
-        col("source").as("source")).as("meta"))
-
-  /** STUB — deterministic fake decode (`???`-equivalent, see note above):
-    * real implementation would call the codec here (e.g. JPEG decode,
-    * audio resample, video frame-sample) on each payload. The fake
-    * derives dimensions/frames from payload bytes so tests are exact. */
-  private def fakeDecode(r: MediaRecord): MediaFeatures = {
-    val bytes = r.payload
-    val sha = MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map("%02x".format(_)).mkString
-    val header = bytes.take(4).map("%02X".format(_)).mkString
-    val h = math.abs(java.util.Arrays.hashCode(bytes))
-    // 8-bin byte histogram as the stand-in feature vector
-    val hist = new Array[Float](8)
-    bytes.foreach(b => hist((b & 0xFF) >> 5) += 1f)
-    val n = math.max(1, bytes.length).toFloat
-    MediaFeatures(r.media_id, r.kind, bytes.length.toLong, header, sha,
-      width = 16 + h % 1024, height = 16 + (h / 1024) % 1024,
-      n_frames = if (r.kind == "video") 1 + h % 32 else 1,
-      feature = hist.map(_ / n))
+  /** Build a mixed-kind media table over the fixture ids: REAL payload
+    * bytes — PGM P5 images (doc_id%3=0), RIFF/WAVE PCM16 clips (=1),
+    * YUV4MPEG2 videos (=2) — generated per partition from the same
+    * deterministic closed forms the single-kind tables use
+    * ([[pgmMediaTable]]/[[wavMediaTable]]/[[y4mMediaTable]] formulas),
+    * so the DuckDB oracle can replay every downstream statistic without
+    * parsing binary. Encoders are the spec-conformant ones below
+    * (golden-vector spec-gated), so what flows is genuine media bytes. */
+  def mediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val (kind, fmt, payload) = (id % 3) match {
+          case 0 =>
+            val w = (id % 5 + 8).toInt
+            val h = (id % 4 + 6).toInt
+            val pix = Array.tabulate(w * h)(i =>
+              ((id * 37 + i.toLong * 101) % 256).toInt)
+            ("image", "pgm", Pgm.encodeP5(PgmImage(w, h, pix)))
+          case 1 =>
+            val n = (256 + (id % 7) * 64).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 17) % 2048) - 1024).toShort)
+            ("audio", "wav", Wav.encode(WavClip(8000, samples)))
+          case _ =>
+            val nf = (4 + id % 4).toInt
+            val frames = Array.tabulate(nf)(f =>
+              Array.tabulate(48)(i =>
+                (((id * 37 + (f / 3).toLong * 911 + i.toLong * 101) % 200)
+                  + f % 3).toInt))
+            ("video", "y4m", Y4m.encode(Y4mVideo(8, 6, frames)))
+        }
+        (id, kind, payload, fmt, payload.length.toLong, src)
+      })
+      .toDF("media_id", "kind", "payload", "format", "n_bytes", "source")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("format"), col("n_bytes"), col("source")).as("meta"))
   }
 
-  /** Per-partition decode + feature extraction. Partitioning is preserved;
-    * batch shape = one task iterator (the Scala analogue of an Arrow-batch
-    * UDF: payload bytes stream through the executor, never the driver). */
+  /** Container sniffing by magic bytes — the dispatch step of a real
+    * ingest (the `kind` metadata is advisory; bytes are the truth).
+    * Throws on an unrecognized header, same error-as-exception policy
+    * as the codec parsers (pipeline callers wrap with a try-gate). */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def ascii(n: Int) =
+      new String(bytes, 0, math.min(n, bytes.length),
+        java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length >= 2 && bytes(0) == 'P' &&
+        (bytes(1) == '2' || bytes(1) == '5')) "pgm"
+    else if (ascii(4) == "RIFF") "wav"
+    else if (ascii(9) == "YUV4MPEG2") "y4m"
+    else throw new IllegalArgumentException(
+      s"unrecognized media container (header ${ascii(9)})")
+  }
+
+  /** REAL decode of one media record: sniff the container, parse with
+    * the matching codec, reduce the decoded value stream (pixels / PCM
+    * samples / luma planes across frames) to exact integer statistics
+    * and a 4-bin histogram. Bins: pixels and luma quantize at value>>6
+    * (domain 0..255), PCM16 at (v+32768)>>14 (domain -32768..32767).
+    * Overflow headroom: v_sumsq <= 65025·n (pixels) or ~1.07e9·n (PCM),
+    * so a Long holds exact sums past 1e12 pixels / 4e9 samples per
+    * OBJECT — frame-level chunking applies long before any real media
+    * object crosses that. */
+  def decodeMedia(r: MediaRecord): MediaFeatures = sniffFormat(r.payload) match {
+    case "pgm" =>
+      val img = Pgm.decode(r.payload)
+      statsRow(r, "pgm", img.width, img.height, 1, img.pixels, _ >> 6)
+    case "wav" =>
+      val c = Wav.decode(r.payload)
+      statsRow(r, "wav", 0, 0, 0, c.samples.map(_.toInt),
+        v => (v + 32768) >> 14)
+    case "y4m" =>
+      val v = Y4m.decode(r.payload)
+      statsRow(r, "y4m", v.width, v.height, v.frames.length,
+        v.frames.flatten, _ >> 6)
+  }
+
+  private def statsRow(r: MediaRecord, fmt: String, w: Int, h: Int,
+      nf: Int, values: Array[Int], bin: Int => Int): MediaFeatures = {
+    var vmin = Int.MaxValue; var vmax = Int.MinValue
+    var sum = 0L; var sq = 0L
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      if (v < vmin) vmin = v
+      if (v > vmax) vmax = v
+      sum += v; sq += v.toLong * v
+      hist(bin(v)) += 1L
+      i += 1
+    }
+    if (values.isEmpty) { vmin = 0; vmax = 0 }
+    val n = values.length.toLong
+    MediaFeatures(r.media_id, r.kind, fmt, r.payload.length.toLong,
+      w, h, nf, n, vmin, vmax, sum, sq,
+      hist(0), hist(1), hist(2), hist(3),
+      hist.map(c => if (n == 0) 0f else c.toFloat / n))
+  }
+
+  /** Per-partition decode + feature extraction — REAL codecs, see
+    * [[decodeMedia]]. Partitioning is preserved; batch shape = one task
+    * iterator (the Scala analogue of an Arrow-batch UDF: payload bytes
+    * stream through the executor, never the driver). */
   def decodeFeatures(spark: SparkSession, ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    ds.mapPartitions(_.map(fakeDecode))
+    ds.mapPartitions(_.map(decodeMedia))
   }
 
-  /** STUB frame extraction: a real implementation seeks the codec to every
-    * `stride`-th frame; the fake slices the payload deterministically so
-    * shape properties (row counts, sizes) are exactly testable. */
-  private def fakeFrames(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
-    val f = fakeDecode(r)
-    val picked = (0 until f.n_frames by stride).iterator
-    picked.map { i =>
-      // fake frame bytes: a rotation of the payload, unique per frame
-      val b = r.payload
-      val rot = if (b.isEmpty) b else b.drop(i % b.length) ++ b.take(i % b.length)
-      MediaFrame(r.media_id, i, f.width, f.height, rot)
-    }
-  }
-
-  /** Frame-sampling: one row per kept frame (every `stride`-th). The 1→N
-    * explode happens inside the executor task (flatMap on the typed
-    * Dataset) — frames land as ordinary rows that downstream resize /
-    * embed / dedup operators consume; nothing widens on the driver. At
-    * 100 TB follow this with a repartition on media_id only if a later
-    * stage needs co-located frames. */
+  /** Frame-sampling over REAL decoded media: one row per kept frame.
+    * Videos yield every `stride`-th decoded luma plane; an image is its
+    * single raster (frame 0); audio yields every `stride`-th 256-sample
+    * window as 16-bit LE PCM bytes with width = samples-per-window and
+    * height = 1 (the framing step a spectrogram/fingerprint pipeline
+    * runs). The 1→N explode happens inside the executor task (flatMap
+    * on the typed Dataset) — frames land as ordinary rows that
+    * downstream resize / embed / dedup operators consume; nothing
+    * widens on the driver. At 100 TB follow this with a repartition on
+    * media_id only if a later stage needs co-located frames. */
   def sampleFrames(spark: SparkSession, ds: Dataset[MediaRecord],
       stride: Int = 4): Dataset[MediaFrame] = {
     import spark.implicits._
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    ds.flatMap(fakeFrames(_, stride))
+    ds.flatMap { r =>
+      sniffFormat(r.payload) match {
+        case "pgm" =>
+          val img = Pgm.decode(r.payload)
+          Iterator.single(MediaFrame(r.media_id, 0, img.width, img.height,
+            img.pixels.map(p => (p & 0xFF).toByte)))
+        case "y4m" =>
+          val v = Y4m.decode(r.payload)
+          (0 until v.frames.length by stride).iterator.map(f =>
+            MediaFrame(r.media_id, f, v.width, v.height,
+              v.frames(f).map(p => (p & 0xFF).toByte)))
+        case "wav" =>
+          val c = Wav.decode(r.payload)
+          val win = 256
+          val nw = c.samples.length / win
+          (0 until nw by stride).iterator.map { k =>
+            val bb = java.nio.ByteBuffer.allocate(win * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var i = k * win
+            val end = i + win
+            while (i < end) { bb.putShort(c.samples(i)); i += 1 }
+            MediaFrame(r.media_id, k, win, 1, bb.array())
+          }
+      }
+    }
   }
 
-  /** STUB resize: the real kernel is an image-library call per frame; the
-    * fake truncates/pads bytes to the target pixel count so output sizes
-    * are exact. The plumbing is the 100 TB-relevant part: a narrow
-    * map — no shuffle, no driver involvement, output width/height become
-    * plain filterable columns. */
+  /** REAL nearest-neighbor resize on frame rasters — the byte-level
+    * twin of [[Pgm.resizeNearest]]: output pixel (x, y) reads the
+    * source pixel at the floor-scaled index, actual pixels move. A
+    * narrow map — no shuffle, no driver involvement; output
+    * width/height become plain filterable columns. (Audio window
+    * "frames" passing through get byte-level decimation — resize is a
+    * raster op; use [[resampleLinear]] for audio rate changes.) */
   def resizeFrames(spark: SparkSession, frames: Dataset[MediaFrame],
       targetW: Int, targetH: Int): Dataset[MediaFrame] = {
     import spark.implicits._
+    require(targetW > 0 && targetH > 0, "resize target must be positive")
     frames.map { fr =>
-      val want = targetW * targetH
-      val b = fr.frame
-      val out = if (b.length >= want) b.take(want)
-        else b ++ Array.fill[Byte](want - b.length)(0)
+      val out = Array.tabulate(targetW * targetH) { j =>
+        val x = j % targetW
+        val y = j / targetW
+        fr.frame(math.min(fr.height - 1, y * fr.height / targetH) * fr.width +
+          math.min(fr.width - 1, x * fr.width / targetW))
+      }
       MediaFrame(fr.media_id, fr.frame_idx, targetW, targetH, out)
     }
   }
@@ -126,7 +220,7 @@ object Multimodal {
   /** Convenience: documents fixture → typed media dataset. */
   def mediaDataset(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    mediaTable(docs).as[MediaRecord]
+    mediaTable(spark, docs).as[MediaRecord]
   }
 
   /** Decoded PGM image: real pixels, not a stub. */
@@ -141,9 +235,9 @@ object Multimodal {
     * P5 (binary) PGM — written against the published spec, no libraries:
     * magic, whitespace/`#`-comment-tolerant header (width, height,
     * maxval), then the raster. This is NOT a stub: the decoder parses
-    * actual image bytes, the resize below moves actual pixels. The
-    * `fakeDecode` path above remains only for codec-class formats
-    * (JPEG/MP3/H.264) whose libraries aren't in this container. */
+    * actual image bytes, the resize below moves actual pixels.
+    * Codec-class formats (JPEG/MP3/H.264) whose libraries aren't in
+    * this container would land as additional sniffFormat branches. */
   object Pgm {
     def encodeP5(img: PgmImage): Array[Byte] = {
       val header = s"P5\n${img.width} ${img.height}\n255\n"
@@ -310,9 +404,9 @@ object Multimodal {
     * chunk walk (tolerating extra chunks before `data`), fmt validation
     * (PCM, 16-bit), little-endian sample extraction. NOT a stub: the
     * parser reads actual bytes (golden-vector spec-gated), the encoder
-    * emits the canonical 44-byte-header file. The `fakeDecode` path
-    * above remains only for codec-class formats (MP3/AAC) whose
-    * libraries aren't in this container. */
+    * emits the canonical 44-byte-header file. Codec-class formats
+    * (MP3/AAC) whose libraries aren't in this container would land as
+    * additional sniffFormat branches. */
   object Wav {
     def encode(clip: WavClip): Array[Byte] = {
       val n = clip.samples.length

@@ -835,12 +835,18 @@ object Extensions {
         .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
+    // the GENERIC media decode: a mixed image/audio/video table of real
+    // PGM/WAV/Y4M payloads, container sniffed by magic bytes, parsed by
+    // the real codec, reduced to exact integer stats + 4-bin histogram
+    // per object — all per-partition, payloads never reach the driver.
+    // The oracle replays every statistic from the generators' closed
+    // forms (never parsing binary), so codec round-trip and arithmetic
+    // check each other — same discipline as multimodal_pgm_decode.
     "multimodal_features" -> ((s, dir) => {
-      Multimodal.mediaTable(tf(s, dir, "documents"))
-        .select(col("media_id"), col("kind"),
-          col("meta.n_bytes").as("n_bytes"),
-          hex(substring(col("payload"), 1, 4)).as("header_hex"),
-          sha2(col("payload"), 256).as("payload_sha"))
+      Multimodal.decodeFeatures(s,
+          Multimodal.mediaDataset(s, tf(s, dir, "documents")))
+        .toDF()
+        .drop("feature") // normalized-histogram floats: h0..h3 certify it
         .transform(graft.Tables.ordered(col("media_id")))
     }),
 
@@ -2345,13 +2351,59 @@ object Extensions {
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY i, j""".stripMargin,
 
+    // Mirrors multimodal_features: all three kinds replayed from their
+    // generator closed forms — PGM P5 n_bytes = 9 header chars + digits
+    // + w*h raster bytes, WAV = canonical 44-byte header + 2 bytes per
+    // PCM16 sample, Y4M = 39-byte stream header + per-frame
+    // (6 "FRAME\n" + 48 luma + 24 chroma). Histogram bins match the
+    // engine's shifts: pixels/luma v>>6, PCM16 (v+32768)>>14 — both
+    // floor divisions of non-negative numerators.
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |hex(substring(text, 1, 4)) AS header_hex,
-        |sha256(text) AS payload_sha
-        |FROM documents ORDER BY media_id""".stripMargin
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, 'image' AS kind, 'pgm' AS format,
+        |    doc_id % 5 + 8 AS w, doc_id % 4 + 6 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |imgv AS (
+        |  SELECT media_id, kind, format,
+        |    CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |      + w * h AS BIGINT) AS n_bytes,
+        |    CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |    CAST(1 AS INTEGER) AS n_frames,
+        |    list_transform(range(0, w * h),
+        |      i -> (media_id * 37 + i * 101) % 256) AS vals,
+        |    CAST(64 AS BIGINT) AS binw, CAST(0 AS BIGINT) AS binoff
+        |  FROM img),
+        |audv AS (
+        |  SELECT doc_id AS media_id, 'audio' AS kind, 'wav' AS format,
+        |    CAST(44 + 2 * (256 + (doc_id % 7) * 64) AS BIGINT) AS n_bytes,
+        |    CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        |    CAST(0 AS INTEGER) AS n_frames,
+        |    list_transform(range(0, 256 + (doc_id % 7) * 64),
+        |      i -> (doc_id * 31 + i * 17) % 2048 - 1024) AS vals,
+        |    CAST(16384 AS BIGINT) AS binw, CAST(32768 AS BIGINT) AS binoff
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |vidv AS (
+        |  SELECT doc_id AS media_id, 'video' AS kind, 'y4m' AS format,
+        |    CAST(39 + (4 + doc_id % 4) * 78 AS BIGINT) AS n_bytes,
+        |    CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |    CAST(4 + doc_id % 4 AS INTEGER) AS n_frames,
+        |    flatten(list_transform(range(0, 4 + doc_id % 4),
+        |      f -> list_transform(range(0, 48),
+        |        i -> (doc_id * 37 + (f // 3) * 911 + i * 101) % 200 + f % 3))) AS vals,
+        |    CAST(64 AS BIGINT) AS binw, CAST(0 AS BIGINT) AS binoff
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |u AS (SELECT * FROM imgv UNION ALL SELECT * FROM audv
+        |      UNION ALL SELECT * FROM vidv)
+        |SELECT media_id, kind, format, n_bytes, width, height, n_frames,
+        |  CAST(len(vals) AS BIGINT) AS n_values,
+        |  CAST(list_min(vals) AS INTEGER) AS v_min,
+        |  CAST(list_max(vals) AS INTEGER) AS v_max,
+        |  CAST(list_sum(vals) AS BIGINT) AS v_sum,
+        |  CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT) AS v_sumsq,
+        |  CAST(len(list_filter(vals, v -> (v + binoff) // binw = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(vals, v -> (v + binoff) // binw = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(vals, v -> (v + binoff) // binw = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(vals, v -> (v + binoff) // binw = 3)) AS BIGINT) AS h3
+        |FROM u ORDER BY media_id""".stripMargin
   )
 }

@@ -252,9 +252,9 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("multimodal features flow into the similarity operators end-to-end") {
-    // decode → 8-dim feature vectors → brute-force cosine top-k:
-    // the full media-dedup pipeline shape with ordinary columns between
-    // the stages (no special casing anywhere downstream)
+    // real decode → normalized-histogram feature vectors → brute-force
+    // cosine top-k: the full media-dedup pipeline shape with ordinary
+    // columns between the stages (no special casing downstream)
     val feats = Multimodal.decodeFeatures(spark,
         Multimodal.mediaDataset(spark, docs))
       .toDF().select(col("media_id").as("vec_id"), col("feature").as("embedding"))
@@ -263,46 +263,91 @@ class ExtensionsSpec extends SparkSpec {
     assert(topk.length == 5 * 3)
     assert(topk.forall(r => r.getAs[Double]("cos") <= 1.0001 &&
       r.getAs[Double]("cos") >= -1.0001))
-    // byte-histogram features of same-ish text distributions are highly
-    // similar — nearest neighbors should be close to 1
+    // value-histograms of the same deterministic generators are highly
+    // similar within a kind — nearest neighbors should be close to 1
     assert(topk.filter(_.getAs[Int]("rk") == 1)
       .forall(_.getAs[Double]("cos") > 0.8))
   }
 
-  test("multimodal decode plumbing: typed dataset, per-partition, deterministic stub") {
+  test("multimodal decode: real codecs behind sniffed dispatch, exact stats") {
     val media = Multimodal.mediaDataset(spark, docs)
     val feats = Multimodal.decodeFeatures(spark, media)
     val rows = feats.collect()
     assert(rows.length == docs.count())
-    assert(rows.forall(_.feature.length == 8))
-    assert(rows.forall(r => math.abs(r.feature.sum - 1.0f) < 1e-3),
-      "byte-histogram features must be normalized")
-    // deterministic: same input → same features
-    val again = Multimodal.decodeFeatures(spark, media).collect()
-    assert(rows.map(_.payload_sha).sorted.sameElements(again.map(_.payload_sha).sorted))
+    // dispatch is by MAGIC BYTES and must land on the kind the table
+    // declared: image→pgm, audio→wav, video→y4m
+    assert(rows.forall(r => (r.kind, r.format) match {
+      case ("image", "pgm") | ("audio", "wav") | ("video", "y4m") => true
+      case _ => false
+    }), "sniffed container disagrees with declared kind")
+    // dimensions come from the real header parse
+    rows.filter(_.kind == "image").foreach { r =>
+      assert(r.width == (r.media_id % 5 + 8).toInt &&
+        r.height == (r.media_id % 4 + 6).toInt && r.n_frames == 1)
+      assert(r.n_values == r.width.toLong * r.height)
+      assert(r.v_min >= 0 && r.v_max <= 255)
+    }
+    rows.filter(_.kind == "audio").foreach { r =>
+      assert(r.n_values == 256 + (r.media_id % 7) * 64)
+      assert(r.v_min >= -1024 && r.v_max <= 1023, "PCM range from generator")
+    }
+    rows.filter(_.kind == "video").foreach { r =>
+      assert(r.width == 8 && r.height == 6 &&
+        r.n_frames == (4 + r.media_id % 4).toInt)
+      assert(r.n_values == 48L * r.n_frames)
+    }
+    // histogram partitions the value stream; feature = normalized hist
+    assert(rows.forall(r => r.h0 + r.h1 + r.h2 + r.h3 == r.n_values))
+    assert(rows.forall(r => r.feature.length == 4 &&
+      math.abs(r.feature.sum - 1.0f) < 1e-3))
+    // hand-check one image against the closed form the oracle replays
+    val r0 = rows.find(_.media_id == 0L).get
+    val pix0 = (0 until 8 * 6).map(i => (i * 101) % 256)
+    assert(r0.v_sum == pix0.sum && r0.v_sumsq == pix0.map(p => p.toLong * p).sum)
     // partition count preserved through mapPartitions
     assert(feats.rdd.getNumPartitions == media.rdd.getNumPartitions)
   }
 
-  test("frame-sampling explodes media 1->N and resize normalizes frame shape") {
+  test("frame-sampling explodes media 1->N and resize moves real pixels") {
     val media = Multimodal.mediaDataset(spark, docs)
-    val feats = Multimodal.decodeFeatures(spark, media).collect()
-      .map(f => f.media_id -> f.n_frames).toMap
+    val byId = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
     val frames = Multimodal.sampleFrames(spark, media, stride = 4)
     val byMedia = frames.collect().groupBy(_.media_id)
-    // every media row yields ceil(n_frames/stride) frame rows
     byMedia.foreach { case (id, fs) =>
-      val expect = (feats(id) + 3) / 4
-      assert(fs.length == expect, s"media $id: ${fs.length} frames, want $expect")
-      assert(fs.map(_.frame_idx).toSet == (0 until feats(id) by 4).toSet)
+      byId(id).kind match {
+        case "video" => // every stride-th decoded luma plane
+          val nf = byId(id).n_frames
+          assert(fs.map(_.frame_idx).toSet == (0 until nf by 4).toSet)
+          assert(fs.forall(f => f.frame.length == 48 && f.width == 8 && f.height == 6))
+        case "image" => // the single raster
+          assert(fs.length == 1 && fs.head.frame_idx == 0)
+          assert(fs.head.frame.length == fs.head.width * fs.head.height)
+        case "audio" => // 256-sample PCM16 windows, every stride-th
+          val nw = byId(id).n_values.toInt / 256
+          assert(fs.map(_.frame_idx).toSet == (0 until nw by 4).toSet)
+          assert(fs.forall(f => f.frame.length == 512 && f.width == 256 && f.height == 1))
+      }
     }
-    // videos sample multiple frames somewhere in the fixture
-    assert(byMedia.values.exists(_.length > 1), "no multi-frame video sampled")
-    // resize: every frame becomes exactly targetW*targetH bytes
+    // frame bytes are REAL decoded luma: spot-check video 2's frame 0
+    // against the generator closed form (id*37 + i*101) % 200 + 0
+    byMedia.get(2L).foreach { fs =>
+      val f0 = fs.find(_.frame_idx == 0).get
+      val want = (0 until 48).map(i => (((2 * 37 + i * 101) % 200) & 0xFF).toByte)
+      assert(f0.frame.sameElements(want), "frame 0 luma mismatch vs generator")
+    }
+    // resize: NN-resample to 8x4 — exact byte count AND the right pixels
     val rs = Multimodal.resizeFrames(spark, frames, targetW = 8, targetH = 4)
       .collect()
     assert(rs.nonEmpty)
     assert(rs.forall(f => f.frame.length == 32 && f.width == 8 && f.height == 4))
+    val src = byMedia(2L).find(_.frame_idx == 0).get // 8x6 luma
+    val got = rs.filter(_.media_id == 2L).find(_.frame_idx == 0).get
+    val wantRs = (0 until 32).map { j =>
+      val x = j % 8; val y = j / 8
+      src.frame(math.min(5, y * 6 / 4) * 8 + math.min(7, x * 8 / 8))
+    }
+    assert(got.frame.sameElements(wantRs), "NN resize pixel mapping mismatch")
   }
 
   test("editDistancePairs respects blocks, threshold, and k1<k2 ordering") {

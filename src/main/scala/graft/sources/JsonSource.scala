@@ -47,4 +47,26 @@ object JsonSource {
         System.err.println(s"[JsonSource] extract failed (returning none): ${e.getMessage}")
         None
     }
+
+  /** LIVE-endpoint form of [[tryRead]] over the `http-json` DSv2 source
+    * (graft.sources.v2.HttpJsonSource): an actual GET with
+    * `Accept: application/json`, the reference's exact error contract —
+    * non-2xx or any fetch/parse failure returns None (EtlProcess.cs:
+    * 144-159), which the caller lands as the empty-successful run
+    * (EtlProcess.cs:61-69); a 200 with `[]` returns Some(empty), the
+    * distinct saved-0-documents branch. The probe `head(1)` performs
+    * one GET; the caller's real action re-fetches — acceptable because
+    * the extract sink is idempotent by run (and the reference likewise
+    * re-enters its endpoint on every orchestration). */
+  def tryReadUrl(spark: SparkSession, schema: StructType, url: String): Option[DataFrame] =
+    try {
+      val df = spark.read.format("http-json").schema(schema)
+        .option("url", url).load()
+      df.head(1) // force one fetch; IOException surfaces here
+      Some(df)
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[JsonSource] extract failed (returning none): ${e.getMessage}")
+        None
+    }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.sources.JsonSource
+import graft.sources.v2.HttpJsonSource
+
+/** Live-socket coverage for the `http-json` DSv2 source: an in-process
+  * loopback HTTP server (JDK built-in, zero egress) plays the
+  * reference's ExternalEndpoint, and the assertions pin the reference's
+  * observable contract (EtlProcess.cs:139-160): 2xx JSON array → rows
+  * in the SampleItem schema, non-2xx / dead socket → the error-as-null
+  * branch, 200 `[]` → the distinct saved-0-documents branch. */
+class HttpJsonSourceSpec extends SparkSpec {
+
+  /** Serve `body` (or `status` with empty body) at every path; records
+    * each request's path?query for fan-out assertions. */
+  private def withServer(status: Int, body: String)(
+      f: (String, ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new ConcurrentLinkedQueue[String]()
+    server.createContext("/", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).map("?" + _).getOrElse("")
+      seen.add(ex.getRequestURI.getPath + q)
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      // assert the reference's Accept header reaches the wire
+      val accept = ex.getRequestHeaders.getFirst("Accept")
+      val out = if (accept == "application/json") bytes
+        else "[]".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, if (out.isEmpty) -1 else out.length)
+      if (out.nonEmpty) { ex.getResponseBody.write(out); ex.getResponseBody.close() }
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/items", seen)
+    finally server.stop(0)
+  }
+
+  private val payload =
+    """[
+      |  {"id":"a1","Date":"2020-05-01 10:00:00","Desc":"Sample item #1",
+      |   "Done":"true","Name":"Item_1","Pr":"Additional field info",
+      |   "LogicalPartition":"Partition_B","unknownField":"dropped"},
+      |  {"id":"a2","Date":"2020-05-01 10:00:00",
+      |   "Name":"Item_2","LogicalPartition":"Partition_C"},
+      |  42
+      |]""".stripMargin
+
+  test("GET lands the reference schema: tolerant fields, permissive rows") {
+    withServer(200, payload) { (url, _) =>
+      val df = spark.read.format("http-json").option("url", url).load()
+      assert(df.schema == HttpJsonSource.defaultSchema)
+      val rows = df.orderBy(col("id").asc_nulls_last).collect()
+      assert(rows.length == 3)
+      // full row: unknown JSON field silently dropped
+      assert(rows(0).getString(0) == "a1" &&
+        rows(0).getString(6) == "Partition_B")
+      // missing fields -> null (writer-fixed, reader-tolerant)
+      assert(rows(1).getString(0) == "a2" && rows(1).isNullAt(3) &&
+        rows(1).getString(4) == "Item_2")
+      // non-object array element -> all-null row (POCO-default analogue)
+      assert((0 until 7).forall(rows(2).isNullAt))
+    }
+  }
+
+  test("column pruning reaches the HTTP reader") {
+    withServer(200, payload) { (url, _) =>
+      val df = spark.read.format("http-json").option("url", url).load()
+        .select(col("id"), col("Name"))
+      val scan = df.queryExecution.executedPlan.toString()
+      assert(scan.contains("columns=[id,Name]"),
+        s"pruned columns not in scan description:\n$scan")
+      assert(df.count() == 3)
+    }
+  }
+
+  test("non-2xx follows the reference error contract: strict raise, tryReadUrl None") {
+    withServer(503, "oops") { (url, _) =>
+      val df = spark.read.format("http-json").option("url", url).load()
+      val e = intercept[Exception](df.count())
+      assert(e.getMessage != null)
+      // EtlProcess.cs:61-69 — the empty-successful-run branch
+      assert(JsonSource.tryReadUrl(spark, HttpJsonSource.defaultSchema, url).isEmpty)
+    }
+  }
+
+  test("null-vs-empty distinction: 200 [] is a successful run with 0 items") {
+    withServer(200, "[]") { (url, _) =>
+      val got = JsonSource.tryReadUrl(spark, HttpJsonSource.defaultSchema, url)
+      assert(got.isDefined, "an empty feed is NOT a failed fetch")
+      assert(got.get.count() == 0)
+    }
+  }
+
+  test("errorAsEmpty: a dead page yields zero rows instead of failing the scan") {
+    withServer(500, "") { (url, _) =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("errorAsEmpty", "true").load()
+      assert(df.count() == 0)
+    }
+    // dead SOCKET (connection refused), not just a status code
+    val df = spark.read.format("http-json")
+      .option("url", "http://127.0.0.1:1/never")
+      .option("errorAsEmpty", "true")
+      .option("connectTimeoutMs", "500").load()
+    assert(df.count() == 0)
+  }
+
+  test("pages>1 fans out one partition per page URL") {
+    withServer(200, "[]") { (url, seen) =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("pages", "3").load()
+      assert(df.rdd.getNumPartitions == 3)
+      df.count()
+      val got = seen.toArray.map(_.toString).sorted.toSeq
+      assert(got == Seq("/items?page=0", "/items?page=1", "/items?page=2"),
+        s"pages did not fan out: $got")
+    }
+  }
+
+  test("tryReadUrl None on unreachable endpoint (exception branch)") {
+    assert(JsonSource.tryReadUrl(spark, HttpJsonSource.defaultSchema,
+      "http://127.0.0.1:1/nope").isEmpty)
+  }
+}

@@ -912,23 +912,71 @@ object TextOps {
       .select(col("_s").as("_med"), col("_n"))
   }
 
+  /** Both weighted lower medians — the score median and the MAD — from
+    * ONE single-partition pass over a bounded (`_s`, `_c`) value grid,
+    * returned as a 1-row (`_med`, `_mad`) frame. The fusion that makes
+    * this one subplan (and so ONE broadcast-build job, versus the four
+    * jobs of chaining two lowerMedianOfGrid calls through intermediate
+    * broadcasts):
+    *   1. cumulative counts in `_s` order select the median row; the
+    *      full-frame max(when(isMed, _s)) window turns it into a scalar
+    *      column every grid row can read — no driver round-trip;
+    *   2. the deviation distribution |s − med| needs NO regroup before
+    *      its median: rows sharing a deviation value sit adjacent once
+    *      sorted by (d, _s), their cumulative intervals are disjoint,
+    *      and index (n−1) div 2 falls in exactly one of them — merging
+    *      equal-d rows would only concatenate adjacent intervals of the
+    *      same value, selecting the same d.
+    * Same cardinality contract as [[lowerMedianOfGrid]] (the guard
+    * rides `_n`, which the median index consumes, so pruning can't drop
+    * it); all windows run on the repartition(1)'d GRID, never the
+    * corpus. */
+  private[graft] def medianMadOfGrid(grid: DataFrame,
+      maxGridCardinality: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val guarded = grid.repartition(1)
+      .withColumn("_n",
+        when(count(lit(1)).over(wAll) > maxGridCardinality,
+          raise_error(concat(
+            lit("lowerMedian: score grid cardinality "),
+            count(lit(1)).over(wAll).cast("string"),
+            lit(s" exceeds $maxGridCardinality — quantize the score to a" +
+              " bounded integral grid before calling madOutliers"))))
+          .otherwise(sum(col("_c")).over(wAll)))
+      .withColumn("_below", coalesce(sum(col("_c")).over(wCum), lit(0L)))
+      .withColumn("_idx", floor((col("_n") - 1) / 2))
+    val withMed = guarded.withColumn("_med",
+      max(when(col("_below") <= col("_idx") &&
+        col("_idx") < col("_below") + col("_c"), col("_s"))).over(wAll))
+    val d = withMed.withColumn("_d", abs(col("_s") - col("_med")))
+    val wdCum = Window.orderBy(col("_d"), col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wdAll = Window.orderBy(col("_d"), col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.withColumn("_dbelow", coalesce(sum(col("_c")).over(wdCum), lit(0L)))
+      .withColumn("_mad",
+        max(when(col("_dbelow") <= col("_idx") &&
+          col("_idx") < col("_dbelow") + col("_c"), col("_d"))).over(wdAll))
+      .groupBy().agg(max(col("_med")).as("_med"), max(col("_mad")).as("_mad"))
+      .filter(col("_med").isNotNull) // empty grid -> empty frame, not one null row
+  }
+
   def madOutliers(rows: DataFrame, score: Column,
       k: Double = 4.4478): DataFrame = {
     val s = rows.withColumn("_s", score.cast("long"))
-    // ONE corpus collapse: the deviation distribution |s − med| is a
-    // pure regrouping of the SAME value grid (counts of s = med±d
-    // merge), so MAD never re-scans the corpus — med's grid, the
-    // deviation grid, and the MAD selection are all grid-sized, and
-    // the three consumers of the grid share its shuffle via
-    // ReuseExchange. The corpus is read exactly twice: once into the
-    // grid, once for the output rows.
+    // ONE corpus collapse into the value grid, ONE fused grid pass for
+    // both order statistics ([[medianMadOfGrid]]), ONE broadcast of the
+    // single (med, mad) row back onto the corpus: 2 jobs total
+    // (broadcast build + output) — the chained-broadcast form spent 5.
+    // The corpus is read exactly twice: once into the grid, once for
+    // the output rows.
     val grid = s.select(col("_s")).groupBy(col("_s")).agg(count(lit(1)).as("_c"))
-    val med = lowerMedianOfGrid(grid).select(col("_med"))
-    val dgrid = grid.crossJoin(broadcast(med))
-      .groupBy(abs(col("_s") - col("_med")).as("_s"))
-      .agg(sum(col("_c")).as("_c"))
-    val mad = lowerMedianOfGrid(dgrid).select(col("_med").as("_mad"))
-    s.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+    val mm = medianMadOfGrid(grid)
+    s.crossJoin(broadcast(mm))
       .select(col("doc_id"), col("_s").as("score"),
         col("_med").as("med"), col("_mad").as("mad"),
         (abs(col("_s") - col("_med")) >

@@ -869,6 +869,21 @@ class CorpusSpec extends SparkSpec {
     assert(med == 2L, s"even-count lower median $med != 2")
   }
 
+  test("medianMadOfGrid enforces the same grid-cardinality contract") {
+    // the fused one-pass med+mad path must keep the loud guard: a
+    // too-wide grid fails instead of sorting it on one task silently
+    val grid = (1L to 10L).map(i => (i, 1L)).toDF("_s", "_c")
+    val ok = TextOps.medianMadOfGrid(grid, maxGridCardinality = 10L)
+      .collect()(0)
+    assert(ok.getLong(0) == 5L && ok.getLong(1) == 2L,
+      s"med/mad of 1..10 was $ok, expected (5, 2)")
+    intercept[Exception] {
+      TextOps.medianMadOfGrid(grid, maxGridCardinality = 9L).collect()
+    }
+    // empty grid -> empty frame (not a one-null-row global aggregate)
+    assert(TextOps.medianMadOfGrid(grid.filter(col("_s") > 100L)).isEmpty)
+  }
+
   test("lowerMedian enforces its grid-cardinality contract at runtime") {
     // the unpartitioned cumulative window is safe only over the bounded
     // distinct-value grid; a near-continuous score must FAIL LOUDLY, not

@@ -153,13 +153,10 @@ object Bench {
         // AFTER every run: a query with internal persists would
         // otherwise serve its second sample straight from the first's
         // cache and the min would publish a cache-read time, not the
-        // query. clearCache only drops catalog-registered Dataset
-        // caches; localCheckpoint blocks (iterative graph/CC rounds)
-        // persist raw RDDs that would otherwise accumulate across 200+
-        // queries until driver GC — drop them explicitly too.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // query. The shared sweep drops catalog caches AND raw
+        // localCheckpoint RDD blocks (iterative graph/CC rounds) that
+        // would otherwise accumulate across 200+ queries.
+        Tables.sweepOperatorCaches(spark)
       }
     }
 

@@ -85,11 +85,7 @@ object BenchCensus {
         drainBus()
         Some(Row(name, (System.nanoTime() - t0) / 1e9, jobs, stages, tasks))
       } catch { case _: Throwable => None }
-      finally {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
+      finally Tables.sweepOperatorCaches(spark)
       r
     }
     finally spark.sparkContext.removeSparkListener(listener)

@@ -107,6 +107,24 @@ object Tables {
   def tf(spark: SparkSession, dir: String, name: String): DataFrame =
     fanout(t(spark, dir, name))
 
+  /** THE library-wide cache sweep — the caller side of the cache
+    * contract (see graft.ext.TextOps's "Cache contract" scaladoc):
+    * multi-consumer operators persist internal frames that their
+    * RETURNED lazy plan still references, so they cannot unpersist
+    * before return; the caller consumes the result, then sweeps. This
+    * drops both catalog-registered Dataset caches AND raw persistent
+    * RDD blocks (iterative graph/CC rounds localCheckpoint RDDs that
+    * `clearCache` can't see). Bench, Verify, and BenchCensus call this
+    * after every query; a long-lived service embedding the operators
+    * calls it at its own batch boundary. Per-call cache growth is
+    * bounded by the operator's own pins, so sweep frequency trades
+    * only reuse, never correctness (a swept plan recomputes). */
+  def sweepOperatorCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Shared by the Bench/Verify mains. Every unpartitioned window this
     * engine executes ranks a BOUNDED frame: a limit-N result (zipf/vocab
     * top ranks), the grid CDF whose cardinality TextOps.lowerMedian

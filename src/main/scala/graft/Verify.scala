@@ -40,9 +40,7 @@ object Verify {
       }
       // drop per-query persists (Dedup internals) AND raw localCheckpoint
       // RDD blocks (iterative graph/CC rounds) that clearCache can't see
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      Tables.sweepOperatorCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,12 +19,15 @@ import org.apache.spark.sql.types.DecimalType
   * bigramNll's count tables, knNll's shared big frame, the cumsum
   * shards above. They cannot be unpersisted before return without
   * un-caching the very frame the caller is about to execute, so the
-  * contract is caller-side: consume the result, then sweep
-  * (`df.unpersist()` on the result or `spark.catalog.clearCache()`),
-  * exactly as graft.Bench and graft.Verify do after every query. A
-  * long-lived service embedding these operators without a sweep
-  * accumulates spillable MEMORY_AND_DISK blocks across calls — bounded
-  * per call, but unbounded across an unswept session. */
+  * contract is caller-side: consume the result, then sweep via
+  * [[graft.Tables.sweepOperatorCaches]] (drops catalog caches AND raw
+  * localCheckpoint RDD blocks), exactly as graft.Bench, graft.Verify,
+  * and graft.BenchCensus do after every query. A long-lived service
+  * embedding these operators without a sweep accumulates spillable
+  * MEMORY_AND_DISK blocks across calls — bounded per call, but
+  * unbounded across an unswept session. CacheContractSpec pins both
+  * sides: zero growth across swept rounds, and identical results when
+  * a swept plan recomputes (pins are performance, never values). */
 object TextOps {
 
   /** Whitespace tokens of trimmed text. */

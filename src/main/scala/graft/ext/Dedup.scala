@@ -809,10 +809,15 @@ object Dedup {
     *
     * Uses Spark's bounded `levenshtein(l, r, threshold)`, which abandons
     * a pair as soon as the running distance exceeds `maxDist` — per-pair
-    * cost O(len·maxDist) instead of O(len²). At 100 TB the blocking key
-    * IS the algorithm: a natural composite key here; sorted-neighborhood
-    * windows or phonetic keys for free text. Skewed blocks (one huge
-    * blocking value) should be length-bucketed before pairing.
+    * cost O(len·maxDist) instead of O(len²) — behind a LENGTH-BAND
+    * prune in the join condition: edit distance is at least the length
+    * difference, so |len(a)−len(b)| > maxDist pairs are discarded by an
+    * integer compare of PRE-COMPUTED per-row lengths before the DP ever
+    * runs (at sf1 this is most of each block's quadratic candidate
+    * set). At 100 TB the blocking key IS the algorithm: a natural
+    * composite key here; sorted-neighborhood windows or phonetic keys
+    * for free text. Skewed blocks (one huge blocking value) should be
+    * length-bucketed before pairing.
     *
     * Output: blockCols ++ (k1, k2, dist) with k1 < k2, dist <= maxDist.
     */
@@ -822,12 +827,15 @@ object Dedup {
       "editDistancePairs requires at least one blocking column — without " +
         "blocks the pairing is an unbounded cross product")
     val a = df.select((blockCols :+ keyCol :+ strCol).map(col): _*)
+      .withColumn("_l1", length(col(strCol)))
     val b = blockCols.foldLeft(
-        a.withColumnRenamed(keyCol, "_k2").withColumnRenamed(strCol, "_s2")) {
+        a.withColumnRenamed(keyCol, "_k2").withColumnRenamed(strCol, "_s2")
+          .withColumnRenamed("_l1", "_l2")) {
       (d, bc) => d.withColumnRenamed(bc, s"_b_$bc")
     }
     val cond = blockCols.map(bc => col(bc) === col(s"_b_$bc"))
-      .reduce(_ && _) && col(keyCol) < col("_k2")
+      .reduce(_ && _) && col(keyCol) < col("_k2") &&
+      abs(col("_l1") - col("_l2")) <= maxDist // necessary for dist <= maxDist
     a.join(b, cond)
       .withColumn("dist", levenshtein(col(strCol), col("_s2"), maxDist))
       .filter(col("dist") >= 0) // bounded levenshtein returns -1 past maxDist

@@ -24,6 +24,28 @@ class BenchCensusSpec extends SparkSpec {
     assert(dropped.isEmpty)
   }
 
+  test("quality_mad_outliers holds its fused 2-job shape") {
+    // the round-10 medianMadOfGrid fusion: one broadcast-build job
+    // (grid + single-partition med/mad chain) + one output job. A
+    // regression back to chained broadcasts reads 4-5 jobs here.
+    // AQE must be OFF for the count: its stage-by-stage materialization
+    // spawns phantom per-exchange jobs (Bench runs with AQE off too).
+    // Also warm the fixture scan first: Tables.t's first read of a path
+    // spawns a one-time schema-inference job that would count against
+    // the pin in an isolated suite run (Bench/BenchCensus warm it too).
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries("quality_mad_outliers")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      Tables.sweepOperatorCaches(spark)
+      val rows = BenchCensus.census(spark, sfDir, Seq("quality_mad_outliers"))
+      assert(rows.head.jobs <= 2,
+        s"mad_outliers fused shape regressed: ${rows.head}")
+    } finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("repeat census calls do not stack listeners") {
     val a = BenchCensus.census(spark, sfDir, Seq("q8_sort_limit"))
     val b = BenchCensus.census(spark, sfDir, Seq("q8_sort_limit"))

@@ -223,6 +223,29 @@ object Multimodal {
     mediaTable(spark, docs).as[MediaRecord]
   }
 
+  /** Exact integer stats per frame raster (unsigned byte view) — the
+    * reduction that makes the decode→sample→resize chain oracle-
+    * hashable end-to-end. Narrow map, no shuffle. */
+  final case class FrameStats(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, b_min: Int, b_max: Int, b_sum: Long)
+
+  def frameStats(spark: SparkSession, frames: Dataset[MediaFrame]): DataFrame = {
+    import spark.implicits._
+    frames.map { fr =>
+      var mn = 255; var mx = 0; var sm = 0L
+      var i = 0
+      while (i < fr.frame.length) {
+        val v = fr.frame(i) & 0xFF
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sm += v
+        i += 1
+      }
+      if (fr.frame.isEmpty) { mn = 0; mx = 0 }
+      FrameStats(fr.media_id, fr.frame_idx, fr.width, fr.height, mn, mx, sm)
+    }.toDF()
+  }
+
   /** Decoded PGM image: real pixels, not a stub. */
   final case class PgmImage(width: Int, height: Int, pixels: Array[Int])
 

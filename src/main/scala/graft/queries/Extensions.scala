@@ -835,6 +835,21 @@ object Extensions {
         .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 
+    // the full frame pipeline on REAL media: mixed-kind table →
+    // frame-sample (every 2nd decoded luma plane / the image raster /
+    // every 2nd 256-sample PCM window) → nearest-neighbor resize to
+    // 4x3 on actual bytes → exact per-frame stats. The oracle replays
+    // the sampling indices, the NN index arithmetic, AND the PCM16
+    // little-endian low-byte view from the generator closed forms.
+    "multimodal_frame_stats" -> ((s, dir) => {
+      val media = Multimodal.mediaDataset(s, tf(s, dir, "documents"))
+      Multimodal.frameStats(s,
+          Multimodal.resizeFrames(s,
+            Multimodal.sampleFrames(s, media, stride = 2),
+            targetW = 4, targetH = 3))
+        .transform(graft.Tables.ordered(col("media_id"), col("frame_idx")))
+    }),
+
     // the GENERIC media decode: a mixed image/audio/video table of real
     // PGM/WAV/Y4M payloads, container sniffed by magic bytes, parsed by
     // the real codec, reduced to exact integer stats + 4-bin histogram
@@ -2350,6 +2365,42 @@ object Extensions {
         |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY i, j""".stripMargin,
+
+    // Mirrors multimodal_frame_stats: per kind, the SAMPLED frame list,
+    // the NN-resize source-index arithmetic (min(h-1, (y*h)//3)*w +
+    // min(w-1, (x*w)//4) on the raster; x*64 byte picks on the 256x1
+    // PCM window, which land on LITTLE-ENDIAN LOW BYTES of samples
+    // 32x; (y*2)*8 + x*2 on the 8x6 luma), and the generator value
+    // formulas — all replayed in SQL over range(12).
+    "multimodal_frame_stats" -> {
+      val imgIdx = "(least(doc_id % 4 + 5, ((j // 4) * (doc_id % 4 + 6)) // 3)" +
+        " * (doc_id % 5 + 8) + least(doc_id % 5 + 7, ((j % 4) * (doc_id % 5 + 8)) // 4))"
+      s"""WITH imgf AS (
+         |  SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+         |    list_transform(range(0, 12), j ->
+         |      (doc_id * 37 + $imgIdx * 101) % 256) AS vals
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |audf AS (
+         |  SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+         |    list_transform(range(0, 12), j ->
+         |      ((((doc_id * 31 + (32 * (j % 4)) * 17) % 2048 - 1024) % 256) + 256) % 256) AS vals
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |vidf AS (
+         |  SELECT doc_id AS media_id, CAST(u.f AS INTEGER) AS frame_idx,
+         |    list_transform(range(0, 12), j ->
+         |      (doc_id * 37 + (u.f // 3) * 911
+         |        + ((j // 4) * 16 + (j % 4) * 2) * 101) % 200 + u.f % 3) AS vals
+         |  FROM documents, unnest(range(0, CAST(4 + doc_id % 4 AS BIGINT), 2)) AS u(f)
+         |  WHERE doc_id % 3 = 2),
+         |uf AS (SELECT * FROM imgf UNION ALL SELECT * FROM audf
+         |       UNION ALL SELECT * FROM vidf)
+         |SELECT media_id, frame_idx,
+         |  CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+         |  CAST(list_min(vals) AS INTEGER) AS b_min,
+         |  CAST(list_max(vals) AS INTEGER) AS b_max,
+         |  CAST(list_sum(vals) AS BIGINT) AS b_sum
+         |FROM uf ORDER BY media_id, frame_idx""".stripMargin
+    },
 
     // Mirrors multimodal_features: all three kinds replayed from their
     // generator closed forms — PGM P5 n_bytes = 9 header chars + digits

@@ -126,4 +126,46 @@ class HttpJsonSourceSpec extends SparkSpec {
     assert(JsonSource.tryReadUrl(spark, HttpJsonSource.defaultSchema,
       "http://127.0.0.1:1/nope").isEmpty)
   }
+
+  test("END-TO-END: the batch saga runs against a LIVE endpoint") {
+    import graft.pipeline.{ExtractLoadJob, RunAudit, RunLock}
+    // the real user wiring: extract = tryReadUrl over the live socket,
+    // then the reference saga (lease -> extract -> land -> release+audit)
+    def mkJob(url: String) = {
+      val base = java.nio.file.Files.createTempDirectory("etl_http")
+      val job = new ExtractLoadJob(spark,
+        () => JsonSource.tryReadUrl(spark, HttpJsonSource.defaultSchema, url),
+        base.resolve("landing").toString,
+        new RunLock(base.resolve("lock")),
+        new RunAudit(base.resolve("audit").toString), "http-worker")
+      (job, new RunAudit(base.resolve("audit").toString), base)
+    }
+    // 200 + data -> landed, partitioned, success audit with the count
+    val body = (0 until 12).map(i =>
+      s"""{"id":"x$i","Name":"Item_$i","LogicalPartition":"Partition_${"ABC"(i % 3)}"}""")
+      .mkString("[", ",", "]")
+    withServer(200, body) { (url, _) =>
+      val (job, audit, base) = mkJob(url)
+      job.runOnce()
+      val landed = spark.read.parquet(base.resolve("landing").toString)
+      assert(landed.count() == 12)
+      assert(landed.select("LogicalPartition").distinct().count() == 3)
+      val runs = audit.read(spark).collect()
+      assert(runs.length == 1 && runs.head.Succeeded)
+      assert(runs.head.AdditionlInfo.startsWith(
+        "Successful extracted and saved 12 documents"))
+    }
+    // 503 -> the reference's EMPTY SUCCESSFUL run, nothing landed
+    withServer(503, "down") { (url, _) =>
+      val (job, audit, base) = mkJob(url)
+      job.runOnce()
+      val runs = audit.read(spark).collect()
+      assert(runs.length == 1 && runs.head.Succeeded)
+      assert(runs.head.AdditionlInfo ==
+        "Successful executed the orchestration. No documents retrieved " +
+          "from the Extract endpoint.")
+      assert(!java.nio.file.Files.exists(base.resolve("landing")),
+        "a failed fetch must land nothing")
+    }
+  }
 }

@@ -39,17 +39,25 @@ final class TransformStream(
     preferredLocations: String,
     maxFilesPerTrigger: Int = 1,
     frozenNow: Option[String] = None,
-    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None) {
+    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+    sourceOverride: Option[DataFrame] = None) {
 
   /** `trigger` mirrors the reference's timer cadence (cron `0 *&#47;2 * * * *`,
     * EtlProcess.cs:23): pass `Trigger.ProcessingTime("2 minutes")` for the
     * production shape; tests/demos omit it and drain with
-    * `processAllAvailable()`. */
+    * `processAllAvailable()`.
+    *
+    * `sourceOverride`: any streaming DataFrame in the SampleItem schema
+    * replaces the landing-zone file stream — the seam where a
+    * store-native change feed plugs in (`spark.readStream
+    * .format("http-feed")...`, see graft.sources.v2.HttpFeedStream);
+    * everything downstream (per-batch GUID, seq, idempotent per-epoch
+    * overwrite) is source-agnostic. */
   def start(): StreamingQuery = {
-    val src = spark.readStream
+    val src = sourceOverride.getOrElse(spark.readStream
       .schema(Model.sampleItemSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(landingDir)
+      .parquet(landingDir))
 
     val writer0 = src.writeStream
       .option("checkpointLocation", checkpointDir)

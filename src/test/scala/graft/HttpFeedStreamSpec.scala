@@ -41,10 +41,14 @@ class HttpFeedStreamSpec extends SparkSpec {
       } else {
         val page = query.split("=").last.toLong
         fetched.add(s"page=$page")
-        if (page < head.get())
-          send(200, s"""[{"id":"p${page}a","Name":"Item_${page}_a"},
-                       | {"id":"p${page}b","Name":"Item_${page}_b"}]""".stripMargin)
-        else send(404, "")
+        if (page < head.get()) {
+          def item(sfx: String) =
+            s"""{"id":"p$page$sfx","Date":"2020-05-01 10:00:00",
+               |"Desc":"Sample item #$page$sfx","Done":"true",
+               |"Name":"Item_${page}_$sfx","Pr":"Additional field info",
+               |"LogicalPartition":"Partition_A"}""".stripMargin
+          send(200, s"[${item("a")},${item("b")}]")
+        } else send(404, "")
       }
     })
     server.start()
@@ -104,6 +108,41 @@ class HttpFeedStreamSpec extends SparkSpec {
       assert(ids.toArray.distinct.length == 12, "duplicate ids after resume")
       assert(fetched.toArray.count(_ == "page=0") == before,
         "restart refetched an already-committed page — the offset lease leaked")
+    }
+  }
+
+  test("FULL PIPELINE: the transform leg rides the http-feed change feed") {
+    // the reference's §3.2 leg with a store-native feed instead of the
+    // landing-zone file stream: http-feed source -> TransformStream's
+    // per-batch GUID + seq + idempotent per-epoch overwrite sink
+    withFeed { (url, head, _, _) =>
+      val base = Files.createTempDirectory("graft_feed_tx")
+      head.set(3)
+      val src = spark.readStream.format("http-feed")
+        .schema(graft.model.Model.sampleItemSchema)
+        .option("url", url).option("maxPagesPerTrigger", "1").load()
+      val q = new graft.streaming.TransformStream(spark,
+        landingDir = "unused", outDir = base.resolve("out").toString,
+        checkpointDir = base.resolve("ckpt").toString,
+        preferredLocations = "East US,West US",
+        frozenNow = Some("2020-05-02 03:04:05"),
+        sourceOverride = Some(src)).start()
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.read.parquet(base.resolve("out").toString)
+      assert(out.count() == 6, "3 pages x 2 items must be transformed")
+      // P4: ONE batch GUID per micro-batch; 1-page batches -> 3 GUIDs
+      assert(out.select("TransformBatch").distinct().count() == 3)
+      // the transform projection landed (UpdateLocation from preferred)
+      assert(out.select("UpdateLocation").distinct().collect()
+        .map(_.getString(0)).forall(_ == "East US"))
+      // P5: the per-batch seq counter restarts at 1 in every micro-batch
+      val seqs = out.groupBy(col("TransformBatch"))
+        .agg(collect_set(col("AdditionalData")).as("ad")).collect()
+      assert(seqs.forall(_.getSeq[String](1).toSet == Set(
+        "Data added from transform function [1]",
+        "Data added from transform function [2]")),
+        s"per-batch seq broken: ${seqs.mkString(",")}")
     }
   }
 }

@@ -1072,7 +1072,11 @@ object TextOps {
     val cdf = dist
       .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
       .select(col("lang"), col("ppl_score"), col("_below"))
-    val nLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("_n"))
+    // per-language totals from the GRID, not a third corpus consumer:
+    // sum of grid counts == row count per lang, the shuffle is
+    // grid-sized instead of corpus-sized, and the dist subtree is
+    // shared with cdf via ReuseExchange
+    val nLang = dist.groupBy(col("lang")).agg(sum(col("_c")).as("_n"))
     scored.join(cdf, Seq("lang", "ppl_score"))
       .join(nLang, Seq("lang"))
       .withColumn("pctl", when(col("_n") === 1, lit(0.0))

@@ -127,6 +127,34 @@ class HttpJsonSourceSpec extends SparkSpec {
       "http://127.0.0.1:1/nope").isEmpty)
   }
 
+  test("user schema with typed columns: long/double/boolean coercion, bad types null") {
+    val typed =
+      """[
+        |  {"id":"a","n":42,"score":1.5,"ok":true},
+        |  {"id":"b","n":"not-a-number","score":"nope","ok":"yes"},
+        |  {"id":"c"}
+        |]""".stripMargin
+    withServer(200, typed) { (url, _) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ok",
+          org.apache.spark.sql.types.BooleanType)))
+      val rows = spark.read.format("http-json").schema(schema)
+        .option("url", url).load().orderBy(col("id")).collect()
+      assert(rows.length == 3)
+      assert(rows(0).getLong(1) == 42L && rows(0).getDouble(2) == 1.5 &&
+        rows(0).getBoolean(3))
+      // wrong-typed JSON values -> null, not a crash (PERMISSIVE)
+      assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+      assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    }
+  }
+
   test("END-TO-END: the batch saga runs against a LIVE endpoint") {
     import graft.pipeline.{ExtractLoadJob, RunAudit, RunLock}
     // the real user wiring: extract = tryReadUrl over the live socket,

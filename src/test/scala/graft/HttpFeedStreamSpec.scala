@@ -111,6 +111,54 @@ class HttpFeedStreamSpec extends SparkSpec {
     }
   }
 
+  test("churn: abrupt kills during a LIVE feed stay exactly-once downstream") {
+    // the soak discipline (SoakHarness) applied to the new connector: a
+    // publisher grows the feed while the consumer is repeatedly KILLED
+    // mid-flight (abrupt stop, no drain). At-least-once page refetch +
+    // the idempotent per-epoch overwrite sink must converge to
+    // exactly-once rows — the offset log carries the cursor across
+    // every kill.
+    withFeed { (url, head, _, _) =>
+      val base = Files.createTempDirectory("graft_feed_churn")
+      val out = base.resolve("out").toString
+      def start() = spark.readStream.format("http-feed")
+        .option("url", url).option("maxPagesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epochId: Long) =>
+          // idempotent replay: a re-delivered epoch overwrites its own dir
+          df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$out/batch=$epochId")
+        }.start()
+
+      val totalPages = 24
+      @volatile var publishing = true
+      val publisher = new Thread(() => {
+        while (publishing && head.get() < totalPages) {
+          head.incrementAndGet(); Thread.sleep(120)
+        }
+      })
+      publisher.start()
+      var q = start()
+      var restarts = 0
+      while (head.get() < totalPages) {
+        Thread.sleep(1100)
+        q.stop() // abrupt: no drain, batches die mid-flight
+        q.exception.foreach(throw _) // any failure is a real break
+        q = start()
+        restarts += 1
+      }
+      publishing = false; publisher.join()
+      q.processAllAvailable() // final graceful drain
+      q.stop()
+      assert(restarts >= 3, s"churn loop barely churned: $restarts restarts")
+      val got = spark.read.parquet(out)
+      assert(got.count() == totalPages * 2L,
+        s"lost or duplicated rows across $restarts kills")
+      assert(got.select("id").distinct().count() == totalPages * 2L,
+        "duplicate ids after churn — replay was not idempotent")
+    }
+  }
+
   test("FULL PIPELINE: the transform leg rides the http-feed change feed") {
     // the reference's §3.2 leg with a store-native feed instead of the
     // landing-zone file stream: http-feed source -> TransformStream's

@@ -41,8 +41,13 @@ final class ExtractLoadJob(
   private def dropAlreadyLanded(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val contentCols = df.columns.filterNot(_ == "id").sorted
-    def fp(d: DataFrame) = d.withColumn("_fp", md5(concat_ws("\u0001",
-      contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    // sha2, not md5: a fingerprint COLLISION here silently drops a
+    // genuinely-new document, and md5 collisions are constructible from
+    // attacker-supplied content — the one property this anti-join
+    // depends on. Both sides fingerprint at run time (nothing stored),
+    // so there is no hash migration.
+    def fp(d: DataFrame) = d.withColumn("_fp", sha2(concat_ws("\u0001",
+      contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256))
     val existing =
       try Some(spark.read.parquet(landingDir))
       catch { case _: org.apache.spark.sql.AnalysisException => None }

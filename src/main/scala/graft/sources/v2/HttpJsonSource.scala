@@ -79,21 +79,28 @@ object HttpJsonSource {
     StructField("LogicalPartition", StringType)))
 
   /** GET `url` and parse the body as a JSON array; `Left(status)` on a
-    * non-2xx, exceptions propagate to the caller's policy. Runs on the
-    * EXECUTOR (called from the partition reader). */
+    * non-2xx, exceptions propagate to the caller's policy. Advertises
+    * and transparently decompresses gzip (real feed endpoints compress
+    * large JSON pages; wire bytes drop ~10x on typical payloads). Runs
+    * on the EXECUTOR (called from the partition reader). */
   private[v2] def fetch(url: String, accept: String,
       connectTimeoutMs: Int, readTimeoutMs: Int): Either[Int, JsonNode] = {
     val conn = new URI(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("GET")
     conn.setRequestProperty("Accept", accept)
+    conn.setRequestProperty("Accept-Encoding", "gzip")
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     try {
       val status = conn.getResponseCode
       if (status < 200 || status >= 300) Left(status)
       else {
-        val in: InputStream = conn.getInputStream
+        val raw: InputStream = conn.getInputStream
+        val in: InputStream =
+          if ("gzip".equalsIgnoreCase(conn.getContentEncoding))
+            new java.util.zip.GZIPInputStream(raw)
+          else raw
         try Right(new ObjectMapper().readTree(in))
         finally in.close()
       }

@@ -127,6 +127,31 @@ class HttpJsonSourceSpec extends SparkSpec {
       "http://127.0.0.1:1/nope").isEmpty)
   }
 
+  test("gzip-encoded responses decompress transparently") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/gz", (ex: HttpExchange) => {
+      // honor the advertised Accept-Encoding with an actual gzip body
+      assert(ex.getRequestHeaders.getFirst("Accept-Encoding") == "gzip")
+      val raw = """[{"id":"z1","Name":"Zip_1"},{"id":"z2","Name":"Zip_2"}]"""
+        .getBytes(StandardCharsets.UTF_8)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      val body = bos.toByteArray
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close(); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/gz"
+      val rows = spark.read.format("http-json").option("url", url).load()
+        .orderBy(col("id")).collect()
+      assert(rows.length == 2 && rows(0).getString(0) == "z1" &&
+        rows(1).getString(4) == "Zip_2")
+    } finally server.stop(0)
+  }
+
   test("user schema with typed columns: long/double/boolean coercion, bad types null") {
     val typed =
       """[

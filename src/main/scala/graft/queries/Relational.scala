@@ -476,6 +476,18 @@ object Relational {
         .select(col("_n").as("n_users"), col("_med").as("median_s"))
     }),
 
+    // ---- time-series similarity search (EDBT'19 theme, PAPERS.md):
+    // users whose hour-of-day activity SHAPE matches. Clipped-PAA
+    // 6-bit word = the LSH-style block (equi-join key), exact L1 runs
+    // only within blocks, and the threshold is relative to the pair's
+    // combined mass (exact integers, scale-free). Posting-list pair
+    // emission — never an all-pairs series join.
+    "events_series_neighbors" -> ((s, dir) => {
+      graft.ext.TimeSeries.saxNeighbors(
+          graft.Tables.events(s, dir), relTenths = 2)
+        .transform(graft.Tables.ordered(col("k1"), col("k2")))
+    }),
+
     // ---- semi-structured JSON extraction from a string column
     "q19_events_json" -> ((s, dir) => {
       graft.Tables.events(s, dir)
@@ -2125,6 +2137,37 @@ object Relational {
         |CAST(last_day(o_orderdate) AS DATE) AS month_end,
         |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
         |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // Mirrors events_series_neighbors: 24-slot profiles with missing
+    // hours zero-filled, the 6-segment clipped word, same-word pairs,
+    // exact L1, and the identical integer relative threshold
+    "events_series_neighbors" ->
+      """WITH hrs AS (SELECT unnest(range(0, 24)) AS h),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT user_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |v AS (SELECT u.user_id, hrs.h, COALESCE(c.n, 0) AS n
+        |      FROM u CROSS JOIN hrs
+        |      LEFT JOIN c ON c.user_id = u.user_id AND c.h = hrs.h),
+        |sg AS (SELECT user_id, h // 4 AS s, SUM(n) AS sn FROM v GROUP BY 1, 2),
+        |tt AS (SELECT user_id, CAST(SUM(sn) AS BIGINT) AS t FROM sg GROUP BY 1),
+        |w AS (SELECT sg.user_id,
+        |        CAST(SUM(CASE WHEN sn * 6 > t THEN 1 << CAST(s AS INTEGER)
+        |                      ELSE 0 END) AS INTEGER) AS word
+        |      FROM sg JOIN tt ON sg.user_id = tt.user_id GROUP BY sg.user_id),
+        |ser AS (SELECT user_id, list(n ORDER BY h) AS series FROM v GROUP BY user_id)
+        |SELECT a.word, a.user_id AS k1, b.user_id AS k2,
+        |  CAST(list_sum(list_transform(list_zip(sa.series, sb.series),
+        |    p -> abs(p[1] - p[2]))) AS BIGINT) AS dist,
+        |  CAST(ta.t + tb.t AS BIGINT) AS n_events
+        |FROM w a JOIN w b ON a.word = b.word AND a.user_id < b.user_id
+        |JOIN ser sa ON sa.user_id = a.user_id
+        |JOIN ser sb ON sb.user_id = b.user_id
+        |JOIN tt ta ON ta.user_id = a.user_id
+        |JOIN tt tb ON tb.user_id = b.user_id
+        |WHERE list_sum(list_transform(list_zip(sa.series, sb.series),
+        |        p -> abs(p[1] - p[2]))) * 10 <= (ta.t + tb.t) * 2
+        |ORDER BY k1, k2""".stripMargin,
 
     "q18_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,

@@ -598,7 +598,8 @@ object Dedup {
     md5(concat_ws("-",
       (0 until 4).map(r => element_at(sig, bnd * 4 + r + 1)): _*))
 
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // No filter directly on `sig`: predicate pushdown would substitute
     // the whole signature expression into a scan-stage filter and
     // recompute it per row (see ngramJaccardPairs). Shingle-less docs get
@@ -610,19 +611,33 @@ object Dedup {
         when(element_at(col("sig"), 1).isNotNull,
           bandHash(col("sig"), bnd)).as("bh"))
     }
-    sigs.select(col("doc_id"), col("sig"),
+    val rows = sigs.select(col("doc_id"), col("sig"),
         explode_outer(array(bandCols: _*)).as("b"))
       .filter(col("b.bh").isNotNull)
-      .groupBy(col("b.band"), col("b.bh"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("lst"))
-      .filter(size(col("lst")) >= 2)
+      .select(col("b.band").as("band"), col("b.bh").as("bh"),
+        struct(col("doc_id"), col("sig")).as("m"))
+    // `maxBucket` bounds every posting buffer via Posting.bounded's
+    // two-phase split (never changes the pair set); ownership at
+    // emission keeps split sub-postings from inflating the
+    // pre-distinct candidate volume
+    val ms = col("ms")
+    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
+      val a = element_at(ms, i)
+      transform(
+        filter(slice(ms, i + 1, size(ms) - i), e => Posting.owns(a, e)),
+        e => struct(a.getField("doc_id").as("i"),
+          e.getField("doc_id").as("j"),
+          a.getField("sig").as("sigi"), e.getField("sig").as("sigj")))
+    }))
+    Posting.bounded(rows, Seq("band", "bh"), "m", maxBucket)
       // pin the pair-emission width: the posting shuffle is tiny in BYTES,
       // so AQE's byte-based coalescing would run the compute-bound pair
       // explode on one task (measured 7s single-task on sf0.1)
       .transform(graft.Tables.fanout)
-      .select(explode(orderedPairs(col("lst"))).as("p"))
-      .select(col("p.a.doc_id").as("i"), col("p.b.doc_id").as("j"),
-        col("p.a.sig").as("sigi"), col("p.b.sig").as("sigj"))
+      .select(explode_outer(kept).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.sigi").as("sigi"), col("p.sigj").as("sigj"))
       .distinct() // a pair can collide in several bands
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sigi"), col("sigj"), (x, y) => x === y),

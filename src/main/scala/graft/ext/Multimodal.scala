@@ -829,29 +829,42 @@ object Multimodal {
     *
     * `maxBucket` is the 100 TB fat-bucket valve (a flat-color meme
     * template shared by millions of images = one degenerate posting
-    * list): lists longer than the cap are dropped before pairing, same
-    * df-cap policy as `Dedup.ngramJaccardPairs`. Default uncapped — the
-    * oracle-checked exact semantics. Returns (i, j, dist), i < j. */
+    * list): fat postings SPLIT into bounded sub-postings BEFORE the
+    * collect via [[Posting.bounded]] — no aggregation buffer ever holds
+    * more than ~maxBucket members, and [[Posting.owns]] keeps the pair
+    * set IDENTICAL to the uncapped run (split, not drop). The Hamming
+    * filter runs AT EMISSION, so rejected candidates cost one
+    * xor+popcount and never allocate a row.
+    * Returns (i, j, dist), i < j. */
   def phashPairs(spark: SparkSession, media: DataFrame, maxDist: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist <= 3, s"pigeonhole exactness needs maxDist <= 3, got $maxDist")
     val hashes = pgmPhash(spark, media)
-    val posting = hashes
+    val rows = hashes
       .select(col("media_id"), col("phash"),
         explode(array((0 until 4).map(lit): _*)).as("c"))
       .withColumn("chunk",
         expr("shiftright(phash, c * 14) & 16383"))
-      .groupBy(col("c"), col("chunk"))
-      .agg(sort_array(collect_list(
-        struct(col("media_id"), col("phash")))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
-    val pairs = flatten(transform(sequence(lit(1), size(col("ms")) - 1), i =>
-      transform(slice(col("ms"), i + 1, size(col("ms")) - i), e =>
-        struct(element_at(col("ms"), i).as("a"), e.as("b")))))
-    posting.select(explode(pairs).as("p"))
-      .select(col("p.a.media_id").as("i"), col("p.b.media_id").as("j"),
-        expr("cast(bit_count(p.a.phash ^ p.b.phash) as int)").as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct()
+      .select(col("c"), col("chunk"),
+        struct(col("media_id"), col("phash")).as("m"))
+    val ms = col("ms")
+    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
+      val a = element_at(ms, i)
+      val ha = a.getField("phash")
+      transform(
+        filter(slice(ms, i + 1, size(ms) - i), e =>
+          Posting.owns(a, e) &&
+            bit_count(ha.bitwiseXOR(e.getField("phash"))) <= maxDist),
+        e => struct(a.getField("media_id").as("i"),
+          e.getField("media_id").as("j"),
+          bit_count(ha.bitwiseXOR(e.getField("phash"))).cast("int")
+            .as("dist")))
+    }))
+    Posting.bounded(rows, Seq("c", "chunk"), "m", maxBucket)
+      .transform(graft.Tables.fanout)
+      .select(explode_outer(kept).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.dist").as("dist"))
+      .distinct() // a pair can collide in several chunk positions
   }
 }

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded posting-list builder — the shared fat-bucket valve for every
+  * blocked pair detector (SAX series neighbors, phash image near-dups,
+  * MinHash-LSH bands). The problem it solves: the natural
+  * `groupBy(block).agg(collect_list(member))` materializes an ENTIRE
+  * block in one aggregation buffer before any size filter can see it,
+  * so a degenerate hot block (millions of flat profiles on one shape
+  * word, millions of flat-color thumbnails on one dHash) OOMs an
+  * executor long before the pair filter runs.
+  *
+  * The fix is two-phase, SPLIT-don't-drop:
+  *
+  *   1. COUNT first: one map-combinable `groupBy(block).count()` pass —
+  *      the df-cap discipline of [[Dedup.ngramJaccardPairs]]. The fat
+  *      list (count > maxBucket) has at most |rows|/maxBucket entries,
+  *      so it broadcasts.
+  *   2. SPLIT fat blocks BEFORE collecting: each fat-block member hashes
+  *      into one of G = ceil(2·count/maxBucket) groups; every unordered
+  *      group pair (g1 ≤ g2) becomes its own SUB-posting holding only
+  *      members of those two groups. Every collect_list buffer is then
+  *      ≤ ~maxBucket members (2·count/G by construction) REGARDLESS of
+  *      block size — G scales with the block, unlike a fixed split
+  *      factor, so the bound survives a 100× corpus. Small blocks keep
+  *      one copy and one posting (`_g1 = _g2 = -1`).
+  *
+  * Pair ownership keeps the result set IDENTICAL to the uncapped run: a
+  * member lands in the G sub-postings that include its group, so a pair
+  * co-occurs in several, but it is OWNED by exactly one — (g,g) owns
+  * same-group pairs, (g1,g2) owns exactly the cross-group ones. Callers
+  * apply [[Posting.owns]] at emission, next to their distance filter.
+  * The replication cost (×G on fat-block members only) is the price of
+  * spreading an inherently quadratic pair scan over G·(G+1)/2 tasks
+  * instead of one; output volume is the query's semantics, not the
+  * valve's.
+  *
+  * Same sub-posting discipline as [[Dedup.simhashPairs]]'s in-task
+  * split, lifted BEFORE the aggregation so the memory bound holds at
+  * the buffer, not just at emission.
+  */
+object Posting {
+
+  /** Collect `rows` (one row per block-member) into bounded posting
+    * lists. Output: `blockCols ++ (_G, _g1, _g2, ms)` with `ms` a
+    * sorted member array of size ≥ 2 and ≤ ~maxBucket. `memberCol`
+    * must be a struct column; member structs must be unique within a
+    * block (they carry the member key). `maxBucket = Int.MaxValue`
+    * skips the count pass entirely — the plan is then the classic
+    * single-aggregation posting build. */
+  def bounded(rows: DataFrame, blockCols: Seq[String], memberCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 4, s"maxBucket must be >= 4, got $maxBucket")
+    val bc = blockCols.map(col)
+    val m = col(memberCol)
+    if (maxBucket == Int.MaxValue) {
+      rows.groupBy(bc: _*)
+        .agg(sort_array(collect_list(m)).as("ms"))
+        .filter(size(col("ms")) >= 2)
+        .select(bc :+ lit(1).as("_G") :+ lit(-1).as("_g1") :+
+          lit(-1).as("_g2") :+ col("ms"): _*)
+    } else {
+      val fat = rows.groupBy(bc: _*)
+        .agg(count(lit(1)).as("_cnt"))
+        .filter(col("_cnt") > maxBucket)
+      // G per block, not a fixed factor: sub-postings stay ≤ maxBucket
+      // members however hot the block is
+      val g = pmod(hash(m), col("_G"))
+      rows.join(broadcast(fat), blockCols, "left")
+        .withColumn("_G",
+          when(col("_cnt").isNull, lit(1L))
+            .otherwise(expr(s"(_cnt * 2 + ${maxBucket - 1}) DIV $maxBucket"))
+          .cast("int"))
+        .withColumn("_x", explode(when(col("_cnt").isNull, array(lit(-1)))
+          .otherwise(sequence(lit(0), col("_G") - 1))))
+        .withColumn("_g1", when(col("_x") === -1, lit(-1))
+          .otherwise(least(g, col("_x"))))
+        .withColumn("_g2", when(col("_x") === -1, lit(-1))
+          .otherwise(greatest(g, col("_x"))))
+        .groupBy(bc ++ Seq(col("_g1"), col("_g2")): _*)
+        .agg(first(col("_G")).as("_G"), sort_array(collect_list(m)).as("ms"))
+        .filter(size(col("ms")) >= 2)
+        .select(bc :+ col("_G") :+ col("_g1") :+ col("_g2") :+ col("ms"): _*)
+    }
+  }
+
+  /** Ownership predicate for a candidate pair (a, b) of one posting
+    * row: true in exactly one sub-posting per block, so emission needs
+    * no distinct. Evaluate it WHERE `_G`/`_g1`/`_g2` are in scope
+    * (i.e. on the posting row, next to the distance filter). */
+  def owns(a: Column, b: Column): Column =
+    col("_g1") === -1 || col("_g1") === col("_g2") ||
+      pmod(hash(a), col("_G")) =!= pmod(hash(b), col("_G"))
+}

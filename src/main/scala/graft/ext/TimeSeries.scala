@@ -24,11 +24,30 @@ import org.apache.spark.sql.functions._
   * straddling a segment-mean threshold can be missed, and the
   * recall/cost dial is the word width.
   *
-  * 100 TB shape: the profile build is ONE pass (24 conditional sums,
-  * map-side combinable); blocking shuffles only (word, key, series)
-  * rows; pair emission happens inside the task per posting list with
-  * `maxBucket` as the fat-block valve (a word shared by millions of
-  * flat-profile keys must cap, not cross-product). No self-join of the
+  * 100 TB shape — the word alone is NOT enough. A 6-bit word has 64
+  * values, so bucket population grows linearly with key count by
+  * construction (~n/64 even without skew); two extra mechanisms keep
+  * every buffer and every task bounded, both RESULT-INVARIANT:
+  *   - MASS BAND as a second block key: L1 distance is at least the
+  *     difference of totals, so a pair passing the relative threshold
+  *     has total ratio ≤ (10+relTenths)/(10−relTenths); banding totals
+  *     by floor(floor(log2 total)/w) with 2^w ≥ that ratio (exact
+  *     integer arithmetic — `bin()` bit length, no floats) guarantees
+  *     any qualifying pair sits in the same or adjacent bands. Each key
+  *     posts to its own band as RESIDENT and the next as VISITOR; a
+  *     pair is emitted only where ≥ 1 member is resident — exactly one
+  *     block owns each pair, and a single flat-profile word now spreads
+  *     across the corpus's whole mass spectrum.
+  *   - SPLIT-don't-drop fat blocks via [[Posting.bounded]]: per-block
+  *     counts first (map-combinable), blocks over `maxBucket` split
+  *     into group-pair sub-postings BEFORE any collect_list, so no
+  *     aggregation buffer ever exceeds ~maxBucket members regardless
+  *     of corpus size or skew; [[Posting.owns]] keeps each pair
+  *     emitted exactly once.
+  * The profile build stays ONE pass (24 conditional sums, map-side
+  * combinable); blocking shuffles only (word, band, key, series) rows;
+  * pairs are FILTERED AT EMISSION inside the task (rejected candidates
+  * cost 24 abs-diffs and never allocate a row). No self-join of the
   * event table, no driver state.
   */
 object TimeSeries {
@@ -55,24 +74,65 @@ object TimeSeries {
     * `dist * 10 <= (total_a + total_b) * relTenths` is exact integer
     * arithmetic AND scale-free, so the same setting means the same
     * shape tolerance whether a key has 60 events or 60 million.
-    * Returns (word, k1, k2, dist, n_events) with k1 < k2. */
+    *
+    * `maxBucket` bounds every posting buffer and every task's pair
+    * scan; it never changes the result (split, not drop — see the
+    * object scaladoc). Returns (word, k1, k2, dist, n_events), k1 < k2.
+    */
   def saxNeighbors(events: DataFrame, relTenths: Int = 2,
-      keyCol: String = "user_id", maxBucket: Int = Int.MaxValue): DataFrame = {
+      keyCol: String = "user_id", maxBucket: Int = 4096): DataFrame = {
     require(relTenths >= 0 && relTenths <= 20,
       s"relTenths is tenths of the combined mass; got $relTenths")
-    val posting = hourProfiles(events, keyCol)
-      .groupBy(col("word"))
-      .agg(sort_array(collect_list(
-        struct(col("key"), col("total"), col("series")))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
-    val pairs = flatten(transform(sequence(lit(1), size(col("ms")) - 1), i =>
-      transform(slice(col("ms"), i + 1, size(col("ms")) - i), e =>
-        struct(element_at(col("ms"), i).as("a"), e.as("b")))))
-    posting.select(col("word"), explode(pairs).as("p"))
-      .select(col("word"), col("p.a.key").as("k1"), col("p.b.key").as("k2"),
-        expr("aggregate(zip_with(p.a.series, p.b.series, (x, y) -> abs(x - y))," +
-          " 0L, (a, v) -> a + v)").as("dist"),
-        (col("p.a.total") + col("p.b.total")).as("n_events"))
-      .filter(col("dist") * 10 <= col("n_events") * relTenths)
+    // smallest w with 2^w >= (10+r)/(10-r), in exact integers; banding
+    // is only sound while the feasible total ratio is finite (r < 10)
+    val w: Int = if (relTenths >= 10) 0 else {
+      var k = 1
+      while ((1L << k) * (10 - relTenths) < 10 + relTenths) k += 1
+      k
+    }
+    val prof = hourProfiles(events, keyCol)
+    val posts =
+      if (w == 0)
+        prof.select(col("word"), lit(0L).as("band"),
+          struct(col("key"), lit(true).as("res"), col("total"),
+            col("series")).as("m"))
+      else {
+        // floor(log2 total) = bit length - 1, exactly, via bin()
+        val band = expr(s"(length(bin(total)) - 1) DIV $w")
+        prof.select(col("word"), col("key"), col("total"), col("series"),
+            explode(array(
+              struct(band.as("band"), lit(true).as("res")),
+              struct((band + 1).as("band"), lit(false).as("res")))).as("b"))
+          .select(col("word"), col("b.band").as("band"),
+            struct(col("key"), col("b.res").as("res"), col("total"),
+              col("series")).as("m"))
+      }
+    val posting = Posting.bounded(posts, Seq("word", "band"), "m", maxBucket)
+    val ms = col("ms")
+    def l1(a: Column, b: Column): Column =
+      aggregate(zip_with(a.getField("series"), b.getField("series"),
+        (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v)
+    // filter AT EMISSION: a rejected candidate costs 24 abs-diffs and
+    // never allocates a pair struct (the simhashPairs discipline)
+    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
+      val a = element_at(ms, i)
+      transform(
+        filter(slice(ms, i + 1, size(ms) - i), e =>
+          (a.getField("res") || e.getField("res")) && Posting.owns(a, e) &&
+            l1(a, e) * 10 <= (a.getField("total") + e.getField("total")) *
+              relTenths),
+        e => struct(a.getField("key").as("k1"), e.getField("key").as("k2"),
+          l1(a, e).as("dist"),
+          (a.getField("total") + e.getField("total")).as("n_events")))
+    }))
+    posting
+      // pin the pair-emission width: the posting shuffle is tiny in
+      // BYTES, so AQE's byte-based coalescing would run the
+      // compute-bound pair scan on one task
+      .transform(graft.Tables.fanout)
+      .select(col("word"), explode_outer(kept).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("word"), col("p.k1").as("k1"), col("p.k2").as("k2"),
+        col("p.dist").as("dist"), col("p.n_events").as("n_events"))
   }
 }

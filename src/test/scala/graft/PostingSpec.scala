@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Posting}
+
+/** The bounded posting-list valve shared by every blocked pair
+  * detector: (a) buffers stay ≤ ~maxBucket members even under a
+  * pathological 10⁵-member hot block, (b) the owned pair set is
+  * IDENTICAL to the uncapped run (split, not drop), and (c) each
+  * detector (minhash bands, phash chunks — sax is covered in
+  * TimeSeriesSpec) survives a planted degenerate bucket with exact
+  * results. */
+class PostingSpec extends SparkSpec {
+
+  private def ownedPairs(posting: org.apache.spark.sql.DataFrame) = {
+    val ms = col("ms")
+    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
+      val a = element_at(ms, i)
+      transform(filter(slice(ms, i + 1, size(ms) - i), e => Posting.owns(a, e)),
+        e => struct(a.getField("id").as("i"), e.getField("id").as("j")))
+    }))
+    posting.select(col("block"), explode(kept).as("p"))
+      .select(col("block"), col("p.i").as("i"), col("p.j").as("j"))
+  }
+
+  test("split postings own every pair exactly once (vs naive, mixed block sizes)") {
+    val ss = spark
+    import ss.implicits._
+    // blocks of size 1, 3, 30, 300 with maxBucket=50: only the 300
+    // splits (G=12); expected pairs from plain combinatorics
+    val members = Seq(0 -> 1, 1 -> 3, 2 -> 30, 3 -> 300).flatMap {
+      case (b, n) => (0 until n).map(k => (b, b * 1000L + k))
+    }
+    val rows = members.toDF("block", "id")
+      .select(col("block"), struct(col("id")).as("m"))
+    val got = ownedPairs(Posting.bounded(rows, Seq("block"), "m", 50))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (for {
+      (b, n) <- Seq(0 -> 1, 1 -> 3, 2 -> 30, 3 -> 300)
+      i <- 0 until n; j <- (i + 1) until n
+    } yield (b, b * 1000L + i, b * 1000L + j)).toSet
+    assert(got == expect, s"owned pairs != naive: ${got.size} vs ${expect.size}")
+  }
+
+  test("a 1e5-member hot block never builds a buffer over ~maxBucket") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (0L until 100000L).toDF("id")
+      .select(lit(0).as("block"), struct(col("id")).as("m"))
+    val posting = Posting.bounded(rows, Seq("block"), "m", 2000)
+    val stats = posting.agg(max(size(col("ms"))).as("mx"),
+      sum(size(col("ms"))).as("tot"), count(lit(1)).as("n")).head()
+    // G = ceil(2e5/2000) = 100 -> cross sub-postings average 2000;
+    // allow hash-uniformity fluctuation but nothing near the raw 1e5
+    assert(stats.getInt(0) <= 2400,
+      s"sub-posting too fat: ${stats.getInt(0)}")
+    // every member replicated exactly G times across sub-postings
+    assert(stats.getLong(1) == 100000L * 100, s"replication off: ${stats.getLong(1)}")
+    assert(stats.getLong(2) == 100L * 101 / 2, s"sub-posting count off: ${stats.getLong(2)}")
+  }
+
+  test("uncapped path keeps the classic single-aggregation posting shape") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq((0, 1L), (0, 2L), (0, 3L), (1, 9L))
+      .toDF("block", "id")
+      .select(col("block"), struct(col("id")).as("m"))
+    val posting = Posting.bounded(rows, Seq("block"), "m", Int.MaxValue)
+    val got = posting.collect()
+    assert(got.length == 1 && got.head.getAs[Int]("_g1") == -1)
+    assert(ownedPairs(posting).count() == 3)
+  }
+
+  test("minhashLshPairs: 500 identical docs, cap 50 — same pairs as uncapped") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (1L to 500L)
+      .map(i => (i, "the same exact document body repeated verbatim"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(docs, maxBucket = 50)
+    assert(capped.count() == 500L * 499 / 2)
+    assert(capped.filter(col("est_jaccard") < 1.0).count() == 0)
+    assert(capped.select("i", "j").distinct().count() == 500L * 499 / 2)
+  }
+
+  test("phashPairs: 300 identical images, cap 50 — same pairs as uncapped") {
+    val ss = spark
+    import ss.implicits._
+    val img = Multimodal.PgmImage(8, 8,
+      Array.tabulate(64)(i => (i * 37) % 256))
+    val bytes = Multimodal.Pgm.encodeP5(img)
+    val media = (1L to 300L).map(i => (i, bytes)).toDF("media_id", "payload")
+    val capped = Multimodal.phashPairs(spark, media, maxBucket = 50)
+    assert(capped.count() == 300L * 299 / 2)
+    assert(capped.filter(col("dist") =!= 0).count() == 0)
+    assert(capped.select("i", "j").distinct().count() == 300L * 299 / 2)
+  }
+}

@@ -50,10 +50,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == expect, s"blocked pairs diverged from brute force:\n$got\nvs\n$expect")
   }
 
-  test("maxBucket valve drops fat blocks instead of cross-producting them") {
-    // 8 identical users = one 8-wide block; cap at 4 -> zero pairs
+  test("maxBucket splits fat blocks without changing the pair set") {
+    // 8 identical users = one 8-wide block; cap at 4 -> same 28 pairs,
+    // emitted from bounded sub-postings (split-don't-drop)
     val ev = eventsOf((1L to 8L).map(u => (u, 12, 3)): _*)
-    assert(TimeSeries.saxNeighbors(ev, relTenths = 2).count() == 28) // C(8,2)
-    assert(TimeSeries.saxNeighbors(ev, relTenths = 2, maxBucket = 4).count() == 0)
+    val uncapped = TimeSeries.saxNeighbors(ev, relTenths = 2,
+      maxBucket = Int.MaxValue).collect().map(_.toSeq).toSet
+    assert(uncapped.size == 28) // C(8,2)
+    val capped = TimeSeries.saxNeighbors(ev, relTenths = 2, maxBucket = 4)
+      .collect().map(_.toSeq).toSet
+    assert(capped == uncapped, "split changed the pair set")
+  }
+
+  test("mass banding never loses cross-magnitude pairs (brute force)") {
+    // same shape scaled by u: totals span several log2 bands, and the
+    // (4,6) pair sits EXACTLY on the feasible ratio boundary 1.5
+    val base = Seq(9 -> 3, 10 -> 2, 20 -> 1)
+    val rows = for { u <- 1L to 12L; (h, n) <- base } yield (u, h, n * u.toInt)
+    val ev = eventsOf(rows: _*)
+    val prof = TimeSeries.hourProfiles(ev).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2), r.getInt(3)))
+    val expect = (for {
+      a <- prof; b <- prof if a._1 < b._1 && a._4 == b._4
+      d = a._2.zip(b._2).map { case (x, y) => math.abs(x - y) }.sum
+      if d * 10 <= (a._3 + b._3) * 2
+    } yield (a._1, b._1, d)).toSet
+    assert(expect.exists { case (a, b, _) => Set(a, b) == Set(4L, 6L) },
+      "fixture lost its boundary pair — adjust the corpus")
+    val got = TimeSeries.saxNeighbors(ev, relTenths = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"banded pairs diverged from brute force:\n$got\nvs\n$expect")
+  }
+
+  test("skew-adversarial: 600 identical profiles, tiny cap, exact pair count") {
+    // one degenerate (word, band) block of 600 residents; maxBucket=64
+    // forces the two-phase split — the buffer bound is asserted on
+    // Posting.bounded directly in PostingSpec; here the RESULT must be
+    // the full C(600,2) pair set, each exactly once
+    val ev = eventsOf((1L to 600L).map(u => (u, 12, 3)): _*)
+    val got = TimeSeries.saxNeighbors(ev, relTenths = 2, maxBucket = 64)
+    assert(got.count() == 600L * 599 / 2)
+    // exactly once: no pair may appear twice
+    assert(got.select("k1", "k2").distinct().count() == 600L * 599 / 2)
   }
 }

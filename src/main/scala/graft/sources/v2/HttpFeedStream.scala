@@ -1,9 +1,15 @@
 package graft.sources.v2
 
+import java.io.IOException
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -14,38 +20,67 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with a lease container tracking the consumer's position
   * (EtlProcess.cs:183-187, host.json lease config). This source maps
   * that to Structured Streaming's own offset machinery — a DSv2
-  * `MicroBatchStream` polling an HTTP feed with a monotonically
-  * advancing PAGE CURSOR:
+  * `MicroBatchStream` polling an HTTP feed:
   *
   * `spark.readStream.format("http-feed").option("url", ...).load()`
   *
   *   - **offsets = the lease.** The cursor lives in the checkpoint's
   *     offset log (exactly the role of the Cosmos lease document);
-  *     restart resumes from the last committed page, no external lease
-  *     container needed.
+  *     restart resumes from the last committed position, no external
+  *     lease container needed.
   *   - **backpressure**: `maxPagesPerTrigger` bounds each micro-batch
   *     via `SupportsAdmissionControl` — the analogue of the change
   *     feed's `maxItemsPerInvocation` (and of the file stand-in's
-  *     `maxFilesPerTrigger`).
+  *     `maxFilesPerTrigger`). The PASSED `ReadLimit` is honored, so
+  *     `Trigger.AvailableNow` (via `SupportsTriggerAvailableNow`) and
+  *     `Trigger.Once` drain exactly what their contracts promise: the
+  *     AvailableNow wrapper pins the head observed at prepare time and
+  *     runs capped batches until the cursor reaches it.
   *   - **at-least-once page fetch, exactly-once rows downstream**: a
   *     re-executed partition re-GETs its page; the change-feed contract
   *     (a cursor's page is immutable once published — Cosmos change
   *     feed, Kafka segments, and WAL shippers all guarantee this) makes
   *     the replay value-identical, and the engine's idempotent sinks
   *     (TransformStream's run-keyed upsert) de-duplicate re-delivery.
-  *   - **parallel within a batch**: pages [start, end) fan out one
+  *   - **parallel within a batch**: the batch's pages fan out one
   *     InputPartition each — a wide backlog catches up across the
   *     cluster, not through the driver.
+  *   - **auth + transient-retry**: the `header.*` / `maxRetries` /
+  *     `retryBackoffMs` options of [[HttpJsonSource]] apply to every
+  *     head poll and page fetch.
   *
-  * Feed protocol (what a real endpoint maps to): `GET {url}/head` →
-  * `{"head": N}` (number of published pages; the Cosmos continuation
-  * token / Kafka end-offset analogue) and `GET {url}?page=k` → JSON
-  * array of items for 0 ≤ k < N. Failed page fetches THROW — for a
-  * stream, dropping a page silently would violate the feed's total
-  * order; Spark retries the task, then the query fails loudly for the
+  * Two CURSOR PROTOCOLS (`cursorMode` option):
+  *
+  *   - `page` (default): monotone numeric cursor. `GET {url}/head` →
+  *     `{"head": N}` (number of published pages; the Kafka end-offset
+  *     analogue) and `GET {url}?page=k` → JSON array for 0 ≤ k < N.
+  *     Offsets log as the bare page number.
+  *   - `token`: OPAQUE CONTINUATION TOKENS — the protocol Cosmos
+  *     change feed, Kafka REST, and most CDC HTTP feeds actually
+  *     speak. `GET {headUrl}?cursor=t` → `{"next": "t2"}` naming the
+  *     page after position `t` (`{"next": null}` at the feed head),
+  *     and `GET {url}?cursor=t2` → that page's JSON array. The token
+  *     is stored VERBATIM in the offset (`{"epoch":N,"token":"..."}`;
+  *     `epoch` counts consumed pages so offset equality still means
+  *     "no new data"). The driver walks the head chain — tiny
+  *     responses, never payloads — and caches walked tokens so
+  *     `planInputPartitions` can fan the batch's pages out to
+  *     executors; after a restart the cache rebuilds by re-walking
+  *     FROM THE START OFFSET'S OWN TOKEN (the chain is deterministic
+  *     because published pages are immutable), so recovery costs
+  *     O(batch) head calls, not O(history), and committed entries are
+  *     trimmed on `commit`. A chain that ends or diverges while
+  *     replaying a logged batch fails loudly — that means the feed
+  *     regressed or changed identity, which no cursor protocol can
+  *     paper over.
+  *
+  * Failed page fetches THROW (after the retry budget) — for a stream,
+  * dropping a page silently would violate the feed's total order;
+  * Spark retries the task, then the query fails loudly for the
   * restart-with-backoff loop to handle (same policy as the soak
-  * harness). Schema: reference SampleItem or user schema, as in
-  * [[HttpJsonSource]].
+  * harness). Transient HEAD failures idle the stream at the current
+  * offset instead (the next trigger re-polls). Schema: reference
+  * SampleItem or user schema, as in [[HttpJsonSource]].
   */
 class HttpFeedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "http-feed"
@@ -85,9 +120,34 @@ private[v2] case class PageOffset(page: Long) extends Offset {
   override def json(): String = page.toString
 }
 
+/** Continuation-token offset: the opaque token VERBATIM plus the
+  * consumed-page count (equality on the pair is the no-new-data
+  * signal; the count also lets partition planning index the walked
+  * chain). */
+private[v2] case class TokenOffset(epoch: Long, token: String) extends Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("epoch", epoch)
+    node.put("token", token)
+    m.writeValueAsString(node)
+  }
+}
+
+private[v2] object TokenOffset {
+  def fromJson(json: String): TokenOffset = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(n.has("epoch") && n.has("token"),
+      s"http-feed: not a token-mode offset: $json (was the checkpoint " +
+        "written in cursorMode=page?)")
+    TokenOffset(n.get("epoch").asLong(), n.get("token").asText())
+  }
+}
+
 private[v2] class HttpFeedMicroBatch(schema0: StructType,
     options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val url: String = {
     val u = options.get("url")
@@ -98,21 +158,57 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     Option(options.get("headUrl")).getOrElse(s"$url/head")
   private val pageParam: String =
     Option(options.get("pageParam")).getOrElse("page")
-  private val accept: String =
-    Option(options.get("accept")).getOrElse("application/json")
-  private val connectTimeoutMs = options.getInt("connectTimeoutMs", 10000)
-  private val readTimeoutMs = options.getInt("readTimeoutMs", 30000)
+  private val cursorParam: String =
+    Option(options.get("cursorParam")).getOrElse("cursor")
+  private val conf: HttpRequestConf = HttpJsonSource.requestConf(options)
   private val maxPagesPerTrigger = options.getLong("maxPagesPerTrigger", 10L)
   private val startPage = options.getLong("startPage", 0L)
+  private val tokenMode: Boolean =
+    Option(options.get("cursorMode")).getOrElse("page") match {
+      case "page" => false
+      case "token" => true
+      case other => throw new IllegalArgumentException(
+        s"http-feed: cursorMode must be 'page' or 'token', got '$other'")
+    }
+  private val startToken: String =
+    Option(options.get("startToken")).getOrElse("")
+
+  // ---- read-limit plumbing --------------------------------------------
+
+  /** Pages allowed in this batch, from the PASSED limit — maxRows is
+    * interpreted in this source's admission unit (pages), matching
+    * getDefaultReadLimit; allAvailable means drain to the head. */
+  private def capFor(limit: ReadLimit): Long = limit match {
+    case _: ReadAllAvailable => Long.MaxValue
+    case r: ReadMaxRows => math.max(1L, r.maxRows())
+    case c: CompositeReadLimit => c.getReadLimits.map(capFor).min
+    case _ => maxPagesPerTrigger
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxPagesPerTrigger) // unit here = pages
+
+  /** Head pinned at prepare time for Trigger.AvailableNow (page mode);
+    * token mode drains naturally until the chain's `next` runs out. */
+  @volatile private var availableNowHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    if (!tokenMode) {
+      val h = fetchHead()
+      availableNowHead = if (h >= 0) Some(h) else None
+    }
+
+  // ---- page mode: numeric head poll -----------------------------------
 
   /** DRIVER-side head poll — one tiny GET per trigger, the analogue of
-    * the change-feed processor's lease renewal heartbeat. Non-2xx or a
-    * dead socket means "nothing new observable"; the stream idles at
-    * the current offset instead of failing on a transient blip (the
-    * next trigger re-polls). */
+    * the change-feed processor's lease renewal heartbeat (transient
+    * retry already applied inside fetch). Non-2xx or a dead socket
+    * means "nothing new observable"; the stream idles at the current
+    * offset instead of failing on a transient blip (the next trigger
+    * re-polls). */
   private def fetchHead(): Long =
     try {
-      HttpJsonSource.fetch(headUrl, accept, connectTimeoutMs, readTimeoutMs) match {
+      HttpJsonSource.fetch(headUrl, conf) match {
         case Right(node) if node.has("head") && node.get("head").canConvertToLong =>
           node.get("head").asLong()
         case Right(_) => 0L
@@ -126,34 +222,140 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
         -1L
     }
 
-  override def initialOffset(): Offset = PageOffset(startPage)
+  // ---- token mode: chain walk + cache ----------------------------------
 
-  override def getDefaultReadLimit: ReadLimit =
-    ReadLimit.maxRows(maxPagesPerTrigger) // unit here = pages
+  /** Walked chain cache: `chain(i - chainBase)` = token at epoch `i`
+    * (the token of the i-th consumed page; `startToken` at epoch 0).
+    * Driver memory is bounded: committed prefixes trim on `commit`,
+    * and a restart re-anchors at the start offset's own token. */
+  private val chain = ArrayBuffer.empty[String]
+  private var chainBase: Long = -1L
+  private def knownTop: Long = chainBase + chain.length - 1
+  private def tokenAt(e: Long): String = chain((e - chainBase).toInt)
+
+  private def enc(t: String): String = URLEncoder.encode(t, StandardCharsets.UTF_8)
+
+  private def headNextUrl(t: String): String = {
+    val sep = if (headUrl.contains("?")) "&" else "?"
+    s"$headUrl$sep$cursorParam=${enc(t)}"
+  }
+
+  /** One head-chain step. `Right(Some(t))` = next page's token;
+    * `Right(None)` = at the feed head; `Left(err)` = transient
+    * transport failure (retries exhausted). */
+  private def advance(t: String): Either[String, Option[String]] =
+    try {
+      HttpJsonSource.fetch(headNextUrl(t), conf) match {
+        case Right(n) if n.hasNonNull("next") && n.get("next").isTextual =>
+          Right(Some(n.get("next").asText()))
+        case Right(_) => Right(None)
+        case Left(status) => Left(s"head ${headNextUrl(t)} -> $status")
+      }
+    } catch {
+      case e: Exception => Left(s"head ${headNextUrl(t)} failed: ${e.getMessage}")
+    }
+
+  /** Re-anchor the chain cache at a logged offset (restart, or a cache
+    * that drifted): if the cache doesn't already hold this epoch with
+    * this exact token, reset to it — the walk restarts from the
+    * offset's own token, never from history. */
+  private def anchor(epoch: Long, token: String): Unit =
+    if (chainBase < 0 || epoch < chainBase || epoch > knownTop ||
+        tokenAt(epoch) != token) {
+      chain.clear()
+      chain += token
+      chainBase = epoch
+    }
+
+  /** Walk the chain STRICTLY up to `epoch` — replaying a logged batch
+    * must reconstruct exactly its pages or fail loudly. */
+  private def extendToStrict(epoch: Long): Unit =
+    while (knownTop < epoch) {
+      advance(tokenAt(knownTop)) match {
+        case Right(Some(t)) => chain += t
+        case Right(None) => throw new IllegalStateException(
+          s"http-feed: token chain ended at epoch $knownTop while replaying " +
+            s"a batch up to epoch $epoch — the feed's published pages regressed")
+        case Left(err) => throw new IOException(
+          s"http-feed: cannot rebuild token chain for batch replay: $err")
+      }
+    }
+
+  // ---- offsets ----------------------------------------------------------
+
+  override def initialOffset(): Offset =
+    if (tokenMode) TokenOffset(0L, startToken) else PageOffset(startPage)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[PageOffset].page
-    val head = fetchHead()
-    if (head < 0) PageOffset(from) // transient head failure: idle
-    else PageOffset(math.max(from, math.min(head, from + maxPagesPerTrigger)))
+    val cap = capFor(limit)
+    if (tokenMode) {
+      val s = start.asInstanceOf[TokenOffset]
+      anchor(s.epoch, s.token)
+      var n = s.epoch
+      var stop = false
+      while (!stop && n - s.epoch < cap) {
+        if (knownTop > n) n += 1 // already walked (e.g. planned, uncommitted)
+        else advance(tokenAt(n)) match {
+          case Right(Some(t)) => chain += t; n += 1
+          case Right(None) => stop = true // at the feed head
+          case Left(err) => // transient: idle at what we have
+            System.err.println(s"[http-feed] $err (idling)")
+            stop = true
+        }
+      }
+      TokenOffset(n, tokenAt(n))
+    } else {
+      val from = start.asInstanceOf[PageOffset].page
+      val head = availableNowHead.getOrElse(fetchHead())
+      if (head < 0) PageOffset(from) // transient head failure: idle
+      else {
+        val capped = if (cap == Long.MaxValue) head else math.min(head, from + cap)
+        PageOffset(math.max(from, capped))
+      }
+    }
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "http-feed implements SupportsAdmissionControl.latestOffset(start, limit)")
 
+  /** Best-effort "what exists right now" for progress reporting: the
+    * numeric head in page mode; unknown (null) in token mode — an
+    * opaque chain has no cheap end-position query. */
+  override def reportLatestOffset(): Offset =
+    if (tokenMode) null
+    else {
+      val h = fetchHead()
+      if (h < 0) null else PageOffset(h)
+    }
+
   override def deserializeOffset(json: String): Offset =
-    PageOffset(json.trim.toLong)
+    if (tokenMode) TokenOffset.fromJson(json) else PageOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[PageOffset].page
-    val hi = end.asInstanceOf[PageOffset].page
-    (lo until hi).map { k =>
-      val sep = if (url.contains("?")) "&" else "?"
-      HttpJsonPage(s"$url$sep$pageParam=$k", accept,
-        connectTimeoutMs, readTimeoutMs, errorAsEmpty = false,
-        schema0.fields.map(f => (f.name, f.dataType.typeName))): InputPartition
-    }.toArray
+    val fields = schema0.fields.map(f => (f.name, f.dataType.typeName))
+    val sep = if (url.contains("?")) "&" else "?"
+    if (tokenMode) {
+      val s = start.asInstanceOf[TokenOffset]
+      val e = end.asInstanceOf[TokenOffset]
+      anchor(s.epoch, s.token)
+      extendToStrict(e.epoch)
+      if (tokenAt(e.epoch) != e.token) throw new IllegalStateException(
+        s"http-feed: token chain diverged replaying epoch ${e.epoch}: " +
+          s"expected '${e.token}', walked to '${tokenAt(e.epoch)}' — " +
+          "the feed changed identity under its checkpoint")
+      (s.epoch until e.epoch).map { i =>
+        HttpJsonPage(s"$url$sep$cursorParam=${enc(tokenAt(i + 1))}", conf,
+          errorAsEmpty = false, fields): InputPartition
+      }.toArray
+    } else {
+      val lo = start.asInstanceOf[PageOffset].page
+      val hi = end.asInstanceOf[PageOffset].page
+      (lo until hi).map { k =>
+        HttpJsonPage(s"$url$sep$pageParam=$k", conf,
+          errorAsEmpty = false, fields): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -162,7 +364,16 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
         new HttpJsonReader(p.asInstanceOf[HttpJsonPage])
     }
 
-  override def commit(end: Offset): Unit = () // feed retains pages; no ack
+  override def commit(end: Offset): Unit =
+    // feed retains pages (no ack); token mode trims the committed
+    // prefix so driver state is O(in-flight pages), not O(history)
+    if (tokenMode) end match {
+      case TokenOffset(epoch, token) if chainBase >= 0 &&
+          epoch > chainBase && epoch <= knownTop && tokenAt(epoch) == token =>
+        chain.remove(0, (epoch - chainBase).toInt)
+        chainBase = epoch
+      case _ => ()
+    }
 
   override def stop(): Unit = ()
 }

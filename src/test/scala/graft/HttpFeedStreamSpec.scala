@@ -159,6 +159,199 @@ class HttpFeedStreamSpec extends SparkSpec {
     }
   }
 
+  /** Token-protocol feed server: pages are identified by OPAQUE tokens
+    * (`tok-k-<mixed bits>` — nothing numeric-orderable about them from
+    * the client's view). `/items/head?cursor=t` → `{"next": ...}` names
+    * the page after position t (null at the head); `/items?cursor=t` →
+    * that page's 2-row JSON array. */
+  private def withTokenFeed(f: (String, AtomicLong,
+      ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val head = new AtomicLong(0)
+    val fetched = new ConcurrentLinkedQueue[String]()
+    def tok(k: Long): String =
+      s"tok-$k-${java.lang.Long.toHexString((k * 2654435761L) & 0xffffffL)}"
+    def parseTok(t: String): Option[Long] =
+      if (t.isEmpty) Some(-1L)
+      else t.split("-") match {
+        case Array("tok", k, _) => scala.util.Try(k.toLong).toOption
+        case _ => None
+      }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/items", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val cursor = query.split("&").collectFirst {
+        case kv if kv.startsWith("cursor=") =>
+          java.net.URLDecoder.decode(kv.substring(7), StandardCharsets.UTF_8)
+      }.getOrElse("")
+      def send(status: Int, body: String): Unit = {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) { ex.getResponseBody.write(b); ex.getResponseBody.close() }
+        ex.close()
+      }
+      parseTok(cursor) match {
+        case None => send(400, "")
+        case Some(pos) =>
+          if (path.endsWith("/head")) {
+            if (pos + 1 < head.get()) send(200, s"""{"next": "${tok(pos + 1)}"}""")
+            else send(200, """{"next": null}""")
+          } else {
+            fetched.add(s"page=$pos")
+            if (pos >= 0 && pos < head.get()) {
+              def item(sfx: String) =
+                s"""{"id":"p$pos$sfx","Name":"Item_${pos}_$sfx",
+                   |"LogicalPartition":"Partition_A"}""".stripMargin
+              send(200, s"[${item("a")},${item("b")}]")
+            } else send(404, "")
+          }
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/items", head, fetched)
+    finally server.stop(0)
+  }
+
+  test("token cursor mode: opaque continuation tokens drive the lease") {
+    withTokenFeed { (url, head, fetched) =>
+      val ckptDir = Files.createTempDirectory("graft_tok_ckpt")
+      val ckpt = ckptDir.toString
+      val ids = new ConcurrentLinkedQueue[String]()
+      def start() = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+
+      head.set(3)
+      val q = start()
+      q.processAllAvailable()
+      assert(ids.size == 6, s"3 token pages x 2 rows expected, got ${ids.size}")
+
+      // the feed grows while the query runs
+      head.set(5)
+      q.processAllAvailable()
+      assert(ids.size == 10)
+      q.stop()
+
+      // the OPAQUE TOKEN is in the offset log VERBATIM (the portable
+      // lease: a Cosmos/Kafka-REST continuation would ride the same way)
+      val offsets = ckptDir.resolve("offsets")
+      // numeric batch files only — the local FS checkpoint also holds
+      // binary .crc sidecars that are not UTF-8
+      val logged = java.nio.file.Files.list(offsets).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .map(_.toString).sorted
+        .flatMap(p => scala.io.Source.fromFile(p, "UTF-8").getLines())
+      assert(logged.exists(l => l.contains("\"token\"") && l.contains("tok-")),
+        s"offset log does not carry the verbatim token: ${logged.mkString("\n")}")
+
+      // restart against the SAME checkpoint: resume from the committed
+      // token — already-delivered pages are not refetched
+      val before = fetched.toArray.count(_ == "page=0")
+      head.set(6)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(ids.size == 12, s"token resume lost or duplicated rows: ${ids.size}")
+      assert(ids.toArray.distinct.length == 12, "duplicate ids after token resume")
+      assert(fetched.toArray.count(_ == "page=0") == before,
+        "restart refetched a committed page — the token lease leaked")
+    }
+  }
+
+  test("token-mode churn: abrupt kills stay exactly-once (portable-feed contract)") {
+    withTokenFeed { (url, head, _) =>
+      val base = Files.createTempDirectory("graft_tok_churn")
+      val out = base.resolve("out").toString
+      def start() = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("maxPagesPerTrigger", "1")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epochId: Long) =>
+          df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$out/batch=$epochId")
+        }.start()
+
+      val totalPages = 24
+      @volatile var publishing = true
+      val publisher = new Thread(() => {
+        while (publishing && head.get() < totalPages) {
+          head.incrementAndGet(); Thread.sleep(120)
+        }
+      })
+      publisher.start()
+      var q = start()
+      var restarts = 0
+      while (head.get() < totalPages) {
+        Thread.sleep(1100)
+        q.stop() // abrupt: no drain; the in-memory chain cache dies too
+        q.exception.foreach(throw _)
+        q = start() // forces the anchor-at-start-offset rebuild path
+        restarts += 1
+      }
+      publishing = false; publisher.join()
+      q.processAllAvailable()
+      q.stop()
+      assert(restarts >= 3, s"churn loop barely churned: $restarts restarts")
+      val got = spark.read.parquet(out)
+      assert(got.count() == totalPages * 2L,
+        s"lost or duplicated rows across $restarts token-mode kills")
+      assert(got.select("id").distinct().count() == totalPages * 2L,
+        "duplicate ids after token churn — replay was not idempotent")
+    }
+  }
+
+  test("Trigger.AvailableNow drains the whole backlog through capped batches") {
+    withFeed { (url, head, _, _) =>
+      head.set(7) // backlog > maxPagesPerTrigger: needs multiple batches
+      val base = Files.createTempDirectory("graft_feed_an")
+      val batches = new ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("maxPagesPerTrigger", "2").load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(df.count()); ()
+        }.start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not self-terminate")
+      val sizes = batches.toArray.map(_.asInstanceOf[Long])
+      assert(sizes.sum == 14,
+        s"AvailableNow left backlog unread: drained ${sizes.sum}/14 rows " +
+          s"(the pre-fix behavior read one capped batch and stopped)")
+      // admission control still applies per batch
+      assert(sizes.forall(_ <= 4L),
+        s"a batch exceeded the 2-page cap under AvailableNow: ${sizes.mkString(",")}")
+    }
+  }
+
+  test("Trigger.AvailableNow drains a token-mode backlog to the feed head") {
+    withTokenFeed { (url, head, _) =>
+      head.set(5)
+      val base = Files.createTempDirectory("graft_tok_an")
+      var total = 0L
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("maxPagesPerTrigger", "2").load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          total += df.count()
+        }.start()
+      assert(q.awaitTermination(120000),
+        "token-mode AvailableNow query did not self-terminate")
+      assert(total == 10, s"token-mode AvailableNow drained $total/10 rows")
+    }
+  }
+
   test("FULL PIPELINE: the transform leg rides the http-feed change feed") {
     // the reference's §3.2 leg with a store-native feed instead of the
     // landing-zone file stream: http-feed source -> TransformStream's

@@ -180,6 +180,100 @@ class HttpJsonSourceSpec extends SparkSpec {
     }
   }
 
+  test("header.* options become request headers (bearer auth on the wire)") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seenAuth = new ConcurrentLinkedQueue[String]()
+    server.createContext("/auth", (ex: HttpExchange) => {
+      seenAuth.add(ex.getRequestHeaders.getFirst("Authorization") + "|" +
+        ex.getRequestHeaders.getFirst("X-Api-Key"))
+      val ok = ex.getRequestHeaders.getFirst("Authorization") == "Bearer sekrit"
+      val body = (if (ok) """[{"id":"ok"}]""" else "[]")
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(if (ok) 200 else 401, body.length)
+      ex.getResponseBody.write(body); ex.getResponseBody.close(); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/auth"
+      val rows = spark.read.format("http-json").option("url", url)
+        .option("header.Authorization", "Bearer sekrit")
+        .option("header.X-Api-Key", "key-123")
+        .load().collect()
+      assert(rows.length == 1 && rows(0).getString(0) == "ok")
+      assert(seenAuth.peek() == "Bearer sekrit|key-123",
+        s"auth headers did not reach the wire: ${seenAuth.peek()}")
+    } finally server.stop(0)
+  }
+
+  test("429/5xx retry with backoff until success; Retry-After honored") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val n = hits.incrementAndGet()
+      if (n <= 2) { // two rate-limit blips, then healthy
+        ex.getResponseHeaders.set("Retry-After", "0")
+        ex.sendResponseHeaders(429, -1); ex.close()
+      } else {
+        val body = """[{"id":"r1"},{"id":"r2"}]""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.getResponseBody.close(); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/flaky"
+      // default maxRetries=3 covers the two blips; STRICT mode — the
+      // retry, not errorAsEmpty, is what saves the scan
+      val rows = spark.read.format("http-json").option("url", url)
+        .option("retryBackoffMs", "10").load().collect()
+      assert(rows.length == 2, "retried fetch must deliver the page")
+      assert(hits.get() == 3, s"expected 2 retries then success, got ${hits.get()} hits")
+    } finally server.stop(0)
+  }
+
+  test("non-retryable 4xx fails fast: a 404 never retries") {
+    withServer(404, "") { (url, seen) =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("retryBackoffMs", "10").load()
+      intercept[Exception](df.count())
+      assert(seen.size == 1, s"404 must not retry; saw ${seen.size} requests")
+    }
+  }
+
+  test("retry budget exhausts: persistent 503 still fails strict mode") {
+    withServer(503, "") { (url, seen) =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("maxRetries", "2").option("retryBackoffMs", "5").load()
+      intercept[Exception](df.count())
+      // initial attempt + 2 retries; Spark task retries in local mode = 1
+      assert(seen.size >= 3, s"expected >= 3 attempts (1 + 2 retries), got ${seen.size}")
+    }
+  }
+
+  test("payload corruption is never errorAsEmpty: non-array and parse failures throw") {
+    // a live 200 returning a JSON object, not an array
+    withServer(200, """{"not":"an array"}""") { (url, _) =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("errorAsEmpty", "true").load()
+      val e = intercept[Exception](df.count())
+      assert(e.getMessage.contains("array") ||
+        Option(e.getCause).exists(_.getMessage.contains("array")),
+        s"non-array 200 must throw the corruption error, got: ${e.getMessage}")
+    }
+    // a live 200 returning malformed JSON
+    withServer(200, """[{"id": "broken"""") { (url, _) =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("errorAsEmpty", "true").option("maxRetries", "0").load()
+      intercept[Exception](df.count())
+    }
+    // sanity: the SAME option still forgives a transport-dead page
+    withServer(502, "") { (url, _) =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("errorAsEmpty", "true").option("maxRetries", "0").load()
+      assert(df.count() == 0)
+    }
+  }
+
   test("END-TO-END: the batch saga runs against a LIVE endpoint") {
     import graft.pipeline.{ExtractLoadJob, RunAudit, RunLock}
     // the real user wiring: extract = tryReadUrl over the live socket,

@@ -247,8 +247,32 @@ object Bench {
     // (see SparkEntry.benchTwinSql scaladoc for why the twin is still
     // the fair competitor for the question each query answers)
     val twinFields = duckdb.map { _ =>
-      SparkEntry.benchTwinSql.keys.toSeq.sorted
-        .mkString(""","duckdb_twin_queries":["""", "\",\"", "\"]")
+      // an empty twin map must emit a valid empty array — mkString's
+      // start/end would otherwise produce an unbalanced `["]`
+      val ks = SparkEntry.benchTwinSql.keys.toSeq.sorted
+      if (ks.isEmpty) ""","duckdb_twin_queries":[]"""
+      else ks.mkString(""","duckdb_twin_queries":["""", "\",\"", "\"]")
+    }.getOrElse("")
+    // measured recall@k for each twin query vs the EXACT brute-force
+    // top-k (ann_cosine_topk, same k): the quantitative companion to
+    // the twin disclosure above — the published ratio favors Spark by
+    // exactly the recall gap, and this field sizes that gap per round.
+    // Runs AFTER all timing (untimed); driver state is |queries| x k
+    // id pairs. Best-effort: any failure just omits the field.
+    val recallFields: String = if (only.nonEmpty) "" else scala.util.Try {
+      def pairs(name: String): Set[(String, String)] =
+        SparkEntry.queries(name)(spark, sfDir)
+          .selectExpr("cast(qid as string) AS q", "cast(vec_id as string) AS v")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val exact = pairs("ann_cosine_topk")
+      val entries = SparkEntry.benchTwinSql.keys.toSeq.sorted.map { q =>
+        val approx = pairs(q)
+        val rec =
+          if (exact.isEmpty) 1.0
+          else approx.intersect(exact).size.toDouble / exact.size
+        "\"" + q + "\":" + fmt(rec)
+      }
+      if (entries.isEmpty) "" else entries.mkString(""","recall":{""", ",", "}")
     }.getOrElse("")
     // per-query DuckDB map (BENCH_FULL.json only — too long for stdout)
     val duckdbQs = duckdb.flatMap(n => Option(n.get("times"))).map { t =>
@@ -273,7 +297,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$duckdbFields$twinFields$duckdbQs,"queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$duckdbFields$twinFields$recallFields$duckdbQs,"queries":$fullQs,"sf":"$sfDir"}"""
     // resolved from the working directory (overridable) — a hardcoded
     // absolute path plus a swallowed failure would leave a stale
     // committed BENCH_FULL.json with no signal
@@ -290,7 +314,7 @@ object Bench {
         case _ => ()
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec"$duckdbFields$twinFields,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec"$duckdbFields$twinFields$recallFields,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

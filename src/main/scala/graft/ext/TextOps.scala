@@ -824,11 +824,20 @@ object TextOps {
       .groupBy(col("bin"))
       .agg(sum(when(col("e") === 0, 1L).otherwise(0L)).as("na"),
         sum(when(col("e") === 1, 1L).otherwise(0L)).as("nb"))
-    val tot = cnt.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
-      count(lit(1)).as("nbins"))
+    // grand totals via an unpartitioned window OVER THE GRID (bounded
+    // by bin cardinality, never the corpus — the grid-window contract
+    // of exactMedian above), not a separate broadcast aggregate: the
+    // crossJoin(broadcast(tot)) shape recomputed the grid aggregation
+    // once for the broadcast build and once for the main chain — two
+    // corpus scans and an extra job (census: 2 jobs/6 stages -> 1/4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
     val p = (col("na") + lit(1)).cast("double") / (col("ta") + col("nbins"))
     val q = (col("nb") + lit(1)).cast("double") / (col("tb") + col("nbins"))
-    cnt.crossJoin(broadcast(tot))
+    cnt
+      .withColumn("ta", sum(col("na")).over(w))
+      .withColumn("tb", sum(col("nb")).over(w))
+      .withColumn("nbins", count(lit(1)).over(w))
       .withColumn("term",
         round((p - q) * log(p / q), 9).cast(DecimalType(20, 9)))
       .agg(max(col("nbins")).as("n_bins"),

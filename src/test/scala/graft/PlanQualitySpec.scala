@@ -105,6 +105,7 @@ class PlanQualitySpec extends SparkSpec {
         "events_convert_median", // per-conversion medians on the bounded value grid
         "q42_mom_change",        // per-month series (months, not rows)
         "quality_mad_outliers",  // score GRID windows, lowerMedian-guarded
+        "quality_psi",           // per-epoch totals over the bin GRID
         "ref_transform",         // one generator micro-batch arrival counter
         "text_bm25_topk",        // rank over the k-limited per-query result
         "text_vocab_coverage",   // cumulative share over the top-N vocab
@@ -585,11 +586,15 @@ class PlanQualitySpec extends SparkSpec {
 
   test("quality_psi collapses the corpus to the bin grid in one aggregation") {
     val p = plan("quality_psi")
-    assert(!p.contains("Join") || !p.contains("SortMergeJoin"),
-      s"psi should only cross-join the 1-row totals:\n$p")
+    // one chain, no second corpus scan: the grand totals ride a window
+    // over the GRID (bounded by bin cardinality), not a broadcast
+    // aggregate whose build would re-run the grid aggregation
+    assert(!p.contains("Join"),
+      s"psi needs no join at all (grid-window totals):\n$p")
     assert(p.contains("partial_sum"),
       s"bin counts must pre-aggregate map-side:\n$p")
-    assert(!p.contains("Window"), s"psi needs no window at all:\n$p")
+    assert(p.split("Scan parquet").length <= 3, // formatted prints twice
+      s"psi must scan the corpus exactly once:\n$p")
   }
 
   test("graph_kcore rounds and graph_assortativity stay equi-join only") {

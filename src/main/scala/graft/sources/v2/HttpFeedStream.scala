@@ -4,6 +4,7 @@ import java.io.IOException
 import java.net.URLEncoder
 import java.nio.charset.StandardCharsets
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -74,13 +75,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     regressed or changed identity, which no cursor protocol can
   *     paper over.
   *
+  * **Multi-range token feeds** (`ranges` option, token mode only):
+  * Cosmos consumes its change feed per PARTITION-KEY RANGE with an
+  * independent continuation token per range (FeedRange + per-range
+  * lease documents) — that is what makes the feed horizontally
+  * scalable: cursor DISCOVERY itself parallelizes across ranges, not
+  * just page fetching. `ranges = "r0,r1,..."` (the operator's range
+  * ids, e.g. from the store's ranges endpoint) switches the offset to
+  * a per-range cursor map (`{"ranges":{"r0":{"epoch":..,"token":..},
+  * ...}}`, key-sorted so offset equality is well-defined); every head
+  * and page call carries `range=<id>`; `maxPagesPerTrigger` is a
+  * TOTAL budget spread round-robin across ranges so one hot range
+  * cannot starve the others; each range keeps its own chain cache
+  * with the same trim/rebuild/diverge-loudly discipline. A single
+  * un-ranged chain is exactly the `ranges` singleton with the empty
+  * id (no `range` param on the wire).
+  *
   * Failed page fetches THROW (after the retry budget) — for a stream,
   * dropping a page silently would violate the feed's total order;
   * Spark retries the task, then the query fails loudly for the
   * restart-with-backoff loop to handle (same policy as the soak
-  * harness). Transient HEAD failures idle the stream at the current
-  * offset instead (the next trigger re-polls). Schema: reference
-  * SampleItem or user schema, as in [[HttpJsonSource]].
+  * harness). Transient HEAD failures idle the affected range at its
+  * current offset instead (the next trigger re-polls). Schema:
+  * reference SampleItem or user schema, as in [[HttpJsonSource]].
   */
 class HttpFeedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "http-feed"
@@ -120,27 +137,59 @@ private[v2] case class PageOffset(page: Long) extends Offset {
   override def json(): String = page.toString
 }
 
-/** Continuation-token offset: the opaque token VERBATIM plus the
-  * consumed-page count (equality on the pair is the no-new-data
-  * signal; the count also lets partition planning index the walked
-  * chain). */
-private[v2] case class TokenOffset(epoch: Long, token: String) extends Offset {
+/** One range's continuation position: the opaque token VERBATIM plus
+  * the consumed-page count (the count lets partition planning index
+  * the walked chain). */
+private[v2] case class RangeCursor(epoch: Long, token: String)
+
+/** Token-mode offset: per-range cursors, range-id-sorted in `json()`
+  * so structurally-equal offsets serialize identically (offset
+  * equality is the engine's no-new-data signal). The single un-ranged
+  * chain uses the one-entry map keyed by "" and serializes in the
+  * flat legacy shape `{"epoch":..,"token":..}`. */
+private[v2] case class TokenOffset(cursors: Map[String, RangeCursor])
+    extends Offset {
   override def json(): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.createObjectNode()
-    node.put("epoch", epoch)
-    node.put("token", token)
-    m.writeValueAsString(node)
+    if (cursors.keySet == Set("")) {
+      val c = cursors("")
+      val node = m.createObjectNode()
+      node.put("epoch", c.epoch)
+      node.put("token", c.token)
+      m.writeValueAsString(node)
+    } else {
+      val node = m.createObjectNode()
+      val rs = node.putObject("ranges")
+      cursors.toSeq.sortBy(_._1).foreach { case (r, c) =>
+        val rn = rs.putObject(r)
+        rn.put("epoch", c.epoch)
+        rn.put("token", c.token)
+      }
+      m.writeValueAsString(node)
+    }
   }
 }
 
 private[v2] object TokenOffset {
+  def single(epoch: Long, token: String): TokenOffset =
+    TokenOffset(Map("" -> RangeCursor(epoch, token)))
+
   def fromJson(json: String): TokenOffset = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    require(n.has("epoch") && n.has("token"),
-      s"http-feed: not a token-mode offset: $json (was the checkpoint " +
-        "written in cursorMode=page?)")
-    TokenOffset(n.get("epoch").asLong(), n.get("token").asText())
+    if (n.has("ranges")) {
+      val rs = n.get("ranges")
+      val b = Map.newBuilder[String, RangeCursor]
+      rs.properties().forEach { e =>
+        b += e.getKey -> RangeCursor(
+          e.getValue.get("epoch").asLong(), e.getValue.get("token").asText())
+      }
+      TokenOffset(b.result())
+    } else {
+      require(n.has("epoch") && n.has("token"),
+        s"http-feed: not a token-mode offset: $json (was the checkpoint " +
+          "written in cursorMode=page?)")
+      single(n.get("epoch").asLong(), n.get("token").asText())
+    }
   }
 }
 
@@ -160,6 +209,8 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     Option(options.get("pageParam")).getOrElse("page")
   private val cursorParam: String =
     Option(options.get("cursorParam")).getOrElse("cursor")
+  private val rangeParam: String =
+    Option(options.get("rangeParam")).getOrElse("range")
   private val conf: HttpRequestConf = HttpJsonSource.requestConf(options)
   private val maxPagesPerTrigger = options.getLong("maxPagesPerTrigger", 10L)
   private val startPage = options.getLong("startPage", 0L)
@@ -172,6 +223,18 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     }
   private val startToken: String =
     Option(options.get("startToken")).getOrElse("")
+  /** Range ids for multi-range token feeds; Seq("") = one un-ranged
+    * chain (no range param on the wire). */
+  private val rangeIds: Seq[String] =
+    Option(options.get("ranges")) match {
+      case None => Seq("")
+      case Some(rs) =>
+        require(tokenMode, "http-feed: ranges requires cursorMode=token")
+        val ids = rs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(ids.nonEmpty && ids.distinct == ids,
+          s"http-feed: ranges must be distinct non-empty ids, got '$rs'")
+        ids.sorted
+    }
 
   // ---- read-limit plumbing --------------------------------------------
 
@@ -189,7 +252,7 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     ReadLimit.maxRows(maxPagesPerTrigger) // unit here = pages
 
   /** Head pinned at prepare time for Trigger.AvailableNow (page mode);
-    * token mode drains naturally until the chain's `next` runs out. */
+    * token mode drains naturally until every range's `next` runs out. */
   @volatile private var availableNowHead: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -222,60 +285,77 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
         -1L
     }
 
-  // ---- token mode: chain walk + cache ----------------------------------
+  // ---- token mode: per-range chain walk + cache -------------------------
 
-  /** Walked chain cache: `chain(i - chainBase)` = token at epoch `i`
-    * (the token of the i-th consumed page; `startToken` at epoch 0).
-    * Driver memory is bounded: committed prefixes trim on `commit`,
-    * and a restart re-anchors at the start offset's own token. */
-  private val chain = ArrayBuffer.empty[String]
-  private var chainBase: Long = -1L
-  private def knownTop: Long = chainBase + chain.length - 1
-  private def tokenAt(e: Long): String = chain((e - chainBase).toInt)
+  /** Walked chain cache for one range: `toks(i - base)` = token at
+    * epoch `i` (the token of the i-th consumed page; `startToken` at
+    * epoch 0). Driver memory is bounded: committed prefixes trim on
+    * `commit`, and a restart re-anchors at the start offset's own
+    * token. */
+  private final class RangeChain(var base: Long, val toks: ArrayBuffer[String]) {
+    def top: Long = base + toks.length - 1
+    def at(e: Long): String = toks((e - base).toInt)
+  }
+  private val chains = mutable.Map.empty[String, RangeChain]
 
   private def enc(t: String): String = URLEncoder.encode(t, StandardCharsets.UTF_8)
 
-  private def headNextUrl(t: String): String = {
-    val sep = if (headUrl.contains("?")) "&" else "?"
-    s"$headUrl$sep$cursorParam=${enc(t)}"
+  private def withParams(base: String, params: Seq[(String, String)]): String = {
+    val sep = if (base.contains("?")) "&" else "?"
+    base + sep + params.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
   }
 
-  /** One head-chain step. `Right(Some(t))` = next page's token;
-    * `Right(None)` = at the feed head; `Left(err)` = transient
+  private def headNextUrl(range: String, t: String): String =
+    withParams(headUrl,
+      (if (range.isEmpty) Nil else Seq(rangeParam -> range)) :+ (cursorParam -> t))
+
+  private def tokenPageUrl(range: String, t: String): String =
+    withParams(url,
+      (if (range.isEmpty) Nil else Seq(rangeParam -> range)) :+ (cursorParam -> t))
+
+  /** One head-chain step for one range. `Right(Some(t))` = next page's
+    * token; `Right(None)` = at the feed head; `Left(err)` = transient
     * transport failure (retries exhausted). */
-  private def advance(t: String): Either[String, Option[String]] =
+  private def advance(range: String, t: String): Either[String, Option[String]] = {
+    val u = headNextUrl(range, t)
     try {
-      HttpJsonSource.fetch(headNextUrl(t), conf) match {
+      HttpJsonSource.fetch(u, conf) match {
         case Right(n) if n.hasNonNull("next") && n.get("next").isTextual =>
           Right(Some(n.get("next").asText()))
         case Right(_) => Right(None)
-        case Left(status) => Left(s"head ${headNextUrl(t)} -> $status")
+        case Left(status) => Left(s"head $u -> $status")
       }
     } catch {
-      case e: Exception => Left(s"head ${headNextUrl(t)} failed: ${e.getMessage}")
+      case e: Exception => Left(s"head $u failed: ${e.getMessage}")
     }
+  }
 
-  /** Re-anchor the chain cache at a logged offset (restart, or a cache
-    * that drifted): if the cache doesn't already hold this epoch with
-    * this exact token, reset to it — the walk restarts from the
+  /** Re-anchor a range's chain cache at a logged cursor (restart, or a
+    * cache that drifted): if the cache doesn't already hold this epoch
+    * with this exact token, reset to it — the walk restarts from the
     * offset's own token, never from history. */
-  private def anchor(epoch: Long, token: String): Unit =
-    if (chainBase < 0 || epoch < chainBase || epoch > knownTop ||
-        tokenAt(epoch) != token) {
-      chain.clear()
-      chain += token
-      chainBase = epoch
+  private def anchor(range: String, c: RangeCursor): RangeChain = {
+    val ch = chains.get(range)
+    ch match {
+      case Some(x) if c.epoch >= x.base && c.epoch <= x.top &&
+          x.at(c.epoch) == c.token => x
+      case _ =>
+        val fresh = new RangeChain(c.epoch, ArrayBuffer(c.token))
+        chains(range) = fresh
+        fresh
     }
+  }
 
-  /** Walk the chain STRICTLY up to `epoch` — replaying a logged batch
-    * must reconstruct exactly its pages or fail loudly. */
-  private def extendToStrict(epoch: Long): Unit =
-    while (knownTop < epoch) {
-      advance(tokenAt(knownTop)) match {
-        case Right(Some(t)) => chain += t
+  /** Walk a range's chain STRICTLY up to `epoch` — replaying a logged
+    * batch must reconstruct exactly its pages or fail loudly. */
+  private def extendToStrict(range: String, ch: RangeChain, epoch: Long): Unit =
+    while (ch.top < epoch) {
+      advance(range, ch.at(ch.top)) match {
+        case Right(Some(t)) => ch.toks += t
         case Right(None) => throw new IllegalStateException(
-          s"http-feed: token chain ended at epoch $knownTop while replaying " +
-            s"a batch up to epoch $epoch — the feed's published pages regressed")
+          s"http-feed: token chain (range '$range') ended at epoch ${ch.top} " +
+            s"while replaying a batch up to epoch $epoch — the feed's " +
+            "published pages regressed")
         case Left(err) => throw new IOException(
           s"http-feed: cannot rebuild token chain for batch replay: $err")
       }
@@ -284,26 +364,46 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
   // ---- offsets ----------------------------------------------------------
 
   override def initialOffset(): Offset =
-    if (tokenMode) TokenOffset(0L, startToken) else PageOffset(startPage)
+    if (tokenMode)
+      TokenOffset(rangeIds.map(_ -> RangeCursor(0L, startToken)).toMap)
+    else PageOffset(startPage)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cap = capFor(limit)
     if (tokenMode) {
       val s = start.asInstanceOf[TokenOffset]
-      anchor(s.epoch, s.token)
-      var n = s.epoch
-      var stop = false
-      while (!stop && n - s.epoch < cap) {
-        if (knownTop > n) n += 1 // already walked (e.g. planned, uncommitted)
-        else advance(tokenAt(n)) match {
-          case Right(Some(t)) => chain += t; n += 1
-          case Right(None) => stop = true // at the feed head
-          case Left(err) => // transient: idle at what we have
-            System.err.println(s"[http-feed] $err (idling)")
-            stop = true
+      // the page budget is TOTAL across ranges, spread round-robin so a
+      // hot range cannot starve the others; a range stops contributing
+      // when its chain hits the feed head (or a transient head error)
+      val cur = mutable.Map.empty[String, Long]
+      val live = mutable.Set.empty[String]
+      rangeIds.foreach { r =>
+        val c = s.cursors.getOrElse(r, RangeCursor(0L, startToken))
+        anchor(r, c)
+        cur(r) = c.epoch
+        live += r
+      }
+      var budget = cap
+      while (budget > 0 && live.nonEmpty) {
+        // one round-robin sweep over the still-advancing ranges
+        rangeIds.filter(live.contains).foreach { r =>
+          if (budget > 0) {
+            val ch = chains(r)
+            val n = cur(r)
+            if (ch.top > n) { cur(r) = n + 1; budget -= 1 }
+            else advance(r, ch.at(n)) match {
+              case Right(Some(t)) => ch.toks += t; cur(r) = n + 1; budget -= 1
+              case Right(None) => live -= r // at this range's head
+              case Left(err) =>
+                System.err.println(s"[http-feed] $err (idling range)")
+                live -= r
+            }
+          }
         }
       }
-      TokenOffset(n, tokenAt(n))
+      TokenOffset(rangeIds.map { r =>
+        r -> RangeCursor(cur(r), chains(r).at(cur(r)))
+      }.toMap)
     } else {
       val from = start.asInstanceOf[PageOffset].page
       val head = availableNowHead.getOrElse(fetchHead())
@@ -334,23 +434,28 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fields = schema0.fields.map(f => (f.name, f.dataType.typeName))
-    val sep = if (url.contains("?")) "&" else "?"
     if (tokenMode) {
       val s = start.asInstanceOf[TokenOffset]
       val e = end.asInstanceOf[TokenOffset]
-      anchor(s.epoch, s.token)
-      extendToStrict(e.epoch)
-      if (tokenAt(e.epoch) != e.token) throw new IllegalStateException(
-        s"http-feed: token chain diverged replaying epoch ${e.epoch}: " +
-          s"expected '${e.token}', walked to '${tokenAt(e.epoch)}' — " +
-          "the feed changed identity under its checkpoint")
-      (s.epoch until e.epoch).map { i =>
-        HttpJsonPage(s"$url$sep$cursorParam=${enc(tokenAt(i + 1))}", conf,
-          errorAsEmpty = false, fields): InputPartition
+      rangeIds.flatMap { r =>
+        val sc = s.cursors.getOrElse(r, RangeCursor(0L, startToken))
+        val ec = e.cursors.getOrElse(r, sc)
+        val ch = anchor(r, sc)
+        extendToStrict(r, ch, ec.epoch)
+        if (ch.at(ec.epoch) != ec.token) throw new IllegalStateException(
+          s"http-feed: token chain (range '$r') diverged replaying epoch " +
+            s"${ec.epoch}: expected '${ec.token}', walked to " +
+            s"'${ch.at(ec.epoch)}' — the feed changed identity under its " +
+            "checkpoint")
+        (sc.epoch until ec.epoch).map { i =>
+          HttpJsonPage(tokenPageUrl(r, ch.at(i + 1)), conf,
+            errorAsEmpty = false, fields): InputPartition
+        }
       }.toArray
     } else {
       val lo = start.asInstanceOf[PageOffset].page
       val hi = end.asInstanceOf[PageOffset].page
+      val sep = if (url.contains("?")) "&" else "?"
       (lo until hi).map { k =>
         HttpJsonPage(s"$url$sep$pageParam=$k", conf,
           errorAsEmpty = false, fields): InputPartition
@@ -365,13 +470,20 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     }
 
   override def commit(end: Offset): Unit =
-    // feed retains pages (no ack); token mode trims the committed
-    // prefix so driver state is O(in-flight pages), not O(history)
+    // feed retains pages (no ack); token mode trims each range's
+    // committed prefix so driver state is O(in-flight pages) per range,
+    // not O(history)
     if (tokenMode) end match {
-      case TokenOffset(epoch, token) if chainBase >= 0 &&
-          epoch > chainBase && epoch <= knownTop && tokenAt(epoch) == token =>
-        chain.remove(0, (epoch - chainBase).toInt)
-        chainBase = epoch
+      case TokenOffset(cursors) =>
+        cursors.foreach { case (r, c) =>
+          chains.get(r) match {
+            case Some(ch) if c.epoch > ch.base && c.epoch <= ch.top &&
+                ch.at(c.epoch) == c.token =>
+              ch.toks.remove(0, (c.epoch - ch.base).toInt)
+              ch.base = c.epoch
+            case _ => ()
+          }
+        }
       case _ => ()
     }
 

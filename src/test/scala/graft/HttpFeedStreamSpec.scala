@@ -307,6 +307,136 @@ class HttpFeedStreamSpec extends SparkSpec {
     }
   }
 
+  /** Two-range token feed (the Cosmos FeedRange shape): each range has
+    * its own independent token chain and head. Range ids "ra"/"rb". */
+  private def withRangedFeed(f: (String, AtomicLong, AtomicLong,
+      ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val heads = Map("ra" -> new AtomicLong(0), "rb" -> new AtomicLong(0))
+    val fetched = new ConcurrentLinkedQueue[String]()
+    def tok(r: String, k: Long): String = s"$r-tok-$k"
+    def parseTok(r: String, t: String): Option[Long] =
+      if (t.isEmpty) Some(-1L)
+      else t.split("-") match {
+        case Array(`r`, "tok", k) => scala.util.Try(k.toLong).toOption
+        case _ => None
+      }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/items", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      def param(name: String): String = query.split("&").collectFirst {
+        case kv if kv.startsWith(name + "=") =>
+          java.net.URLDecoder.decode(kv.substring(name.length + 1),
+            StandardCharsets.UTF_8)
+      }.getOrElse("")
+      def send(status: Int, body: String): Unit = {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) { ex.getResponseBody.write(b); ex.getResponseBody.close() }
+        ex.close()
+      }
+      val r = param("range")
+      heads.get(r) match {
+        case None => send(400, "")
+        case Some(head) => parseTok(r, param("cursor")) match {
+          case None => send(400, "")
+          case Some(pos) =>
+            if (path.endsWith("/head")) {
+              if (pos + 1 < head.get()) send(200, s"""{"next": "${tok(r, pos + 1)}"}""")
+              else send(200, """{"next": null}""")
+            } else {
+              fetched.add(s"$r=$pos")
+              if (pos >= 0 && pos < head.get()) {
+                def item(sfx: String) =
+                  s"""{"id":"$r-p$pos$sfx","Name":"Item_${r}_${pos}_$sfx",
+                     |"LogicalPartition":"Partition_A"}""".stripMargin
+                send(200, s"[${item("a")},${item("b")}]")
+              } else send(404, "")
+            }
+        }
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/items",
+      heads("ra"), heads("rb"), fetched)
+    finally server.stop(0)
+  }
+
+  test("multi-range token cursors: per-range chains, fair budget, per-range resume") {
+    withRangedFeed { (url, headA, headB, fetched) =>
+      val ckptDir = Files.createTempDirectory("graft_rng_ckpt")
+      val ids = new ConcurrentLinkedQueue[String]()
+      val batchSizes = new ConcurrentLinkedQueue[Long]()
+      def start() = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("ranges", "ra,rb")
+        .option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckptDir.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = df.select(col("id")).collect().map(_.getString(0))
+          batchSizes.add(got.length.toLong)
+          got.foreach(ids.add)
+        }.start()
+
+      // an UNBALANCED backlog: the 2-page budget must round-robin, so
+      // range rb (1 page) lands alongside ra's first page in batch one
+      headA.set(4); headB.set(1)
+      val q = start()
+      q.processAllAvailable()
+      assert(ids.size == 10, s"4+1 pages x 2 rows expected, got ${ids.size}")
+      assert(ids.toArray.map(_.toString).count(_.startsWith("rb-")) == 2,
+        "range rb's page did not arrive")
+      // total budget, not per-range: no batch over 2 pages x 2 rows
+      assert(batchSizes.toArray.forall(_.asInstanceOf[Long] <= 4L),
+        s"a batch exceeded the TOTAL 2-page budget: $batchSizes")
+
+      // the offset log carries BOTH ranges' verbatim tokens
+      val logged = java.nio.file.Files.list(ckptDir.resolve("offsets")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .map(_.toString).sorted
+        .flatMap(p => scala.io.Source.fromFile(p, "UTF-8").getLines())
+      assert(logged.exists(l => l.contains("ra-tok-") && l.contains("rb-tok-")),
+        s"per-range tokens missing from the offset log:\n${logged.mkString("\n")}")
+      q.stop()
+
+      // restart: each range resumes from ITS OWN committed token
+      val beforeA0 = fetched.toArray.count(_ == "ra=0")
+      val beforeB0 = fetched.toArray.count(_ == "rb=0")
+      headA.set(5); headB.set(3)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(ids.size == 16, s"per-range resume lost/duplicated rows: ${ids.size}")
+      assert(ids.toArray.distinct.length == 16, "duplicate ids after ranged resume")
+      assert(fetched.toArray.count(_ == "ra=0") == beforeA0 &&
+        fetched.toArray.count(_ == "rb=0") == beforeB0,
+        "restart refetched a committed page — a range's token lease leaked")
+    }
+  }
+
+  test("multi-range AvailableNow drains every range's backlog") {
+    withRangedFeed { (url, headA, headB, _) =>
+      headA.set(3); headB.set(4)
+      val base = Files.createTempDirectory("graft_rng_an")
+      var total = 0L
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("ranges", "ra,rb")
+        .option("maxPagesPerTrigger", "2").load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          total += df.count()
+        }.start()
+      assert(q.awaitTermination(120000),
+        "ranged AvailableNow query did not self-terminate")
+      assert(total == 14, s"ranged AvailableNow drained $total/14 rows")
+    }
+  }
+
   test("Trigger.AvailableNow drains the whole backlog through capped batches") {
     withFeed { (url, head, _, _) =>
       head.set(7) // backlog > maxPagesPerTrigger: needs multiple batches

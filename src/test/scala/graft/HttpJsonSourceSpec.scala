@@ -274,6 +274,51 @@ class HttpJsonSourceSpec extends SparkSpec {
     }
   }
 
+  test("mid-body connection kill: the documented transport-vs-corruption boundary") {
+    // the reader parses the FULL body before emitting any row, so a
+    // mid-body death can never drop a page's tail after rows flowed —
+    // it surfaces at fetch time as one of exactly two cases:
+    //  (a) plain JSON truncated -> a Jackson parse failure ->
+    //      CORRUPTION (throws even in errorAsEmpty: truncated-vs-
+    //      malformed is indistinguishable once the bytes stop);
+    //  (b) gzip frame truncated -> EOFException (transport IO) ->
+    //      forgiven by errorAsEmpty like any dead socket.
+    def killerServer(gzip: Boolean)(f: String => Unit): Unit = {
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/kill", (ex: HttpExchange) => {
+        val full = ("[" + (0 until 200).map(i => s"""{"id":"k$i"}""")
+          .mkString(",") + "]").getBytes(StandardCharsets.UTF_8)
+        val body = if (gzip) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(full); gz.close(); bos.toByteArray
+        } else full
+        if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        // advertise the full length, deliver half, die
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body, 0, body.length / 2)
+        ex.close()
+      })
+      server.start()
+      try f(s"http://127.0.0.1:${server.getAddress.getPort}/kill")
+      finally server.stop(0)
+    }
+    killerServer(gzip = false) { url =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("errorAsEmpty", "true").option("maxRetries", "0").load()
+      val e = intercept[Exception](df.count())
+      assert(e.getMessage.contains("unparseable") ||
+        Option(e.getCause).exists(_.getMessage.contains("unparseable")),
+        s"truncated plain JSON must surface as corruption, got: ${e.getMessage}")
+    }
+    killerServer(gzip = true) { url =>
+      val df = spark.read.format("http-json").option("url", url)
+        .option("errorAsEmpty", "true").option("maxRetries", "0").load()
+      assert(df.count() == 0,
+        "a truncated gzip frame is a transport death — errorAsEmpty forgives it")
+    }
+  }
+
   test("END-TO-END: the batch saga runs against a LIVE endpoint") {
     import graft.pipeline.{ExtractLoadJob, RunAudit, RunLock}
     // the real user wiring: extract = tryReadUrl over the live socket,

@@ -323,9 +323,17 @@ object Dedup {
       maxDocFreq: Int = 8): DataFrame = {
     val fps = docs.select(col("doc_id"),
       explode(graft.functions.Winnow.winnow(col("text"))).as("fp"))
-    val posting = fps.groupBy(col("fp"))
+    // df-cap BEFORE the posting buffer, not after: hot fingerprints
+    // (df > maxDocFreq) number at most |fps|/maxDocFreq, so they
+    // broadcast, and no collect_list buffer can then exceed maxDocFreq
+    // members — the same two-phase valve as Posting.bounded, result-
+    // identical to filtering the built lists
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("fp"))
+    val posting = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDocFreq))
+      .filter(size(col("ds")) >= 2)
     posting
       .select(explode(orderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.a").as("i"), col("p.b").as("j"))
@@ -402,16 +410,31 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("g"))
 
+  /** Gram-level qualification WITHOUT a posting buffer: the old
+    * collect-then-explode shape materialized every gram's full
+    * (doc_id, pos) list in one aggregation row before the nd/maxDocFreq
+    * filter could see it — a boilerplate 5-gram shared by millions of
+    * docs would OOM the buffer (the saxNeighbors hazard class). The
+    * span operators only need per-gram AGGREGATES (distinct-doc count,
+    * occurrence count, owner) plus the qualifying gram rows back — so
+    * qualify on a two-level map-combinable aggregation (no list state
+    * anywhere) and SEMI-JOIN the gram stream against the qualifying
+    * grams. Costs one extra shuffle of the gram stream; bounds memory
+    * at ANY duplication skew and ANY maxDocFreq setting. Returns
+    * (g, cnt, nd, owner) for grams with nd ≥ 2 and cnt ≤ maxDocFreq. */
+  private def spanQualGrams(grams: DataFrame, maxDocFreq: Int): DataFrame =
+    grams.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("g"))
+      .agg(sum(col("_c")).as("cnt"), count(lit(1)).as("nd"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2 && col("cnt") <= maxDocFreq)
+
   def repeatedSpans(docs: DataFrame, n: Int = 5,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val grams = posGrams(docs, n)
-    val posting = grams.groupBy(col("g"))
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"),
-        size(collect_set(col("doc_id"))).as("nd"))
-      .filter(col("nd") >= 2 && size(col("ps")) <= maxDocFreq)
-    val dpos = posting
-      .select(explode(col("ps")).as("p"))
-      .select(col("p.doc_id").as("doc_id"), col("p.pos").as("pos"))
+    val dpos = grams
+      .join(spanQualGrams(grams, maxDocFreq).select(col("g")), Seq("g"))
+      .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dpos
       .withColumn("_grp", col("pos") - row_number().over(w))
@@ -432,8 +455,9 @@ object Dedup {
     * duplicated gram occurrence whose owner is another document. Returns
     * (doc_id, n_tokens, n_removed, text_kept) for EVERY input document.
     *
-    * Scale shape: one posting shuffle keyed by gram (min/width computed
-    * in the same agg), removal positions explode only from non-owner
+    * Scale shape: gram qualification is BUFFERLESS ([[spanQualGrams]] —
+    * map-combinable aggregates + a gram-keyed semi-join, no list state
+    * at any skew), removal positions explode only from non-owner
     * occurrences of duplicated grams (bounded by the duplication volume,
     * not the corpus), and the final pass is a left join of the token
     * stream against the removal set on (doc_id, pos) — co-partitioned by
@@ -443,17 +467,13 @@ object Dedup {
   def applySpanDedup(docs: DataFrame, n: Int = 5,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val grams = posGrams(docs, n)
-    val posting = grams.groupBy(col("g"))
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"),
-        size(collect_set(col("doc_id"))).as("nd"),
-        min(col("doc_id")).as("owner"))
-      .filter(col("nd") >= 2 && size(col("ps")) <= maxDocFreq)
-    val removals = posting
-      .select(col("owner"), explode(col("ps")).as("p"))
-      .filter(col("p.doc_id") =!= col("owner"))
-      .select(col("p.doc_id").as("doc_id"),
-        explode(sequence(col("p.pos"), col("p.pos") + lit(n - 1)))
-          .as("rpos"))
+    // same bufferless qualification as repeatedSpans (see spanQualGrams)
+    val removals = grams
+      .join(spanQualGrams(grams, maxDocFreq).select(col("g"), col("owner")),
+        Seq("g"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rpos"))
       .distinct()
     val toks = docs
       .select(col("doc_id"), posexplode_outer(split(trim(col("text")), "\\s+")))
@@ -734,84 +754,60 @@ object Dedup {
     * within hamming 3 shares at least one chunk, so pairs only ever
     * materialize inside a (chunk-position, chunk-value) posting list.
     *
-    * `maxBucket` is the fat-bucket skew guard: a pathological
-    * near-identical corpus lands thousands of docs on ONE (chunk,
-    * value) posting, whose array then sits in one task and whose
-    * quadratic pair scan runs on one core. Postings larger than the cap
-    * split by a secondary hash of doc_id into `splitGroups` groups; each
-    * unordered group pair (g1 ≤ g2) becomes its own sub-posting holding
-    * only members of those two groups, and a pair is emitted ONLY in the
-    * sub-posting matching its own group pair — every original pair
-    * appears in exactly one sub-posting, so the pair set is IDENTICAL to
-    * the uncapped run (spec-asserted on a degenerate corpus) while the
-    * per-task member array shrinks to ~2/splitGroups of the bucket and
-    * the quadratic scan spreads over splitGroups·(splitGroups+1)/2
-    * tasks. The replication cost ((splitGroups+1)× the fat bucket's
-    * tiny 16-byte entries) only ever applies to oversized postings.
-    * Default Int.MaxValue = never split (the oracle-checked setting). */
+    * `maxBucket` rides the shared [[Posting.bounded]] valve: per-block
+    * counts first, blocks over the cap split into group-pair
+    * sub-postings BEFORE any collect_list — so the aggregation buffer
+    * (not just the pair scan) is bounded even on a pathological
+    * near-identical corpus where one (chunk, value) posting holds
+    * essentially the whole corpus, and the quadratic scan of a split
+    * block spreads over G·(G+1)/2 tasks. [[Posting.owns]] keeps the
+    * pair set IDENTICAL to the uncapped run (spec-asserted on a
+    * degenerate corpus); the default cap is real, not opt-in, because
+    * the split never changes results. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue, splitGroups: Int = 16): DataFrame = {
+      maxBucket: Int = 4096): DataFrame = {
     // Candidate volume inside a chunk bucket is quadratic, and simhash
     // buckets are FAT (similar docs cluster on chunk values by design),
     // so pairs are filtered AT EMISSION instead of materialized-then-
     // distinct-then-filtered: a pair leaves its posting list only if
     // (a) hamming(shi, shj) <= maxHamming, and (b) this is the SMALLEST
     // chunk position on which the two hashes agree — which makes every
-    // qualifying pair unique by construction, so no distinct shuffle at
-    // all. Rejected candidates cost one xor+popcount each and never
-    // allocate a row. (Measured: 40M-candidate emission 3.7s -> 0.6s.)
+    // qualifying pair unique by construction (the chunk-level dedup) on
+    // top of Posting.owns's sub-posting ownership (the split-level
+    // dedup), so no distinct shuffle at all. Rejected candidates cost
+    // one xor+popcount each and never allocate a row. (Measured:
+    // 40M-candidate emission 3.7s -> 0.6s.)
     def chunk(h: Column, cc: Int): Column =
       shiftright(h, cc * 8).bitwiseAND(lit(255L))
-    // members tagged with their split group (whole-bucket rows keep the
-    // tag unused); sub-posting rows are (g1, g2, members)
-    val tagged = transform(col("lst"), e => struct(
-      e.getField("doc_id").as("doc_id"),
-      e.getField("simhash").as("simhash"),
-      pmod(hash(e.getField("doc_id")), lit(splitGroups)).as("g")))
-    val whole = array(struct(lit(-1).as("g1"), lit(-1).as("g2"),
-      tagged.as("members")))
-    val split = flatten(transform(sequence(lit(0), lit(splitGroups - 1)), g1 =>
-      transform(sequence(g1, lit(splitGroups - 1)), g2 =>
-        struct(g1.as("g1"), g2.as("g2"),
-          filter(tagged, e => e.getField("g") === g1 || e.getField("g") === g2)
-            .as("members")))))
-    val mem = col("sb").getField("members")
-    val sameGroupSub = col("sb").getField("g1") === lit(-1) ||
-      col("sb").getField("g1") === col("sb").getField("g2")
-    val kept = flatten(transform(sequence(lit(1), size(mem) - 1), i => {
-      val a = element_at(mem, i)
+    val rows = simhash32(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, 8 * c) & 255"))
+      .select(col("c"), col("chunk"),
+        struct(col("doc_id"), col("simhash")).as("m"))
+    val ms = col("ms")
+    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
+      val a = element_at(ms, i)
       val ha = a.getField("simhash")
       transform(
-        filter(slice(mem, i + 1, size(mem) - i), e => {
+        filter(slice(ms, i + 1, size(ms) - i), e => {
           val hb = e.getField("simhash")
           val noEarlierChunk = (0 until 3).map(cc =>
             (lit(cc) >= col("c")) || (chunk(ha, cc) =!= chunk(hb, cc)))
             .reduce(_ && _)
-          // a (g1,g2) sub-posting owns exactly the pairs whose own group
-          // pair is (g1,g2): both-in-g1 pairs belong to (g1,g1)
-          val groupOwns = sameGroupSub || (a.getField("g") =!= e.getField("g"))
           bit_count(ha.bitwiseXOR(hb)) <= maxHamming && noEarlierChunk &&
-            groupOwns
+            Posting.owns(a, e)
         }),
         e => struct(a.getField("doc_id").as("i"),
           e.getField("doc_id").as("j"),
           bit_count(ha.bitwiseXOR(e.getField("simhash"))).cast("int").as("hd")))
     }))
-    simhash32(docs)
-      .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(simhash, 8 * c) & 255"))
-      .groupBy(col("c"), col("chunk"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("lst"))
-      .filter(size(col("lst")) >= 2)
-      .withColumn("sb",
-        explode(when(size(col("lst")) <= lit(maxBucket), whole).otherwise(split)))
-      .filter(size(mem) >= 2)
+    Posting.bounded(rows, Seq("c", "chunk"), "m", maxBucket)
       // pin the pair-emission width: the posting shuffle is tiny in BYTES,
       // so AQE's byte-based coalescing would run the compute-bound pair
-      // scan on one task (measured 7s single-task on sf0.1). Running it
-      // AFTER the sub-posting explode also spreads a split fat bucket's
-      // sub-postings across tasks instead of leaving them on one.
+      // scan on one task (measured 7s single-task on sf0.1). Fanout also
+      // spreads a split fat block's sub-postings across tasks instead of
+      // leaving them on one.
       .transform(graft.Tables.fanout)
       .select(explode_outer(kept).as("p"))
       .filter(col("p").isNotNull)

@@ -62,13 +62,20 @@ object Posting {
         .select(bc :+ lit(1).as("_G") :+ lit(-1).as("_g1") :+
           lit(-1).as("_g2") :+ col("ms"): _*)
     } else {
-      val fat = rows.groupBy(bc: _*)
+      // the two-phase valve consumes `rows` twice (count pass + posting
+      // build), and detector upstreams are expensive (minhash/simhash
+      // signatures, phash decodes, hour profiles) — pin the posting rows
+      // so the upstream computes ONCE (same persist discipline as
+      // Similarity.lloydCentroids; bench/verify harnesses sweep
+      // operator-internal caches between queries)
+      val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fat = pinned.groupBy(bc: _*)
         .agg(count(lit(1)).as("_cnt"))
         .filter(col("_cnt") > maxBucket)
       // G per block, not a fixed factor: sub-postings stay ≤ maxBucket
       // members however hot the block is
       val g = pmod(hash(m), col("_G"))
-      rows.join(broadcast(fat), blockCols, "left")
+      pinned.join(broadcast(fat), blockCols, "left")
         .withColumn("_G",
           when(col("_cnt").isNull, lit(1L))
             .otherwise(expr(s"(_cnt * 2 + ${maxBucket - 1}) DIV $maxBucket"))

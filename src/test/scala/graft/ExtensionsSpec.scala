@@ -78,8 +78,7 @@ class ExtensionsSpec extends SparkSpec {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val uncapped = pairSet(Dedup.simhashPairs(corpus, 3))
-    val capped = pairSet(Dedup.simhashPairs(corpus, 3,
-      maxBucket = 10, splitGroups = 4))
+    val capped = pairSet(Dedup.simhashPairs(corpus, 3, maxBucket = 10))
     assert(uncapped.size >= 120 * 39 / 2,
       s"corpus not degenerate enough to exercise the split: ${uncapped.size}")
     assert(capped == uncapped,

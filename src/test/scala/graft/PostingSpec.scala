@@ -83,6 +83,65 @@ class PostingSpec extends SparkSpec {
     assert(capped.select("i", "j").distinct().count() == 500L * 499 / 2)
   }
 
+  test("simhashPairs: 400 near-identical docs ride the shared valve, default cap real") {
+    val ss = spark
+    import ss.implicits._
+    // one dominant token multiset: simhashes collide, every (chunk,
+    // value) block holds ~the whole corpus — the buffer-OOM shape
+    val docs = (1L to 400L)
+      .map(i => (i, ("alpha beta gamma delta " * 10) + s"tail${i % 3}"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val un = pairs(Dedup.simhashPairs(docs, 3, maxBucket = Int.MaxValue))
+    val capped = pairs(Dedup.simhashPairs(docs, 3, maxBucket = 32))
+    // ~all within-tail-variant pairs qualify: 3 groups of ~134 docs
+    assert(un.size >= 400 * 60, s"corpus not degenerate enough: ${un.size}")
+    assert(capped == un, "the bounded valve changed simhash's pair set")
+  }
+
+  test("winnowPairs: the df-cap fires BEFORE the posting buffer (anti-join plan)") {
+    val ss = spark
+    import ss.implicits._
+    // 300 identical docs: every fingerprint is hot (df=300 > cap) and
+    // must be EXCLUDED before collect_list; two near-copies that share
+    // nothing with the hot block must still pair
+    val hot = (1L to 300L).map(i => (i, "replicated boilerplate page body " * 6))
+    val near = Seq(
+      901L -> "unique snowflake content alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima",
+      902L -> "unique snowflake content alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima extra")
+    val docs = (hot ++ near).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, minShared = 5, maxDocFreq = 8)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"hot fingerprints are not excluded before the buffer:\n$plan")
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((901L, 902L)),
+      s"expected exactly the planted near pair, got $rows")
+  }
+
+  test("span operators qualify grams with NO posting buffer at any skew") {
+    val ss = spark
+    import ss.implicits._
+    // one 5-gram shared by every doc — the old collect-then-filter
+    // shape would buffer all 500 (doc_id, pos) entries in one row
+    val docs = (1L to 500L)
+      .map(i => (i, s"shared five gram span here unique$i tail"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, n = 5)
+    assert(!spans.queryExecution.executedPlan.toString.contains("collect_list"),
+      "repeatedSpans still materializes a posting buffer")
+    assert(spans.count() == 500, "every doc carries the shared span")
+    // the df valve still governs semantics: capped grams drop
+    assert(Dedup.repeatedSpans(docs, n = 5, maxDocFreq = 100).count() == 0)
+    // applySpanDedup: owner keeps its tokens, every other doc is cut
+    val applied = Dedup.applySpanDedup(docs, n = 5)
+    assert(applied.filter(col("doc_id") === 1L)
+      .head.getAs[Long]("n_removed") == 0L)
+    assert(applied.filter(col("doc_id") =!= 1L)
+      .filter(col("n_removed") === 0L).count() == 0)
+  }
+
   test("phashPairs: 300 identical images, cap 50 — same pairs as uncapped") {
     val ss = spark
     import ss.implicits._

@@ -339,8 +339,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
   }
 
-  test("pair detectors are join-free linear pipelines (posting lists, no self-join, no cache)") {
-    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash").foreach { q =>
+  test("pair detectors are linear posting pipelines (no corpus self-join)") {
+    // ngram/minhash run valve-off by default: strictly join- and
+    // cache-free linear pipelines
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { q =>
       val p = plan(q)
       Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin").foreach(j =>
@@ -348,6 +350,17 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("InMemoryTableScan"),
         s"$q depends on executor cache — the linear pipeline needs none")
     }
+    // simhash runs its REAL default cap: the audited Posting.bounded
+    // valve shape is exactly ONE broadcast fat-count join plus the
+    // compute-once pin of the posting rows — still no corpus self-join,
+    // no shuffled join
+    val p = plan("dedup_simhash")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin")
+      .foreach(j => assert(!p.contains(j),
+        s"dedup_simhash plans a $j — posting-list shape lost"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dedup_simhash's fat-count valve join is missing — is the " +
+        s"default maxBucket real?\n$p")
   }
 
   test("no inferred size() filter re-runs the shingle expression in a scan stage") {

@@ -619,7 +619,7 @@ object Dedup {
       (0 until 4).map(r => element_at(sig, bnd * 4 + r + 1)): _*))
 
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = 4096): DataFrame = {
     // No filter directly on `sig`: predicate pushdown would substitute
     // the whole signature expression into a scan-stage filter and
     // recompute it per row (see ngramJaccardPairs). Shingle-less docs get

@@ -837,7 +837,7 @@ object Multimodal {
     * xor+popcount and never allocate a row.
     * Returns (i, j, dist), i < j. */
   def phashPairs(spark: SparkSession, media: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = 4096): DataFrame = {
     require(maxDist <= 3, s"pigeonhole exactness needs maxDist <= 3, got $maxDist")
     val hashes = pgmPhash(spark, media)
     val rows = hashes

@@ -340,27 +340,31 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("pair detectors are linear posting pipelines (no corpus self-join)") {
-    // ngram/minhash run valve-off by default: strictly join- and
-    // cache-free linear pipelines
-    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { q =>
-      val p = plan(q)
+    // ngram's df-cap is a drop valve (no split machinery): strictly
+    // join- and cache-free linear pipeline
+    locally {
+      val p = plan("dedup_ngram_jaccard")
       Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin").foreach(j =>
-        assert(!p.contains(j), s"$q plans a $j — posting-list shape lost"))
+        assert(!p.contains(j),
+          s"dedup_ngram_jaccard plans a $j — posting-list shape lost"))
       assert(!p.contains("InMemoryTableScan"),
-        s"$q depends on executor cache — the linear pipeline needs none")
+        "dedup_ngram_jaccard depends on executor cache — the linear " +
+          "pipeline needs none")
     }
-    // simhash runs its REAL default cap: the audited Posting.bounded
-    // valve shape is exactly ONE broadcast fat-count join plus the
-    // compute-once pin of the posting rows — still no corpus self-join,
-    // no shuffled join
-    val p = plan("dedup_simhash")
-    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin")
-      .foreach(j => assert(!p.contains(j),
-        s"dedup_simhash plans a $j — posting-list shape lost"))
-    assert(p.contains("BroadcastHashJoin"),
-      s"dedup_simhash's fat-count valve join is missing — is the " +
-        s"default maxBucket real?\n$p")
+    // the split-valve detectors run REAL default caps: the audited
+    // Posting.bounded shape is exactly ONE broadcast fat-count join plus
+    // the compute-once pin of the posting rows — still no corpus
+    // self-join, no shuffled join
+    Seq("dedup_simhash", "dedup_minhash_lsh").foreach { q =>
+      val p = plan(q)
+      Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin")
+        .foreach(j => assert(!p.contains(j),
+          s"$q plans a $j — posting-list shape lost"))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q's fat-count valve join is missing — is the default " +
+          s"maxBucket real?\n$p")
+    }
   }
 
   test("no inferred size() filter re-runs the shingle expression in a scan stage") {

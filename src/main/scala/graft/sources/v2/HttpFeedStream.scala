@@ -368,6 +368,12 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
       TokenOffset(rangeIds.map(_ -> RangeCursor(0L, startToken)).toMap)
     else PageOffset(startPage)
 
+  /** Rotates the round-robin sweep's starting range across triggers:
+    * with budget < |ranges| a fixed sweep order would hand every page
+    * of every trigger to the same (sorted-first) hot range and starve
+    * the rest forever. Fairness only — resets on restart. */
+  private var sweepStart = 0
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cap = capFor(limit)
     if (tokenMode) {
@@ -383,10 +389,13 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
         cur(r) = c.epoch
         live += r
       }
+      val k = sweepStart % rangeIds.size
+      sweepStart += 1
+      val sweepOrder = rangeIds.drop(k) ++ rangeIds.take(k)
       var budget = cap
       while (budget > 0 && live.nonEmpty) {
         // one round-robin sweep over the still-advancing ranges
-        rangeIds.filter(live.contains).foreach { r =>
+        sweepOrder.filter(live.contains).foreach { r =>
           if (budget > 0) {
             val ch = chains(r)
             val n = cur(r)

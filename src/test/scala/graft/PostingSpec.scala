@@ -59,6 +59,70 @@ class PostingSpec extends SparkSpec {
     assert(stats.getLong(2) == 100L * 101 / 2, s"sub-posting count off: ${stats.getLong(2)}")
   }
 
+  test("fat list above broadcastFatMax joins UNHINTED, result identical") {
+    val ss = spark
+    import ss.implicits._
+    // same mixed-size corpus as the ownership test; broadcastFatMax=0
+    // forces the no-hint path a 100 TB fat list (10^7-10^8 entries)
+    // would take — the optimizer must be free to pick a shuffled join
+    // (no forced-broadcast OOM hazard), and the owned pair set must not
+    // move
+    val members = Seq(0 -> 1, 1 -> 3, 2 -> 30, 3 -> 300).flatMap {
+      case (b, n) => (0 until n).map(k => (b, b * 1000L + k))
+    }
+    val rows = members.toDF("block", "id")
+      .select(col("block"), struct(col("id")).as("m"))
+    val unhinted = Posting.bounded(rows, Seq("block"), "m", 50,
+      broadcastFatMax = 0L)
+    assert(!unhinted.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+      "fat join still carries a forced broadcast hint above the gate")
+    val got = ownedPairs(unhinted)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val hinted = ownedPairs(Posting.bounded(rows, Seq("block"), "m", 50))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == hinted, "join strategy changed the owned pair set")
+  }
+
+  test("no fat block: capped path short-circuits to the classic shape") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq((0, 1L), (0, 2L), (0, 3L), (1, 8L), (1, 9L))
+      .toDF("block", "id")
+      .select(col("block"), struct(col("id")).as("m"))
+    val posting = Posting.bounded(rows, Seq("block"), "m", 50)
+    val p = posting.queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin").foreach(j =>
+      assert(!p.contains(j), s"no-fat valve still plans a $j:\n$p"))
+    assert(p.contains("InMemoryTableScan"),
+      s"no-fat valve lost the compute-once pin:\n$p")
+    val got = posting.collect()
+    assert(got.forall(_.getAs[Int]("_g1") == -1))
+    assert(ownedPairs(posting).count() == 3 + 1)
+  }
+
+  test("the pin self-releases at the caller's next action (no sweep needed)") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (0L until 500L).toDF("id")
+      .select((col("id") % 3).as("block"), struct(col("id")).as("m"))
+    val posting = Posting.bounded(rows, Seq("block"), "m", 64)
+    assert(rows.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "valve did not pin its input for the count pass")
+    posting.count() // the consuming action — the release boundary
+    // the QueryExecutionListener fires asynchronously on the bus thread
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (rows.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(rows.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "valve pin still cached after the consuming action — session leak")
+    // the pin was a performance artifact only: recompute is identical
+    // (ids mod 3: blocks of 167, 167, 166 members)
+    assert(ownedPairs(posting).count() ==
+      2L * (167L * 166 / 2) + 166L * 165 / 2)
+  }
+
   test("uncapped path keeps the classic single-aggregation posting shape") {
     val ss = spark
     import ss.implicits._

@@ -34,9 +34,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     feed's `maxItemsPerInvocation` (and of the file stand-in's
   *     `maxFilesPerTrigger`). The PASSED `ReadLimit` is honored, so
   *     `Trigger.AvailableNow` (via `SupportsTriggerAvailableNow`) and
-  *     `Trigger.Once` drain exactly what their contracts promise: the
-  *     AvailableNow wrapper pins the head observed at prepare time and
-  *     runs capped batches until the cursor reaches it.
+  *     `Trigger.Once` drain exactly what their contracts promise: at
+  *     prepare time the drain target is PINNED — the numeric head in
+  *     page mode, a per-range head EPOCH in token mode (one walk of
+  *     each range's chain) — and capped batches run until the cursor
+  *     reaches it, so a feed that keeps publishing cannot keep an
+  *     AvailableNow query alive. A prepare-time head failure throws
+  *     (after the transport retry budget): silently falling back to a
+  *     live head would quietly drain post-start data.
+  *   - **start position**: `startAt = beginning | now` (default
+  *     `beginning`, the Cosmos trigger's `StartFromBeginning=false`
+  *     analogue inverted — an analytics backfill wants history unless
+  *     told otherwise). `now` attaches to a long-lived feed without
+  *     replaying it: page mode reads the numeric head once (and fails
+  *     loudly if unreachable — starting at 0 would replay everything);
+  *     token mode walks each range's chain to its head once at first
+  *     start (O(backlog) tiny head GETs, paid once; a production feed
+  *     with deep history should supply `startToken` instead).
   *   - **at-least-once page fetch, exactly-once rows downstream**: a
   *     re-executed partition re-GETs its page; the change-feed contract
   *     (a cursor's page is immutable once published — Cosmos change
@@ -90,6 +104,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with the same trim/rebuild/diverge-loudly discipline. A single
   * un-ranged chain is exactly the `ranges` singleton with the empty
   * id (no `range` param on the wire).
+  *
+  * **Dynamic range discovery + split/merge** (`discoverRanges=true`,
+  * token mode): the Cosmos model discovers partition-key ranges at
+  * runtime, and ranges SPLIT as throughput grows — the change-feed
+  * processor's lease machinery absorbs this inside the library
+  * (EtlProcess.cs:183-187; lease container config host.json:15-17).
+  * Here the driver polls `GET {rangesUrl}` (default `{url}/ranges`,
+  * response `{"ranges":[{"id":"r1","start":"<token>"}, ...]}` or a
+  * plain id array) at every batch plan:
+  *
+  *   - a NEWLY DISCOVERED range (e.g. a split child) is admitted into
+  *     the offset map at its advertised `start` token (or the global
+  *     `startToken`) with ZERO pages in its admission batch — it
+  *     consumes from the next trigger on. The zero-page rule is what
+  *     makes restart replay self-contained: a range absent from a
+  *     batch's start offset provably has epoch 0 in its end offset,
+  *     so `planInputPartitions` never needs out-of-band state.
+  *   - a VANISHED range (absent from a successful discovery) whose
+  *     chain has drained to its head is TERMINAL: its committed cursor
+  *     stays in every offset verbatim (replay still works) and the
+  *     driver stops polling its head — a split parent retires cleanly
+  *     instead of diverging or error-logging forever. A range that is
+  *     merely missing while discovery itself fails keeps polling (a
+  *     transient discovery outage must not retire live ranges).
+  *   - discovery is SKIPPED while an AvailableNow drain is pinned:
+  *     AvailableNow processes what existed at prepare time; ranges
+  *     born later belong to the next run.
   *
   * Failed page fetches THROW (after the retry budget) — for a stream,
   * dropping a page silently would violate the feed's total order;
@@ -223,11 +264,28 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     }
   private val startToken: String =
     Option(options.get("startToken")).getOrElse("")
-  /** Range ids for multi-range token feeds; Seq("") = one un-ranged
-    * chain (no range param on the wire). */
+  /** `startAt=now` attaches at the live head instead of replaying the
+    * feed (the Cosmos trigger's StartFromBeginning=false shape). */
+  private val startAtNow: Boolean =
+    Option(options.get("startAt")).getOrElse("beginning") match {
+      case "beginning" => false
+      case "now" => true
+      case other => throw new IllegalArgumentException(
+        s"http-feed: startAt must be 'beginning' or 'now', got '$other'")
+    }
+  private val discoverRangesOn: Boolean = {
+    val on = options.getBoolean("discoverRanges", false)
+    require(!on || tokenMode,
+      "http-feed: discoverRanges requires cursorMode=token")
+    on
+  }
+  /** Static range ids for multi-range token feeds; Seq("") = one
+    * un-ranged chain (no range param on the wire). With discovery on
+    * and no static list, the range set is WHOLLY dynamic — no un-ranged
+    * default chain to poll a range-keyed feed without a range param. */
   private val rangeIds: Seq[String] =
     Option(options.get("ranges")) match {
-      case None => Seq("")
+      case None => if (discoverRangesOn) Seq.empty else Seq("")
       case Some(rs) =>
         require(tokenMode, "http-feed: ranges requires cursorMode=token")
         val ids = rs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -235,6 +293,8 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
           s"http-feed: ranges must be distinct non-empty ids, got '$rs'")
         ids.sorted
     }
+  private val rangesUrl: String =
+    Option(options.get("rangesUrl")).getOrElse(s"$url/ranges")
 
   // ---- read-limit plumbing --------------------------------------------
 
@@ -251,14 +311,41 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(maxPagesPerTrigger) // unit here = pages
 
-  /** Head pinned at prepare time for Trigger.AvailableNow (page mode);
-    * token mode drains naturally until every range's `next` runs out. */
+  /** Page mode: head pinned at prepare time for Trigger.AvailableNow. */
   @volatile private var availableNowHead: Option[Long] = None
+  /** Token mode: per-range drain-target epochs pinned at prepare time.
+    * Ranges that surface only in the checkpointed start offset (e.g. a
+    * retired split parent with backlog) are pinned on first sight by
+    * [[availableNowTarget]]. */
+  @volatile private var availableNowTargets: Option[mutable.Map[String, Long]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    if (!tokenMode) {
+    if (tokenMode) {
+      // pin each known range's head EPOCH now: latestOffset stops there,
+      // so a feed that keeps publishing cannot keep the query alive. A
+      // restart with a deep checkpoint re-walks from the start token
+      // (absolute epochs; O(history) tiny head GETs, once per run).
+      val known =
+        if (discoverRangesOn)
+          (rangeIds ++ discoverRanges().getOrElse(throw new IOException(
+            s"http-feed: range discovery $rangesUrl failed while pinning " +
+              "the Trigger.AvailableNow drain target"))).distinct.sorted
+        else rangeIds
+      val targets = mutable.Map.empty[String, Long]
+      known.foreach { r =>
+        targets(r) = walkToHead(r).getOrElse(throw new IOException(
+          s"http-feed: head chain walk (range '$r') failed while pinning " +
+            "the Trigger.AvailableNow drain target"))
+      }
+      availableNowTargets = Some(targets)
+    } else {
       val h = fetchHead()
-      availableNowHead = if (h >= 0) Some(h) else None
+      if (h < 0) throw new IOException(
+        s"http-feed: head poll $headUrl failed while pinning the " +
+          "Trigger.AvailableNow drain target (transport retries " +
+          "exhausted) — failing loudly instead of silently draining a " +
+          "live head")
+      availableNowHead = Some(h)
     }
 
   // ---- page mode: numeric head poll -----------------------------------
@@ -268,7 +355,8 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     * retry already applied inside fetch). Non-2xx or a dead socket
     * means "nothing new observable"; the stream idles at the current
     * offset instead of failing on a transient blip (the next trigger
-    * re-polls). */
+    * re-polls). Start/prepare paths, where idling would silently
+    * change semantics, check for -1 and fail loudly instead. */
   private def fetchHead(): Long =
     try {
       HttpJsonSource.fetch(headUrl, conf) match {
@@ -288,15 +376,24 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
   // ---- token mode: per-range chain walk + cache -------------------------
 
   /** Walked chain cache for one range: `toks(i - base)` = token at
-    * epoch `i` (the token of the i-th consumed page; `startToken` at
-    * epoch 0). Driver memory is bounded: committed prefixes trim on
-    * `commit`, and a restart re-anchors at the start offset's own
-    * token. */
+    * epoch `i` (the token of the i-th consumed page; the range's start
+    * token at epoch 0). Driver memory is bounded: committed prefixes
+    * trim on `commit`, and a restart re-anchors at the start offset's
+    * own token. */
   private final class RangeChain(var base: Long, val toks: ArrayBuffer[String]) {
     def top: Long = base + toks.length - 1
     def at(e: Long): String = toks((e - base).toInt)
   }
   private val chains = mutable.Map.empty[String, RangeChain]
+  /** Per-range start token advertised by discovery (global
+    * `startToken` otherwise). */
+  private val rangeStart = mutable.Map.empty[String, String]
+  private def startTok(r: String): String = rangeStart.getOrElse(r, startToken)
+  /** Ranges retired by a split/merge: drained AND absent from a
+    * successful discovery. Their cursors stay in the offset verbatim;
+    * their heads are no longer polled. Rebuilt per run (a restart
+    * re-polls each once, then re-retires). */
+  private val terminal = mutable.Set.empty[String]
 
   private def enc(t: String): String = URLEncoder.encode(t, StandardCharsets.UTF_8)
 
@@ -361,12 +458,90 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
       }
     }
 
+  /** Walk a range's chain to the CURRENT feed head; Some(head epoch) or
+    * None on a transport failure. Extends (and reuses) the chain cache,
+    * so a subsequent batch re-reads the walked tokens for free. */
+  private def walkToHead(range: String): Option[Long] = {
+    val ch = chains.getOrElseUpdate(range,
+      new RangeChain(0L, ArrayBuffer(startTok(range))))
+    var done = false
+    while (!done) {
+      advance(range, ch.at(ch.top)) match {
+        case Right(Some(t)) => ch.toks += t
+        case Right(None) => done = true
+        case Left(err) =>
+          System.err.println(s"[http-feed] $err (head walk aborted)")
+          return None
+      }
+    }
+    Some(ch.top)
+  }
+
+  /** Poll the ranges endpoint. `Some(ids)` on a well-formed response
+    * (also records advertised per-range start tokens); `None` on a
+    * transport failure or malformed body — the caller must then keep
+    * its current range set (a discovery blip must not retire ranges). */
+  private def discoverRanges(): Option[Seq[String]] =
+    try {
+      HttpJsonSource.fetch(rangesUrl, conf) match {
+        case Right(n) if n.has("ranges") && n.get("ranges").isArray =>
+          val b = Seq.newBuilder[String]
+          var ok = true
+          n.get("ranges").forEach { e =>
+            if (e.isTextual) b += e.asText()
+            else if (e.hasNonNull("id") && e.get("id").isTextual) {
+              val id = e.get("id").asText()
+              b += id
+              if (e.hasNonNull("start") && e.get("start").isTextual)
+                rangeStart(id) = e.get("start").asText()
+            } else ok = false
+          }
+          if (ok) Some(b.result().distinct) else None
+        case Right(_) =>
+          System.err.println(
+            s"[http-feed] ranges poll $rangesUrl returned no 'ranges' array")
+          None
+        case Left(status) =>
+          System.err.println(s"[http-feed] ranges poll $rangesUrl -> $status")
+          None
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[http-feed] ranges poll failed: ${e.getMessage}")
+        None
+    }
+
   // ---- offsets ----------------------------------------------------------
 
   override def initialOffset(): Offset =
-    if (tokenMode)
-      TokenOffset(rangeIds.map(_ -> RangeCursor(0L, startToken)).toMap)
-    else PageOffset(startPage)
+    if (tokenMode) {
+      val initialRanges =
+        if (discoverRangesOn) discoverRanges() match {
+          case Some(ids) => (rangeIds ++ ids).distinct.sorted
+          case None if startAtNow => throw new IOException(
+            s"http-feed: range discovery $rangesUrl failed at first start " +
+              "with startAt=now — cannot resolve the attach position")
+          // beginning-start: missed ranges are admitted by a later
+          // trigger's discovery at their own start tokens, losing nothing
+          case None => rangeIds
+        }
+        else rangeIds
+      if (startAtNow)
+        TokenOffset(initialRanges.map { r =>
+          val head = walkToHead(r).getOrElse(throw new IOException(
+            s"http-feed: head chain walk (range '$r') failed at first " +
+              "start with startAt=now — cannot resolve the attach position"))
+          r -> RangeCursor(head, chains(r).at(head))
+        }.toMap)
+      else
+        TokenOffset(initialRanges.map(r => r -> RangeCursor(0L, startTok(r))).toMap)
+    } else if (startAtNow) {
+      val h = fetchHead()
+      if (h < 0) throw new IOException(
+        s"http-feed: head poll $headUrl failed at first start with " +
+          "startAt=now — starting at page 0 instead would replay the feed")
+      PageOffset(math.max(h, startPage))
+    } else PageOffset(startPage)
 
   /** Rotates the round-robin sweep's starting range across triggers:
     * with budget < |ranges| a fixed sweep order would hand every page
@@ -378,20 +553,47 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     val cap = capFor(limit)
     if (tokenMode) {
       val s = start.asInstanceOf[TokenOffset]
+      // discovery runs at batch planning (not while an AvailableNow
+      // drain is pinned — that run processes what existed at prepare);
+      // None = discovery unavailable this trigger, retire nothing
+      val disc: Option[Seq[String]] =
+        if (discoverRangesOn && availableNowTargets.isEmpty) discoverRanges()
+        else None
+      val known = (s.cursors.keySet ++ rangeIds ++ disc.getOrElse(Nil))
+        .toSeq.sorted
       // the page budget is TOTAL across ranges, spread round-robin so a
       // hot range cannot starve the others; a range stops contributing
-      // when its chain hits the feed head (or a transient head error)
+      // when its chain hits the feed head (or a transient head error),
+      // when it reaches a pinned AvailableNow target, or terminally
+      // when it drained and discovery no longer lists it
       val cur = mutable.Map.empty[String, Long]
       val live = mutable.Set.empty[String]
-      rangeIds.foreach { r =>
-        val c = s.cursors.getOrElse(r, RangeCursor(0L, startToken))
-        anchor(r, c)
-        cur(r) = c.epoch
-        live += r
+      known.foreach { r =>
+        if (!terminal.contains(r)) {
+          val c = s.cursors.getOrElse(r, RangeCursor(0L, startTok(r)))
+          anchor(r, c)
+          cur(r) = c.epoch
+          // a range discovered THIS trigger is admitted with zero pages
+          // (consumes from the next trigger) — the admission batch must
+          // not need the range's start token on replay
+          val admittedNow = !s.cursors.contains(r) && !rangeIds.contains(r)
+          if (!admittedNow) live += r
+        }
       }
-      val k = sweepStart % rangeIds.size
+      // pinned AvailableNow drain targets; pin-on-first-sight covers
+      // checkpointed ranges prepare could not know (e.g. a retired
+      // split parent still carrying backlog)
+      def target(r: String): Long = availableNowTargets match {
+        case Some(m) =>
+          m.getOrElseUpdate(r, walkToHead(r).getOrElse(throw new IOException(
+            s"http-feed: head chain walk (range '$r') failed while " +
+              "pinning its Trigger.AvailableNow drain target — failing " +
+              "loudly instead of silently under-draining")))
+        case None => Long.MaxValue
+      }
+      val k = if (known.isEmpty) 0 else sweepStart % known.size
       sweepStart += 1
-      val sweepOrder = rangeIds.drop(k) ++ rangeIds.take(k)
+      val sweepOrder = known.drop(k) ++ known.take(k)
       var budget = cap
       while (budget > 0 && live.nonEmpty) {
         // one round-robin sweep over the still-advancing ranges
@@ -399,10 +601,13 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
           if (budget > 0) {
             val ch = chains(r)
             val n = cur(r)
-            if (ch.top > n) { cur(r) = n + 1; budget -= 1 }
+            if (n >= target(r)) live -= r // AvailableNow drain target hit
+            else if (ch.top > n) { cur(r) = n + 1; budget -= 1 }
             else advance(r, ch.at(n)) match {
               case Right(Some(t)) => ch.toks += t; cur(r) = n + 1; budget -= 1
-              case Right(None) => live -= r // at this range's head
+              case Right(None) => // at this range's head
+                live -= r
+                if (disc.exists(d => !d.contains(r))) terminal += r
               case Left(err) =>
                 System.err.println(s"[http-feed] $err (idling range)")
                 live -= r
@@ -410,8 +615,10 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
           }
         }
       }
-      TokenOffset(rangeIds.map { r =>
-        r -> RangeCursor(cur(r), chains(r).at(cur(r)))
+      TokenOffset(known.map { r =>
+        if (terminal.contains(r) && !cur.contains(r))
+          r -> s.cursors(r) // retired range: committed cursor verbatim
+        else r -> RangeCursor(cur(r), chains(r).at(cur(r)))
       }.toMap)
     } else {
       val from = start.asInstanceOf[PageOffset].page
@@ -446,9 +653,23 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     if (tokenMode) {
       val s = start.asInstanceOf[TokenOffset]
       val e = end.asInstanceOf[TokenOffset]
-      rangeIds.flatMap { r =>
-        val sc = s.cursors.getOrElse(r, RangeCursor(0L, startToken))
-        val ec = e.cursors.getOrElse(r, sc)
+      // the END offset is authoritative for the batch's range set: a
+      // dynamically admitted range exists there before it ever has a
+      // start-offset entry
+      e.cursors.keys.toSeq.sorted.flatMap { r =>
+        val ec = e.cursors(r)
+        val sc = s.cursors.getOrElse(r,
+          if (rangeIds.contains(r)) RangeCursor(0L, startTok(r))
+          else {
+            // dynamically discovered ranges are admitted with zero
+            // pages, so their first batch is replayable from the end
+            // offset alone
+            require(ec.epoch == 0L,
+              s"http-feed: range '$r' missing from the start offset " +
+                s"with ${ec.epoch} consumed pages — the offset log " +
+                "predates this range's admission batch")
+            ec
+          })
         val ch = anchor(r, sc)
         extendToStrict(r, ch, ec.epoch)
         if (ch.at(ec.epoch) != ec.token) throw new IllegalStateException(

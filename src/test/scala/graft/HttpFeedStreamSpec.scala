@@ -482,6 +482,238 @@ class HttpFeedStreamSpec extends SparkSpec {
     }
   }
 
+  test("startAt=now (page mode) attaches at the live head — history never fetched") {
+    withFeed { (url, head, _, fetched) =>
+      head.set(5) // 5 pages of history that must NOT replay
+      val ckpt = Files.createTempDirectory("graft_feed_now").toString
+      val ids = new ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("startAt", "now")
+        .option("maxPagesPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+      q.processAllAvailable()
+      assert(ids.isEmpty, s"startAt=now replayed history: ${ids.size} rows")
+      head.set(7) // two post-attach pages
+      q.processAllAvailable()
+      q.stop()
+      val got = ids.toArray.map(_.toString).toSet
+      assert(got == Set("p5a", "p5b", "p6a", "p6b"),
+        s"expected exactly the post-attach pages, got $got")
+      assert(!fetched.toArray.map(_.toString).exists(p =>
+        p.stripPrefix("page=").toLong < 5),
+        s"a history page was fetched despite startAt=now: $fetched")
+    }
+  }
+
+  test("startAt=now (token mode) walks to the head once, observes only new pages") {
+    withTokenFeed { (url, head, fetched) =>
+      head.set(3)
+      val ckpt = Files.createTempDirectory("graft_tok_now").toString
+      val ids = new ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("startAt", "now").option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+      q.processAllAvailable()
+      assert(ids.isEmpty, s"token startAt=now replayed history: ${ids.size} rows")
+      head.set(5)
+      q.processAllAvailable()
+      q.stop()
+      val got = ids.toArray.map(_.toString).toSet
+      assert(got == Set("p3a", "p3b", "p4a", "p4b"),
+        s"expected exactly the post-attach token pages, got $got")
+      assert(!fetched.toArray.map(_.toString).exists(p =>
+        p.stripPrefix("page=").toLong < 3),
+        s"a history page was fetched despite startAt=now: $fetched")
+    }
+  }
+
+  test("token-mode AvailableNow pins the prepare-time backlog — a live feed can't extend it") {
+    withTokenFeed { (url, head, _) =>
+      head.set(4)
+      val base = Files.createTempDirectory("graft_tok_an_pin")
+      val total = new AtomicLong(0)
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          total.addAndGet(df.count())
+          // the feed keeps publishing MID-DRAIN: without the pinned
+          // per-range target epoch, latestOffset would chase this head
+          // and the pre-fix query would drain 10 pages (or never stop
+          // against a steadily growing feed)
+          head.set(10); ()
+        }.start()
+      assert(q.awaitTermination(120000),
+        "pinned AvailableNow query did not self-terminate")
+      assert(total.get() == 8,
+        s"AvailableNow drained ${total.get()}/8 rows — the prepare-time " +
+          "pin leaked (post-start pages were consumed)")
+    }
+  }
+
+  test("page-mode AvailableNow prepare fails LOUDLY on a dead head (no silent live drain)") {
+    withFeed { (url, head, headFails, _) =>
+      head.set(3)
+      headFails.set(100) // outlasts the transport retry budget
+      val base = Files.createTempDirectory("graft_feed_an_fail")
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").option("maxRetries", "1").load()
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000)
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(failed).exists(m => m != null &&
+        m.contains("pinning the Trigger.AvailableNow drain target")),
+        s"query failed for the wrong reason: ${chain(failed).mkString(" <- ")}")
+    }
+  }
+
+  /** Split-capable discovered-range feed: `/items/ranges` advertises the
+    * CURRENT range set (the Cosmos FeedRange discovery shape); each
+    * range has its own token chain (`<r>-tok-<k>`) and head counter. A
+    * split retires the parent (its chain stays drained at its final
+    * head — still answerable, never growing) and advertises children. */
+  private def withSplitFeed(f: (String,
+      scala.collection.concurrent.TrieMap[String, AtomicLong],
+      java.util.concurrent.atomic.AtomicReference[Seq[String]],
+      ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val heads = scala.collection.concurrent.TrieMap[String, AtomicLong]()
+    val advertised = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+    val polls = new ConcurrentLinkedQueue[String]() // head+page+ranges calls
+    def tok(r: String, k: Long): String = s"$r-tok-$k"
+    def parseTok(r: String, t: String): Option[Long] =
+      if (t.isEmpty) Some(-1L)
+      else if (t.startsWith(s"$r-tok-"))
+        scala.util.Try(t.stripPrefix(s"$r-tok-").toLong).toOption
+      else None
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/items", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      def param(name: String): String = query.split("&").collectFirst {
+        case kv if kv.startsWith(name + "=") =>
+          java.net.URLDecoder.decode(kv.substring(name.length + 1),
+            StandardCharsets.UTF_8)
+      }.getOrElse("")
+      def send(status: Int, body: String): Unit = {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) { ex.getResponseBody.write(b); ex.getResponseBody.close() }
+        ex.close()
+      }
+      if (path.endsWith("/ranges")) {
+        polls.add("ranges")
+        send(200, advertised.get().map(r => s"""{"id":"$r"}""")
+          .mkString("""{"ranges":[""", ",", "]}"))
+      } else {
+        val r = param("range")
+        heads.get(r) match {
+          case None => send(400, "")
+          case Some(head) => parseTok(r, param("cursor")) match {
+            case None => send(400, "")
+            case Some(pos) =>
+              if (path.endsWith("/head")) {
+                polls.add(s"head:$r")
+                if (pos + 1 < head.get()) send(200, s"""{"next": "${tok(r, pos + 1)}"}""")
+                else send(200, """{"next": null}""")
+              } else {
+                polls.add(s"page:$r=$pos")
+                if (pos >= 0 && pos < head.get()) {
+                  def item(sfx: String) =
+                    s"""{"id":"$r-p$pos$sfx","Name":"Item_${r}_${pos}_$sfx",
+                       |"LogicalPartition":"Partition_A"}""".stripMargin
+                  send(200, s"[${item("a")},${item("b")}]")
+                } else send(404, "")
+              }
+          }
+        }
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/items",
+      heads, advertised, polls)
+    finally server.stop(0)
+  }
+
+  test("range SPLIT mid-stream: children admitted, parent retired terminal, exactly-once across restart") {
+    withSplitFeed { (url, heads, advertised, polls) =>
+      val ckptDir = Files.createTempDirectory("graft_split_ckpt")
+      val ids = new ConcurrentLinkedQueue[String]()
+      def start() = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("discoverRanges", "true")
+        .option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckptDir.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+
+      // phase 1: one parent range with 3 pages, discovered dynamically
+      // (no static `ranges` option at all)
+      heads.put("ra", new AtomicLong(3))
+      advertised.set(Seq("ra"))
+      val q = start()
+      q.processAllAvailable()
+      assert(ids.size == 6, s"parent backlog: expected 6 rows, got ${ids.size}")
+      q.stop() // kill at the worst moment: the split happens while down
+
+      // phase 2: SPLIT — the parent drains (head frozen at 3) and the
+      // feed now advertises two children with fresh chains
+      heads.put("rb", new AtomicLong(2))
+      heads.put("rc", new AtomicLong(1))
+      advertised.set(Seq("rb", "rc"))
+      val q2 = start()
+      q2.processAllAvailable()
+      assert(ids.size == 12,
+        s"split admission lost/duplicated rows: ${ids.size} (want 12)")
+      assert(ids.toArray.distinct.length == 12,
+        "duplicate ids across the split — admission broke exactly-once")
+      assert(ids.toArray.map(_.toString).count(_.startsWith("rb-")) == 4 &&
+        ids.toArray.map(_.toString).count(_.startsWith("rc-")) == 2,
+        s"children under-consumed: ${ids.toArray.mkString(",")}")
+
+      // phase 3: the drained, un-advertised parent is TERMINAL — its
+      // head is no longer polled while live ranges keep polling
+      q2.processAllAvailable()
+      val raBefore = polls.toArray.count(_ == "head:ra")
+      val rbBefore = polls.toArray.count(_ == "head:rb")
+      Thread.sleep(800) // continuous trigger keeps planning batches
+      val raAfter = polls.toArray.count(_ == "head:ra")
+      val rbAfter = polls.toArray.count(_ == "head:rb")
+      assert(rbAfter > rbBefore,
+        "trigger loop stalled — terminal assertion would be vacuous")
+      assert(raAfter == raBefore,
+        s"retired parent still polled: $raBefore -> $raAfter head polls")
+
+      // phase 4: children keep flowing after the split
+      heads("rb").set(4)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(ids.size == 16 && ids.toArray.distinct.length == 16,
+        s"post-split growth lost/duplicated rows: ${ids.size} (want 16)")
+    }
+  }
+
   test("FULL PIPELINE: the transform leg rides the http-feed change feed") {
     // the reference's §3.2 leg with a store-native feed instead of the
     // landing-zone file stream: http-feed source -> TransformStream's

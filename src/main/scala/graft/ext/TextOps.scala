@@ -902,25 +902,33 @@ object TextOps {
       maxGridCardinality: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // single-partition cumulative window over the grid — safe by
-    // construction because the grid cardinality is guarded below
+    // construction because the grid cardinality is guarded below.
+    // The total weight `_n` rides a FULL-FRAME window over the same
+    // grid instead of a crossJoin(broadcast(agg)) — the medianMadOfGrid
+    // fusion applied here too: one subplan, no broadcast-build job, and
+    // no second evaluation of the grid for the 1-row total (measured
+    // -1 job on events_convert_median).
     val w = Window.orderBy(col("_s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = grid.withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
-    // the guard is fused into `_n` (which `idx` consumes) so column
-    // pruning can never drop it
-    val tot = grid.agg(sum(col("_c")).as("_n"), count(lit(1)).as("_g"))
-      .select(when(col("_g") > maxGridCardinality,
+    val wAll = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the guard is fused into `_n` (which `idx` consumes, and of which
+    // exactly one row survives the median filter) so column pruning
+    // can never drop it
+    val cum = grid
+      .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .withColumn("_n",
+        when(count(lit(1)).over(wAll) > maxGridCardinality,
           raise_error(concat(
             lit("lowerMedian: score grid cardinality "),
-            col("_g").cast("string"),
+            count(lit(1)).over(wAll).cast("string"),
             lit(s" exceeds $maxGridCardinality — quantize the score to a" +
               " bounded integral grid before calling madOutliers"))))
-        .otherwise(col("_n")).as("_n"))
+        .otherwise(sum(col("_c")).over(wAll)))
     // target index (n-1) div 2; floor keeps it integral after the
     // double division (exact below 2^53)
     val idx = floor((col("_n") - 1) / 2)
-    cum.crossJoin(broadcast(tot))
-      .filter(col("_below") <= idx && idx < col("_below") + col("_c"))
+    cum.filter(col("_below") <= idx && idx < col("_below") + col("_c"))
       .select(col("_s").as("_med"), col("_n"))
   }
 

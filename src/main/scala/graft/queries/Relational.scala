@@ -427,21 +427,29 @@ object Relational {
 
     // ---- lag-7 autocorrelation of the daily event count (weekly
     // seasonality readout). Daily counts, their moment sums, and the
-    // aligned-pair cross sums are all exact longs; the pairing is an
-    // equi-join on date+7 (no window, no sort); r is one fixed IEEE
-    // chain over the exact sums, mirrored token-for-token in the oracle.
+    // aligned-pair cross sums are all exact longs. ONE pipeline: the
+    // lag-7 partner rides a [-7,-7] range-frame window over the DAILY
+    // GRID (calendar-bounded, single partition — the grid-window
+    // contract of lowerMedianOfGrid), pairing x(d) with x(d-7) exactly
+    // when that date exists, so every moment sum folds into one final
+    // aggregate — no self-join, no 1-row crossJoin broadcast builds
+    // (census: 3 jobs / 7 stages -> 1 job). r is one fixed IEEE chain
+    // over the exact sums, mirrored token-for-token in the oracle.
     "events_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val daily = graft.Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
-      val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
-        sum(col("x") * col("x")).as("s2"))
-      val a = daily.select(col("d"), col("x").as("ax"))
-      val b = daily.select(col("d").as("bd"), col("x").as("bx"))
-      val pstats = a.join(b, date_add(col("d"), 7) === col("bd"))
-        .agg(count(lit(1)).as("np"), sum(col("ax") * col("bx")).as("c"),
-          sum(col("ax")).as("sh"), sum(col("bx")).as("st"))
+        .withColumn("_dn", unix_date(col("d")))
+      // the count published exactly 7 days earlier (null on a gap): a
+      // [-7,-7] range frame holds 0 or 1 rows, so max() IS the value
+      val w = Window.orderBy(col("_dn")).rangeBetween(-7, -7)
       val xb = col("s1").cast("double") / col("n")
-      stats.crossJoin(pstats)
+      daily.withColumn("_a", max(col("x")).over(w))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          count(col("_a")).as("np"), sum(col("_a") * col("x")).as("c"),
+          sum(col("_a")).as("sh"),
+          sum(when(col("_a").isNotNull, col("x"))).as("st"))
         .select(col("n").as("n_days"), col("np").as("n_pairs"),
           round(((col("c").cast("double") - xb * (col("sh") + col("st")) +
             col("np") * (xb * xb)) /
@@ -454,14 +462,22 @@ object Relational {
     // the per-user delta table collapses to its distinct-seconds grid,
     // nothing corpus-sized sorts.
     "events_convert_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val ev = graft.Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(v, Seq("user_id"))
-        .filter(col("ts") > col("v_ts"))
-        .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("p_ts"))
+      // each user's first view rides a user-partitioned window instead
+      // of a separate view-table join: the per-user aggregate and the
+      // purchase filter then share ONE user_id shuffle (census: 2 jobs
+      // / 6 stages -> 1 job — the join's broadcast-build job is gone,
+      // and at scale there is no per-user build side to broadcast or
+      // shuffle a second time)
+      val wu = Window.partitionBy(col("user_id"))
+      val p = ev
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .filter(col("event_type") === "purchase" && col("ts") > col("v_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("p_ts"), min(col("v_ts")).as("v_ts"))
       val deltas = p.select(
         ((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
           .cast("long")).as("_um"))

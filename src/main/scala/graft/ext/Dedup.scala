@@ -643,30 +643,29 @@ object Dedup {
     // `maxBucket` bounds every posting buffer via Posting.bounded's
     // two-phase split (never changes the pair set); ownership at
     // emission keeps split sub-postings from inflating the
-    // pre-distinct candidate volume
-    val ms = col("ms")
-    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
-      val a = element_at(ms, i)
-      transform(
-        filter(slice(ms, i + 1, size(ms) - i), e => Posting.owns(a, e)),
-        e => struct(a.getField("doc_id").as("i"),
-          e.getField("doc_id").as("j"),
-          a.getField("sig").as("sigi"), e.getField("sig").as("sigj")))
-    }))
-    Posting.bounded(rows, Seq("band", "bh"), "m", maxBucket)
-      // pin the pair-emission width: the posting shuffle is tiny in BYTES,
-      // so AQE's byte-based coalescing would run the compute-bound pair
-      // explode on one task (measured 7s single-task on sf0.1)
-      .transform(graft.Tables.fanout)
-      .select(explode_outer(kept).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.sigi").as("sigi"), col("p.sigj").as("sigj"))
-      .distinct() // a pair can collide in several bands
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sigi"), col("sigj"), (x, y) => x === y),
-          eq => eq)).cast("double") / 16.0)
+    // pre-distinct candidate volume; streamPairs keeps the emission
+    // itself O(|ms|·struct) per task (never the C(|ms|,2) pair array)
+    Posting.streamPairs(
+        Posting.bounded(rows, Seq("band", "bh"), "m", maxBucket)
+          // pin the pair-emission width: the posting shuffle is tiny in
+          // BYTES, so AQE's byte-based coalescing would run the
+          // compute-bound pair explode on one task (measured 7s
+          // single-task on sf0.1)
+          .transform(graft.Tables.fanout))
+      .filter(Posting.owns(col("a"), col("b")))
+      // est_jaccard at EMISSION, threshold BEFORE the cross-band
+      // distinct: the dedup shuffle then carries 24-byte qualifying
+      // (i, j, est) rows instead of full signature pairs (~12x fewer
+      // bytes, sub-threshold candidates never shuffled at all —
+      // SkewProbe measured the sig-carrying distinct as the dominant
+      // cost of a planted 2e4-identical-doc block). est is a pure
+      // function of the pair, so filter-then-distinct is result-
+      // identical to distinct-then-filter.
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          eq => eq)).cast("double") / 16.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .distinct() // a pair can collide in several bands
       .select(col("i"), col("j"), col("est_jaccard"))
   }
 
@@ -789,33 +788,25 @@ object Dedup {
       .withColumn("chunk", expr("shiftright(simhash, 8 * c) & 255"))
       .select(col("c"), col("chunk"),
         struct(col("doc_id"), col("simhash")).as("m"))
-    val ms = col("ms")
-    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
-      val a = element_at(ms, i)
-      val ha = a.getField("simhash")
-      transform(
-        filter(slice(ms, i + 1, size(ms) - i), e => {
-          val hb = e.getField("simhash")
-          val noEarlierChunk = (0 until 3).map(cc =>
-            (lit(cc) >= col("c")) || (chunk(ha, cc) =!= chunk(hb, cc)))
-            .reduce(_ && _)
-          bit_count(ha.bitwiseXOR(hb)) <= maxHamming && noEarlierChunk &&
-            Posting.owns(a, e)
-        }),
-        e => struct(a.getField("doc_id").as("i"),
-          e.getField("doc_id").as("j"),
-          bit_count(ha.bitwiseXOR(e.getField("simhash"))).cast("int").as("hd")))
-    }))
-    Posting.bounded(rows, Seq("c", "chunk"), "m", maxBucket)
-      // pin the pair-emission width: the posting shuffle is tiny in BYTES,
-      // so AQE's byte-based coalescing would run the compute-bound pair
-      // scan on one task (measured 7s single-task on sf0.1). Fanout also
-      // spreads a split fat block's sub-postings across tasks instead of
-      // leaving them on one.
-      .transform(graft.Tables.fanout)
-      .select(explode_outer(kept).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hd").as("hd"))
+    val ha = col("a.simhash")
+    val hb = col("b.simhash")
+    // the pigeonhole ownership test reads the chunk index `c`, carried
+    // through the streamed emission with the other block columns
+    val noEarlierChunk = (0 until 3).map(cc =>
+      (lit(cc) >= col("c")) || (chunk(ha, cc) =!= chunk(hb, cc)))
+      .reduce(_ && _)
+    Posting.streamPairs(
+        Posting.bounded(rows, Seq("c", "chunk"), "m", maxBucket)
+          // pin the pair-emission width: the posting shuffle is tiny in
+          // BYTES, so AQE's byte-based coalescing would run the
+          // compute-bound pair scan on one task (measured 7s single-task
+          // on sf0.1). Fanout also spreads a split fat block's
+          // sub-postings across tasks instead of leaving them on one.
+          .transform(graft.Tables.fanout))
+      .filter(bit_count(ha.bitwiseXOR(hb)) <= maxHamming && noEarlierChunk &&
+        Posting.owns(col("a"), col("b")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(ha.bitwiseXOR(hb)).cast("int").as("hd"))
   }
 
   /** Blocked fuzzy record linkage: candidate pairs must share a blocking

@@ -847,24 +847,14 @@ object Multimodal {
         expr("shiftright(phash, c * 14) & 16383"))
       .select(col("c"), col("chunk"),
         struct(col("media_id"), col("phash")).as("m"))
-    val ms = col("ms")
-    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
-      val a = element_at(ms, i)
-      val ha = a.getField("phash")
-      transform(
-        filter(slice(ms, i + 1, size(ms) - i), e =>
-          Posting.owns(a, e) &&
-            bit_count(ha.bitwiseXOR(e.getField("phash"))) <= maxDist),
-        e => struct(a.getField("media_id").as("i"),
-          e.getField("media_id").as("j"),
-          bit_count(ha.bitwiseXOR(e.getField("phash"))).cast("int")
-            .as("dist")))
-    }))
-    Posting.bounded(rows, Seq("c", "chunk"), "m", maxBucket)
-      .transform(graft.Tables.fanout)
-      .select(explode_outer(kept).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.dist").as("dist"))
+    Posting.streamPairs(
+        Posting.bounded(rows, Seq("c", "chunk"), "m", maxBucket)
+          .transform(graft.Tables.fanout))
+      .filter(Posting.owns(col("a"), col("b")) &&
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= maxDist)
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("int").as("dist"))
       .distinct() // a pair can collide in several chunk positions
   }
 }

@@ -165,4 +165,55 @@ object Posting {
   def owns(a: Column, b: Column): Column =
     col("_g1") === -1 || col("_g1") === col("_g2") ||
       pmod(hash(a), col("_G")) =!= pmod(hash(b), col("_G"))
+
+  /** STREAMED pair emission from a bounded posting: a lazy
+    * `mapPartitions` iterator yields one (a, b) member pair at a time,
+    * so peak task memory is O(|ms| · structSize) — one posting row's
+    * member array — no matter how many pairs the row owns. Output:
+    * every non-`ms` posting column (block keys, `_G`/`_g1`/`_g2` for
+    * [[owns]]) plus member-struct columns `a` and `b` (a before b in
+    * the sorted array, so emitted keys are already ordered); callers
+    * apply their distance filter, [[owns]], and the output projection
+    * as ordinary codegen Columns downstream.
+    *
+    * Why not Catalyst expressions: EVERY expression shape was measured
+    * to materialize the quadratic pair set of one posting row at once
+    * (SkewProbe, n=2·10⁴ identical docs at sf1, OOM at any heap):
+    * `flatten(transform(...))` builds the full C(|ms|, 2) array as one
+    * value, and chained explodes are worse in disguise — codegen
+    * `GenerateExec` appends every joined output row to its
+    * `BufferedRowIterator` as an `UnsafeRow.copy()` (each copy carrying
+    * the whole `ms` array it joins in) with `shouldStop()` checked only
+    * OUTSIDE the generate loop, so one input row's entire expansion
+    * buffers before the consumer can drain — multi-GB per posting row
+    * at the real default cap. A shuffle between anchor and pair explode
+    * would bound the buffer but materializes pair-volume bytes with the
+    * fat `ms` payload attached. The typed iterator is the one shape
+    * whose laziness Spark guarantees (the SerializeFromObject consumer
+    * pulls one pair at a time); its serde cost rides the inherently
+    * quadratic emission loop, measured ~neutral at fixture scale. */
+  def streamPairs(posting: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    val schema = posting.schema
+    val msIdx = schema.fieldIndex("ms")
+    val mtype = schema("ms").dataType.asInstanceOf[ArrayType].elementType
+    val keepIdx = schema.fields.indices.filter(_ != msIdx)
+    val outSchema = StructType(
+      keepIdx.map(schema.fields) ++
+        Seq(StructField("a", mtype), StructField("b", mtype)))
+    posting.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ms = r.getSeq[Row](msIdx)
+        val base = keepIdx.map(r.get)
+        val n = ms.length
+        (0 until n - 1).iterator.flatMap { i =>
+          val a = ms(i)
+          ((i + 1) until n).iterator.map { j =>
+            Row.fromSeq(base :+ a :+ ms(j))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -108,31 +108,24 @@ object TimeSeries {
               col("series")).as("m"))
       }
     val posting = Posting.bounded(posts, Seq("word", "band"), "m", maxBucket)
-    val ms = col("ms")
     def l1(a: Column, b: Column): Column =
       aggregate(zip_with(a.getField("series"), b.getField("series"),
         (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v)
-    // filter AT EMISSION: a rejected candidate costs 24 abs-diffs and
-    // never allocates a pair struct (the simhashPairs discipline)
-    val kept = flatten(transform(sequence(lit(1), size(ms) - 1), i => {
-      val a = element_at(ms, i)
-      transform(
-        filter(slice(ms, i + 1, size(ms) - i), e =>
-          (a.getField("res") || e.getField("res")) && Posting.owns(a, e) &&
-            l1(a, e) * 10 <= (a.getField("total") + e.getField("total")) *
-              relTenths),
-        e => struct(a.getField("key").as("k1"), e.getField("key").as("k2"),
-          l1(a, e).as("dist"),
-          (a.getField("total") + e.getField("total")).as("n_events")))
-    }))
-    posting
-      // pin the pair-emission width: the posting shuffle is tiny in
-      // BYTES, so AQE's byte-based coalescing would run the
-      // compute-bound pair scan on one task
-      .transform(graft.Tables.fanout)
-      .select(col("word"), explode_outer(kept).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("word"), col("p.k1").as("k1"), col("p.k2").as("k2"),
-        col("p.dist").as("dist"), col("p.n_events").as("n_events"))
+    // filter DIRECTLY ON THE STREAMED PAIRS: a rejected candidate costs
+    // 24 abs-diffs in the codegen filter and never reaches the
+    // projection (the simhashPairs discipline)
+    Posting.streamPairs(
+        posting
+          // pin the pair-emission width: the posting shuffle is tiny in
+          // BYTES, so AQE's byte-based coalescing would run the
+          // compute-bound pair scan on one task
+          .transform(graft.Tables.fanout))
+      .filter((col("a.res") || col("b.res")) &&
+        Posting.owns(col("a"), col("b")) &&
+        l1(col("a"), col("b")) * 10 <=
+          (col("a.total") + col("b.total")) * relTenths)
+      .select(col("word"), col("a.key").as("k1"), col("b.key").as("k2"),
+        l1(col("a"), col("b")).as("dist"),
+        (col("a.total") + col("b.total")).as("n_events"))
   }
 }

@@ -102,6 +102,7 @@ class PlanQualitySpec extends SparkSpec {
       // check below is exactly the future regression the pin would
       // have hidden.
       val audited = Set(
+        "events_autocorr",       // lag-7 range frame over the calendar-bounded daily grid
         "events_convert_median", // per-conversion medians on the bounded value grid
         "q42_mom_change",        // per-month series (months, not rows)
         "quality_mad_outliers",  // score GRID windows, lowerMedian-guarded

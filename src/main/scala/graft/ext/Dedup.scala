@@ -811,42 +811,58 @@ object Dedup {
 
   /** Blocked fuzzy record linkage: candidate pairs must share a blocking
     * key, so the quadratic edit-distance comparison only runs within
-    * blocks — an equi-join on the block columns, never a cross product.
+    * blocks — never a cross product.
     *
     * Uses Spark's bounded `levenshtein(l, r, threshold)`, which abandons
     * a pair as soon as the running distance exceeds `maxDist` — per-pair
     * cost O(len·maxDist) instead of O(len²) — behind a LENGTH-BAND
-    * prune in the join condition: edit distance is at least the length
-    * difference, so |len(a)−len(b)| > maxDist pairs are discarded by an
-    * integer compare of PRE-COMPUTED per-row lengths before the DP ever
-    * runs (at sf1 this is most of each block's quadratic candidate
-    * set). At 100 TB the blocking key IS the algorithm: a natural
-    * composite key here; sorted-neighborhood windows or phonetic keys
-    * for free text. Skewed blocks (one huge blocking value) should be
-    * length-bucketed before pairing.
+    * prune: edit distance is at least the length difference, so
+    * |len(a)−len(b)| > maxDist pairs are discarded by an integer compare
+    * of PRE-COMPUTED per-row lengths before the DP ever runs (at sf1
+    * this is most of each block's quadratic candidate set). At 100 TB
+    * the blocking key IS the algorithm: a natural composite key here;
+    * sorted-neighborhood windows or phonetic keys for free text.
+    *
+    * `maxBucket` rides the shared [[Posting.bounded]] valve like every
+    * other pair detector: block members collect into bounded posting
+    * lists, a degenerate hot blocking value (one brand/size holding a
+    * 10⁵-member block) splits into G-group sub-postings BEFORE the
+    * quadratic scan, so the scan spreads over G·(G+1)/2 tasks instead
+    * of serializing onto the one join task that owns the hot key —
+    * previously this was the ONLY detector a hot block could turn into
+    * a single multi-hour straggler. [[Posting.owns]] keeps the pair set
+    * IDENTICAL to the uncapped run (split, not drop; spec-asserted on a
+    * degenerate block), and [[Posting.streamPairs]] keeps emission
+    * memory O(|ms|), never the C(|ms|,2) pair array. The length band
+    * and the bounded DP run as codegen Columns downstream of emission.
     *
     * Output: blockCols ++ (k1, k2, dist) with k1 < k2, dist <= maxDist.
     */
   def editDistancePairs(df: DataFrame, keyCol: String, strCol: String,
-      blockCols: Seq[String], maxDist: Int): DataFrame = {
+      blockCols: Seq[String], maxDist: Int,
+      maxBucket: Int = 4096): DataFrame = {
     require(blockCols.nonEmpty,
       "editDistancePairs requires at least one blocking column — without " +
         "blocks the pairing is an unbounded cross product")
-    val a = df.select((blockCols :+ keyCol :+ strCol).map(col): _*)
-      .withColumn("_l1", length(col(strCol)))
-    val b = blockCols.foldLeft(
-        a.withColumnRenamed(keyCol, "_k2").withColumnRenamed(strCol, "_s2")
-          .withColumnRenamed("_l1", "_l2")) {
-      (d, bc) => d.withColumnRenamed(bc, s"_b_$bc")
-    }
-    val cond = blockCols.map(bc => col(bc) === col(s"_b_$bc"))
-      .reduce(_ && _) && col(keyCol) < col("_k2") &&
-      abs(col("_l1") - col("_l2")) <= maxDist // necessary for dist <= maxDist
-    a.join(b, cond)
-      .withColumn("dist", levenshtein(col(strCol), col("_s2"), maxDist))
+    // key first in the member struct: sort_array orders postings by key,
+    // so emitted (a, b) already satisfy a.k <= b.k
+    val rows = df.select(blockCols.map(col) :+
+      struct(col(keyCol).as("k"), length(col(strCol)).as("l"),
+        col(strCol).as("s")).as("m"): _*)
+    Posting.streamPairs(
+        Posting.bounded(rows, blockCols, "m", maxBucket)
+          // pin the pair-emission width (see minhashLshPairs): the
+          // posting shuffle is tiny in bytes, and the DP scan is
+          // compute-bound — AQE coalescing or a handful of fat blocks
+          // must not serialize it onto one task
+          .transform(graft.Tables.fanout))
+      .filter(col("a.k") < col("b.k") &&
+        abs(col("a.l") - col("b.l")) <= maxDist && // necessary for dist<=maxDist
+        Posting.owns(col("a"), col("b")))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
       .filter(col("dist") >= 0) // bounded levenshtein returns -1 past maxDist
       .select(blockCols.map(col) ++
-        Seq(col(keyCol).as("k1"), col("_k2").as("k2"), col("dist")): _*)
+        Seq(col("a.k").as("k1"), col("b.k").as("k2"), col("dist")): _*)
   }
 
   /** Segment-level (paragraph) dedup, CCNet-style: the corpus is cut into

@@ -218,4 +218,29 @@ class PostingSpec extends SparkSpec {
     assert(capped.filter(col("dist") =!= 0).count() == 0)
     assert(capped.select("i", "j").distinct().count() == 300L * 299 / 2)
   }
+
+  test("editDistancePairs: degenerate hot block rides the valve — same pairs as uncapped") {
+    val ss = spark
+    import ss.implicits._
+    // 300 rows on ONE (blk, sz) blocking key — the shape that used to
+    // serialize the whole quadratic scan onto one join task. Strings
+    // "widget" + z^(i%6) spread lengths 0..5, so maxDist=2 keeps some
+    // pairs (dist = length diff for suffix-appends) and prunes others —
+    // the valve must preserve BOTH decisions exactly.
+    val df = (0 until 300).map(i => (i.toLong, "A", 1, "widget" + ("z" * (i % 6))))
+      .toDF("id", "blk", "sz", "name")
+    def pairs(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getAs[Long]("k1"), r.getAs[Long]("k2"),
+        r.getAs[Int]("dist"))).toSet
+    val un = pairs(Dedup.editDistancePairs(df, "id", "name", Seq("blk", "sz"),
+      maxDist = 2, maxBucket = Int.MaxValue))
+    val capped = pairs(Dedup.editDistancePairs(df, "id", "name", Seq("blk", "sz"),
+      maxDist = 2, maxBucket = 32)) // 300 > 32: G = 19, the split engages
+    val expect = (for {
+      i <- 0 until 300; j <- (i + 1) until 300
+      d = math.abs(i % 6 - j % 6) if d <= 2
+    } yield (i.toLong, j.toLong, d)).toSet
+    assert(un == expect, s"uncapped pair set wrong: ${un.size} vs ${expect.size}")
+    assert(capped == un, "the bounded valve changed the fuzzy pair set")
+  }
 }

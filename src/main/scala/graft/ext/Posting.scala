@@ -54,14 +54,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * signatures, phash decodes, hour profiles), so the rows are pinned
   * MEMORY_AND_DISK for the count pass and the returned plan. The pin is
   * SELF-RELEASING: a one-shot [[QueryExecutionListener]] unpersists it
-  * after the next completed NON-VALVE action on the session — in normal
-  * use that is exactly the caller's consuming action (count / collect /
-  * write), so a long-lived library session accumulates nothing (the
-  * discipline of Cluster/Bpe/Graph, adapted to a lazily-consumed
-  * result). If the pin is released before a second consumption, the
+  * after the next completed non-valve action THAT CONSUMES THE PIN
+  * (its plan scans this pin's InMemoryRelation) — the caller's
+  * consuming action (count / collect / write), so a long-lived library
+  * session accumulates nothing (the discipline of Cluster/Bpe/Graph,
+  * adapted to a lazily-consumed result). Unrelated actions on a shared
+  * session — another thread's query, a failed probe elsewhere — do NOT
+  * release it. If the pin is released before a second consumption, the
   * posting recomputes from lineage — the pin is a performance artifact,
-  * never a correctness dependency. `Tables.sweepOperatorCaches` remains
-  * a valid (now redundant) batch-boundary sweep.
+  * never a correctness dependency. A posting that is built but never
+  * consumed keeps its pin until `Tables.sweepOperatorCaches`, the
+  * batch-boundary backstop sweep.
   *
   * Same sub-posting discipline as [[Dedup.simhashPairs]]'s in-task
   * split, lifted BEFORE the aggregation so the memory bound holds at
@@ -77,15 +80,31 @@ object Posting {
   private val ProbePrefix = "_graft_valve_probe"
 
   /** Unpersist `pinned` after the next completed action on `spark`
-    * that is not a valve-internal count probe. One-shot: fires once,
-    * then unregisters itself. */
+    * that (a) is not a valve-internal count probe and (b) actually
+    * CONSUMES the pin — its optimized plan scans this pin's
+    * InMemoryRelation. The scope check is what makes the valve safe on
+    * a shared session: an unrelated concurrent query (another thread,
+    * another operator) must not release a pin whose posting has not
+    * been consumed yet — that would silently recompute the expensive
+    * upstream (signatures/decodes) at consumption time. One-shot: fires
+    * once, then unregisters itself. If the scope check itself throws on
+    * some exotic plan, it fails OPEN (treats the action as consuming):
+    * releasing early costs a recompute, never correctness; leaking
+    * until `Tables.sweepOperatorCaches` is the worse failure mode. */
   private def releaseAtNextAction(spark: SparkSession, pinned: DataFrame): Unit = {
+    val pinnedPlan = pinned.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
       private def isProbe(qe: QueryExecution): Boolean =
         qe.analyzed.exists(_.output.exists(_.name.startsWith(ProbePrefix)))
+      private def consumesPin(qe: QueryExecution): Boolean =
+        try qe.optimizedPlan.exists {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            r.cacheBuilder.logicalPlan.sameResult(pinnedPlan)
+          case _ => false
+        } catch { case _: Throwable => true }
       private def fire(qe: QueryExecution): Unit =
-        if (!isProbe(qe) && done.compareAndSet(false, true)) {
+        if (!isProbe(qe) && consumesPin(qe) && done.compareAndSet(false, true)) {
           pinned.unpersist(blocking = false)
           spark.listenerManager.unregister(this)
         }
@@ -109,7 +128,16 @@ object Posting {
     * ≤ this many entries gets the broadcast hint (~100 B/entry → the
     * default fits the 10 MB autoBroadcastJoinThreshold intent); a
     * bigger one joins unhinted, so Catalyst/AQE picks a shuffled join
-    * and the driver never materializes a multi-GB fat list. */
+    * and the driver never materializes a multi-GB fat list.
+    *
+    * SIDE EFFECT a library caller must know: with a finite `maxBucket`
+    * this method launches one small Spark job (the fat-block count) at
+    * PLAN-CONSTRUCTION time — the count is load-bearing for the join
+    * strategy and the split short-circuit, so it cannot ride the
+    * consuming action. Callers that only build/explain plans still pay
+    * it (and should sweep via `Tables.sweepOperatorCaches` if they
+    * never consume the result — see the cache-lifecycle contract in
+    * the object scaladoc). */
   def bounded(rows: DataFrame, blockCols: Seq[String], memberCol: String,
       maxBucket: Int, broadcastFatMax: Long = 100000L): DataFrame = {
     require(maxBucket >= 4, s"maxBucket must be >= 4, got $maxBucket")

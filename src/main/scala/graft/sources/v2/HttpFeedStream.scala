@@ -49,8 +49,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     replaying it: page mode reads the numeric head once (and fails
   *     loudly if unreachable — starting at 0 would replay everything);
   *     token mode walks each range's chain to its head once at first
-  *     start (O(backlog) tiny head GETs, paid once; a production feed
-  *     with deep history should supply `startToken` instead).
+  *     start (O(backlog) tiny head GETs and O(1) driver memory, paid
+  *     once; a production feed with deep history should supply
+  *     `startToken` instead). The RESOLVED attach position is
+  *     persisted under the source's checkpoint directory (the Kafka
+  *     initial-offset-log pattern) and replayed verbatim by every
+  *     later `initialOffset()` call: the engine re-invokes
+  *     `initialOffset()` when recovering an uncommitted batch 0, and
+  *     re-reading a LIVE head there would attach ahead of the logged
+  *     end offset, silently dropping the rows in between.
   *   - **at-least-once page fetch, exactly-once rows downstream**: a
   *     re-executed partition re-GETs its page; the change-feed contract
   *     (a cursor's page is immutable once published — Cosmos change
@@ -167,7 +174,7 @@ private[v2] class HttpFeedTable(schema0: StructType,
         override def description(): String =
           s"GraftHttpFeed(url=${options.get("url")})"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpFeedMicroBatch(schema0, options)
+          new HttpFeedMicroBatch(schema0, options, checkpointLocation)
       }
     }
 }
@@ -235,7 +242,7 @@ private[v2] object TokenOffset {
 }
 
 private[v2] class HttpFeedMicroBatch(schema0: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap, checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -313,31 +320,34 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
 
   /** Page mode: head pinned at prepare time for Trigger.AvailableNow. */
   @volatile private var availableNowHead: Option[Long] = None
-  /** Token mode: per-range drain-target epochs pinned at prepare time.
-    * Ranges that surface only in the checkpointed start offset (e.g. a
-    * retired split parent with backlog) are pinned on first sight by
-    * [[availableNowTarget]]. */
+  /** Token mode: per-range drain-target epochs, resolved ONCE per range
+    * on first sight in [[latestOffset]] (the map is installed — i.e.
+    * the drain is pinned — at prepare time; entries fill lazily). The
+    * deferral is what makes deep restarts O(batch): prepare runs before
+    * the engine hands over the start offset, so a prepare-time walk
+    * could only start from the range's START token — O(history) head
+    * GETs and O(history) driver memory on a months-old feed. At first
+    * latestOffset the checkpointed cursor has already anchored the
+    * chain, so the walk covers exactly the un-drained backlog. The
+    * pinned-target semantics are unchanged: each range's target is
+    * resolved exactly once, before any of its pages are admitted, so a
+    * feed that keeps publishing cannot keep the query alive; a walk
+    * failure at resolution still fails the query loudly. */
   @volatile private var availableNowTargets: Option[mutable.Map[String, Long]] = None
+  /** Token mode: the range SET pinned at prepare time (a discovery
+    * outage at prepare fails loudly — AvailableNow must not silently
+    * drain a partial range set). */
+  @volatile private var availableNowRanges: Seq[String] = Nil
 
   override def prepareForTriggerAvailableNow(): Unit =
     if (tokenMode) {
-      // pin each known range's head EPOCH now: latestOffset stops there,
-      // so a feed that keeps publishing cannot keep the query alive. A
-      // restart with a deep checkpoint re-walks from the start token
-      // (absolute epochs; O(history) tiny head GETs, once per run).
-      val known =
+      availableNowRanges =
         if (discoverRangesOn)
           (rangeIds ++ discoverRanges().getOrElse(throw new IOException(
             s"http-feed: range discovery $rangesUrl failed while pinning " +
               "the Trigger.AvailableNow drain target"))).distinct.sorted
         else rangeIds
-      val targets = mutable.Map.empty[String, Long]
-      known.foreach { r =>
-        targets(r) = walkToHead(r).getOrElse(throw new IOException(
-          s"http-feed: head chain walk (range '$r') failed while pinning " +
-            "the Trigger.AvailableNow drain target"))
-      }
-      availableNowTargets = Some(targets)
+      availableNowTargets = Some(mutable.Map.empty)
     } else {
       val h = fetchHead()
       if (h < 0) throw new IOException(
@@ -477,10 +487,39 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     Some(ch.top)
   }
 
+  /** Walk from a range's start token to the live head keeping O(1)
+    * driver state — the attach path for `startAt=now` first starts,
+    * where tokens BELOW the head are never needed (nothing below the
+    * attach point will ever be fetched), so buffering them in the
+    * chain cache would be O(history) driver memory on a deep feed.
+    * Installs the head-anchored single-entry chain and returns the
+    * head cursor; `None` on a transport failure. */
+  private def walkToHeadTrimmed(range: String): Option[RangeCursor] = {
+    var epoch = 0L
+    var tok = startTok(range)
+    var done = false
+    while (!done) {
+      advance(range, tok) match {
+        case Right(Some(t)) => tok = t; epoch += 1
+        case Right(None) => done = true
+        case Left(err) =>
+          System.err.println(s"[http-feed] $err (attach walk aborted)")
+          return None
+      }
+    }
+    chains(range) = new RangeChain(epoch, ArrayBuffer(tok))
+    Some(RangeCursor(epoch, tok))
+  }
+
   /** Poll the ranges endpoint. `Some(ids)` on a well-formed response
     * (also records advertised per-range start tokens); `None` on a
     * transport failure or malformed body — the caller must then keep
-    * its current range set (a discovery blip must not retire ranges). */
+    * its current range set (a discovery blip must not retire ranges).
+    * A blank/empty advertised id makes the response MALFORMED: the
+    * static `ranges` option rejects blank ids for the same reason — ""
+    * is the un-ranged sentinel (no range param on the wire), so
+    * admitting it would silently poll the global chain of a
+    * range-keyed feed and plant a bogus cursor in the offset map. */
   private def discoverRanges(): Option[Seq[String]] =
     try {
       HttpJsonSource.fetch(rangesUrl, conf) match {
@@ -488,8 +527,9 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
           val b = Seq.newBuilder[String]
           var ok = true
           n.get("ranges").forEach { e =>
-            if (e.isTextual) b += e.asText()
-            else if (e.hasNonNull("id") && e.get("id").isTextual) {
+            if (e.isTextual && e.asText().trim.nonEmpty) b += e.asText()
+            else if (!e.isTextual && e.hasNonNull("id") && e.get("id").isTextual &&
+                e.get("id").asText().trim.nonEmpty) {
               val id = e.get("id").asText()
               b += id
               if (e.hasNonNull("start") && e.get("start").isTextual)
@@ -513,7 +553,63 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
 
   // ---- offsets ----------------------------------------------------------
 
-  override def initialOffset(): Offset =
+  /** The source-scoped initial-offset metadata file (the Kafka
+    * initial-offset log pattern): `initialOffset()` is NOT called once —
+    * the engine re-invokes it when recovering an uncommitted batch 0
+    * (the offset log already holds batch 0's END offset, the commit log
+    * holds nothing). For the non-deterministic start positions
+    * (`startAt=now` reads a LIVE head; `discoverRanges` polls a live
+    * range set) a re-resolution after such a crash would attach at a
+    * NEW head — planInputPartitions would then plan batch 0 from a
+    * start AHEAD of its logged end, silently dropping the rows between
+    * the two attach points. The first resolution is therefore persisted
+    * under the source's checkpoint directory and replayed verbatim by
+    * every later call. Written atomically (temp + rename); if a
+    * concurrent writer won the rename, its value is re-read — either
+    * way exactly one resolution ever reaches the offset log. */
+  private def initialOffsetFile = new org.apache.hadoop.fs.Path(
+    checkpointLocation, "graft-initial-offset")
+
+  private def hadoopConf() =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def loadPersistedInitial(): Option[Offset] = {
+    val p = initialOffsetFile
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(deserializeOffset(
+          new String(out.toByteArray, StandardCharsets.UTF_8)))
+      } finally in.close()
+    }
+  }
+
+  private def persistInitial(o: Offset): Offset = {
+    val p = initialOffsetFile
+    val fs = p.getFileSystem(hadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      checkpointLocation, s".graft-initial-offset.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(o.json().getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.rename(tmp, p)) o
+    else {
+      // a concurrent resolution won the rename: theirs is authoritative
+      fs.delete(tmp, false)
+      loadPersistedInitial().getOrElse(o)
+    }
+  }
+
+  /** Resolve the start position from the live feed — called at most
+    * once per checkpoint lifetime (see [[initialOffsetFile]]). */
+  private def resolveInitialOffset(): Offset =
     if (tokenMode) {
       val initialRanges =
         if (discoverRangesOn) discoverRanges() match {
@@ -528,10 +624,11 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
         else rangeIds
       if (startAtNow)
         TokenOffset(initialRanges.map { r =>
-          val head = walkToHead(r).getOrElse(throw new IOException(
+          // trimmed walk: O(history) tiny head GETs but O(1) driver
+          // memory — tokens below the attach point are never needed
+          r -> walkToHeadTrimmed(r).getOrElse(throw new IOException(
             s"http-feed: head chain walk (range '$r') failed at first " +
               "start with startAt=now — cannot resolve the attach position"))
-          r -> RangeCursor(head, chains(r).at(head))
         }.toMap)
       else
         TokenOffset(initialRanges.map(r => r -> RangeCursor(0L, startTok(r))).toMap)
@@ -542,6 +639,9 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
           "startAt=now — starting at page 0 instead would replay the feed")
       PageOffset(math.max(h, startPage))
     } else PageOffset(startPage)
+
+  override def initialOffset(): Offset =
+    loadPersistedInitial().getOrElse(persistInitial(resolveInitialOffset()))
 
   /** Rotates the round-robin sweep's starting range across triggers:
     * with budget < |ranges| a fixed sweep order would hand every page
@@ -559,8 +659,11 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
       val disc: Option[Seq[String]] =
         if (discoverRangesOn && availableNowTargets.isEmpty) discoverRanges()
         else None
-      val known = (s.cursors.keySet ++ rangeIds ++ disc.getOrElse(Nil))
-        .toSeq.sorted
+      // availableNowRanges covers a pinned drain whose range set was
+      // discovered at prepare but (e.g. after a discovery blip at first
+      // start) is absent from both the start offset and the static list
+      val known = (s.cursors.keySet ++ rangeIds ++ disc.getOrElse(Nil) ++
+        availableNowRanges).toSeq.sorted
       // the page budget is TOTAL across ranges, spread round-robin so a
       // hot range cannot starve the others; a range stops contributing
       // when its chain hits the feed head (or a transient head error),

@@ -714,6 +714,147 @@ class HttpFeedStreamSpec extends SparkSpec {
     }
   }
 
+  test("AvailableNow deep-checkpoint restart anchors at the committed cursor — O(batch) head GETs") {
+    withSplitFeed { (url, heads, advertised, polls) =>
+      // a "months-old" feed: 40 pages of committed history
+      heads.put("ra", new AtomicLong(40))
+      advertised.set(Seq("ra"))
+      val ckptDir = Files.createTempDirectory("graft_deep_ckpt")
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("discoverRanges", "true")
+        .option("maxPagesPerTrigger", "50")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckptDir.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.count(); ()
+        }.start()
+      q.processAllAvailable() // drains all 40, commits the deep cursor
+      q.stop()
+
+      val before = polls.toArray.count(_ == "head:ra")
+      assert(before >= 40, s"history drain did not walk the chain: $before")
+      heads("ra").set(42) // 2 new pages since the checkpoint
+      val total = new AtomicLong(0)
+      val q2 = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("discoverRanges", "true")
+        .option("maxPagesPerTrigger", "50")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckptDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          total.addAndGet(df.count()); ()
+        }.start()
+      assert(q2.awaitTermination(120000),
+        "deep-restart AvailableNow query did not self-terminate")
+      assert(total.get() == 4, s"restart drained ${total.get()}/4 new rows")
+      val during = polls.toArray.count(_ == "head:ra") - before
+      // the drain target must anchor at the CHECKPOINTED cursor (epoch
+      // 40): ~3 GETs to find the head plus a couple of per-batch polls —
+      // a prepare-time walk from the start token would pay >= 40
+      assert(during <= 12,
+        s"deep AvailableNow restart re-walked history: $during head GETs " +
+          "(O(history), not O(batch))")
+    }
+  }
+
+  test("range MERGE mid-stream: parents retire terminal, child admitted, exactly-once across restart") {
+    withSplitFeed { (url, heads, advertised, polls) =>
+      val ckptDir = Files.createTempDirectory("graft_merge_ckpt")
+      val ids = new ConcurrentLinkedQueue[String]()
+      def start() = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("discoverRanges", "true")
+        .option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckptDir.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+
+      // phase 1: two parent ranges, discovered dynamically
+      heads.put("rb", new AtomicLong(3))
+      heads.put("rc", new AtomicLong(2))
+      advertised.set(Seq("rb", "rc"))
+      val q = start()
+      q.processAllAvailable()
+      assert(ids.size == 10, s"parent backlog: expected 10 rows, got ${ids.size}")
+      q.stop() // the merge happens while the consumer is down
+
+      // phase 2: MERGE — both parents drain (heads frozen) and the feed
+      // advertises ONE merged child with a fresh chain
+      heads.put("rm", new AtomicLong(2))
+      advertised.set(Seq("rm"))
+      val q2 = start()
+      q2.processAllAvailable()
+      assert(ids.size == 14,
+        s"merge admission lost/duplicated rows: ${ids.size} (want 14)")
+      assert(ids.toArray.distinct.length == 14,
+        "duplicate ids across the merge — admission broke exactly-once")
+      assert(ids.toArray.map(_.toString).count(_.startsWith("rm-")) == 4,
+        s"merged child under-consumed: ${ids.toArray.mkString(",")}")
+
+      // phase 3: BOTH drained, un-advertised parents are terminal — no
+      // more head polls while the child keeps polling
+      q2.processAllAvailable()
+      val rbBefore = polls.toArray.count(_ == "head:rb")
+      val rcBefore = polls.toArray.count(_ == "head:rc")
+      val rmBefore = polls.toArray.count(_ == "head:rm")
+      Thread.sleep(800)
+      assert(polls.toArray.count(_ == "head:rm") > rmBefore,
+        "trigger loop stalled — terminal assertion would be vacuous")
+      assert(polls.toArray.count(_ == "head:rb") == rbBefore &&
+        polls.toArray.count(_ == "head:rc") == rcBefore,
+        "a retired merge parent is still being polled")
+
+      // phase 4: the merged child keeps flowing
+      heads("rm").set(4)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(ids.size == 18 && ids.toArray.distinct.length == 18,
+        s"post-merge growth lost/duplicated rows: ${ids.size} (want 18)")
+    }
+  }
+
+  test("a blank advertised range id marks discovery MALFORMED — the un-ranged sentinel is never admitted") {
+    withSplitFeed { (url, heads, advertised, polls) =>
+      val ckptDir = Files.createTempDirectory("graft_blank_ckpt")
+      val ids = new ConcurrentLinkedQueue[String]()
+      // a head chain for the "" sentinel DOES answer (the global chain
+      // of a range-keyed store): if the blank id were admitted, pages
+      // would flow from it
+      heads.put("", new AtomicLong(9))
+      heads.put("rb", new AtomicLong(2))
+      advertised.set(Seq("rb"))
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("discoverRanges", "true")
+        .option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckptDir.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+      q.processAllAvailable()
+      assert(ids.size == 4, s"rb backlog: expected 4 rows, got ${ids.size}")
+
+      // the feed starts advertising a BLANK id next to rb: a malformed
+      // response — the current range set must persist (rb keeps
+      // flowing), and the "" sentinel must never be polled or consumed
+      advertised.set(Seq("rb", ""))
+      heads("rb").set(4)
+      q.processAllAvailable()
+      q.stop()
+      assert(ids.size == 8, s"rb stalled under malformed discovery: ${ids.size}")
+      assert(ids.toArray.distinct.length == 8, "duplicate ids")
+      assert(!ids.toArray.map(_.toString).exists(_.startsWith("-p")),
+        s"rows consumed from the un-ranged sentinel: ${ids.toArray.mkString(",")}")
+      assert(!polls.toArray.map(_.toString).contains("head:"),
+        "the blank id's head chain was polled — the sentinel was admitted")
+    }
+  }
+
   test("FULL PIPELINE: the transform leg rides the http-feed change feed") {
     // the reference's §3.2 leg with a store-native feed instead of the
     // landing-zone file stream: http-feed source -> TransformStream's

@@ -272,12 +272,17 @@ class PlanQualitySpec extends SparkSpec {
       s"scan not pruned:\n$p")
   }
 
-  test("dedup_fuzzy_pairs is an equi-join on the block key, never a cross product") {
+  test("dedup_fuzzy_pairs rides the posting valve: block-keyed postings, streamed emission, no cross product") {
     val p = plan("dedup_fuzzy_pairs")
-    assert(!p.contains("CartesianProduct"), s"fuzzy join degenerated to a cross product:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fuzzy pairing degenerated to a cross product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"fuzzy join lost its equi-join block keys:\n$p")
-    assert(p.contains("Join"), s"expected a join:\n$p")
+      s"fuzzy pairing lost its block keys:\n$p")
+    // the valve shape: one block-keyed posting aggregation, then the
+    // lazy mapPartitions pair iterator (never a Generate — see
+    // Posting.streamPairs), with the length band + bounded DP as a
+    // codegen Filter downstream
+    assert(p.contains("MapPartitions"), s"pair emission is not streamed:\n$p")
+    assert(!p.contains("Generate"), s"posting expansion regressed to Generate:\n$p")
   }
 
   test("q52_stats_moments collects all six sums in ONE map-side-combinable pass") {

@@ -109,6 +109,13 @@ class PostingSpec extends SparkSpec {
     val posting = Posting.bounded(rows, Seq("block"), "m", 64)
     assert(rows.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
       "valve did not pin its input for the count pass")
+    // an UNRELATED action on the shared session must NOT release the
+    // pin — on a shared/multi-threaded session that would silently
+    // recompute the expensive upstream when the posting is consumed
+    (0L until 10L).toDF("x").count()
+    Thread.sleep(500) // the listener bus is async; give a wrong release time to land
+    assert(rows.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "an unrelated action released the valve pin before consumption")
     posting.count() // the consuming action — the release boundary
     // the QueryExecutionListener fires asynchronously on the bus thread
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000

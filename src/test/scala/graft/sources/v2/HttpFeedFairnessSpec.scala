@@ -46,7 +46,8 @@ class HttpFeedFairnessSpec extends graft.SparkSpec {
       opts.put("ranges", "ra,rb")
       opts.put("maxPagesPerTrigger", "1")
       val mb = new HttpFeedMicroBatch(HttpJsonSource.defaultSchema,
-        new CaseInsensitiveStringMap(opts))
+        new CaseInsensitiveStringMap(opts),
+        java.nio.file.Files.createTempDirectory("graft_fair_ckpt").toString)
       val limit = ReadLimit.maxRows(1)
       var off = mb.initialOffset().asInstanceOf[TokenOffset]
       val advanced = (0 until 4).map { _ =>

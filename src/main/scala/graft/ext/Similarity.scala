@@ -373,14 +373,21 @@ object Similarity {
     var dir = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 0 until iters) {
       val vlit = array(dir.map(lit): _*)
-      val sums = e
+      // dim-wide single-row aggregation instead of posexplode +
+      // groupBy(pos): the explode multiplied the scan into |corpus|·dim
+      // rows and shuffled them per iteration, where the wide agg keeps
+      // one dim-slot decimal buffer per task and shuffles ONE partial
+      // row per partition (decimal sums are exact, so the element-wise
+      // totals are bit-identical to the grouped ones — same per-term
+      // double multiply, same DECIMAL(38,12) cast, order-free sum)
+      val aggs = (0 until dim).map(i =>
+        sum((col("s") * element_at(col("v"), i + 1))
+          .cast(DecimalType(38, 12))).cast("double"))
+      val row = e
         .select(round(dot(col("v"), vlit), 8).cast(DecimalType(28, 8)).as("s"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("pos"))
-        .agg(sum((col("s") * col("x")).cast(DecimalType(38, 12)))
-          .cast("double").as("w"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val w = Array.tabulate(dim)(sums)
+          col("v"))
+        .agg(aggs.head, aggs.tail: _*).head()
+      val w = Array.tabulate(dim)(row.getDouble)
       // exact decimal norm²: mirrors the oracle's SUM(CAST(w*w AS
       // DECIMAL(38,12))) — HALF_UP per-term rounding, order-free sum
       val n2 = w.map(x => BigDecimal(x * x)

@@ -47,6 +47,41 @@ final class CountMin(depth: Int = 4, width: Int = 256)
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
+/** Weighted Count–Min: inserts `(item, weight)` — `weight` occurrences
+  * at once. The sketch is ADDITIVE, so building it from an exact
+  * (term, count) aggregate yields the BIT-IDENTICAL counter array to
+  * inserting every raw occurrence ([[CountMin]]); the input stream is
+  * then vocabulary-sized instead of corpus-sized, and one md5 is paid
+  * per TERM instead of per occurrence. The scale shape for "sketch +
+  * exact counts from the same scan" consumers (`text_cms_freq`). */
+final class CountMinWeighted(depth: Int = 4, width: Int = 256)
+    extends Aggregator[(String, Long), Array[Long], Seq[Long]] {
+  require(depth > 0 && width > 0)
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+
+  override def reduce(buf: Array[Long], item: (String, Long)): Array[Long] = {
+    val (h1, h2) = CountMin.hashPair(item._1)
+    var r = 0
+    while (r < depth) {
+      buf(r * width + CountMin.bucket(h1, h2, r, width)) += item._2
+      r += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 object CountMin {
   /** (first 8 md5 hex digits, next 8) as non-negative longs — the same
     * pair DuckDB derives with `('0x'||substr(md5(x),1,8))::BIGINT` /

@@ -512,14 +512,15 @@ object Corpus {
     // chained DuckDB CTEs ([[kmeansOracleSql]]) and the cluster
     // assignment matches bit-for-bit. Quality/invariance additionally
     // spec-gated in CorpusSpec.
-    // plain t (no fanout): every Lloyd iteration is its own job over the
-    // input, so the round-robin pre-balance would pay its shuffle 5x for
-    // a table whose per-row E-step work is trivial — measured 2x the
-    // total time. kMeans is partitioning-invariant by construction
-    // (decimal M-step, hash-ordered init; spec-gated), so this is purely
-    // a fixture-plumbing choice.
+    // fanout: the Lloyd iterations pin their widened vectors ONCE
+    // inside lloydCentroids, so the round-robin pre-balance is paid a
+    // single time into the pin and every E-step scan then runs on all
+    // cores instead of the fixture's few parquet splits (sf1 A/B:
+    // 4.4s -> 2.0s; an older no-fanout measurement predated the
+    // internal pin). kMeans is partitioning-invariant by construction
+    // (decimal M-step, hash-ordered init; spec-gated).
     "embed_kmeans" -> ((s, dir) => {
-      Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 3)
+      Similarity.kMeans(tf(s, dir, "embeddings"), k = 8, iters = 3)
         .transform(graft.Tables.ordered(col("vec_id")))
     }),
 
@@ -527,7 +528,11 @@ object Corpus {
     // decimal-exact component sums; the oracle replays every iteration
     // (bit-identical direction vectors in both engines)
     "embed_pca_project" -> ((s, dir) => {
-      Similarity.powerIterationPC(t(s, dir, "embeddings"), iters = 4)
+      // fanout: the iteration scans are CPU-bound (dim-wide decimal
+      // sums per vector) and the pinned vectors otherwise inherit the
+      // fixture's few parquet splits — census at sf1 showed 16 tasks
+      // across 11 stages, i.e. ~2 cores busy per wave
+      Similarity.powerIterationPC(tf(s, dir, "embeddings"), iters = 4)
         .transform(graft.Tables.ordered(col("vec_id")))
     }),
 
@@ -535,7 +540,7 @@ object Corpus {
     // embed_kmeans, distances z-scored per cell from exact decimal
     // moments (oracle replays training AND the gate end-to-end)
     "embed_outliers" -> ((s, dir) => {
-      Similarity.embedOutliers(t(s, dir, "embeddings"), k = 8, iters = 3)
+      Similarity.embedOutliers(tf(s, dir, "embeddings"), k = 8, iters = 3)
         .transform(graft.Tables.ordered(col("vec_id")))
     }),
 
@@ -566,10 +571,20 @@ object Corpus {
       import s.implicits._
       val depth = 4
       val width = 256
-      val toks = tf(s, dir, "documents")
+      // ONE tokenize scan: the exact term counts come first, and the
+      // sketch builds FROM them — a Count-Min is additive, so inserting
+      // (term, n) with weight n is bit-identical to inserting every raw
+      // occurrence, the sketch aggregation runs over the vocabulary
+      // instead of the corpus, and md5 is paid per term, not per token
+      // (was: two independent tokenize+explode scans; sf1 2.7s -> one)
+      val counts = tf(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
-      val cms = toks.as[String].groupByKey(_ => 0)
-        .agg(new graft.functions.CountMin(depth, width).toColumn.name("cms"))
+        .groupBy(col("tok").as("term")).agg(count(lit(1)).as("n_exact"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cms = counts.select(col("term"), col("n_exact"))
+        .as[(String, Long)].groupByKey(_ => 0)
+        .agg(new graft.functions.CountMinWeighted(depth, width)
+          .toColumn.name("cms"))
         .head()._2.toArray
       val h1 = conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
       val h2 = conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long")
@@ -577,8 +592,7 @@ object Corpus {
         element_at(lit(cms.slice(r * width, (r + 1) * width)),
           ((h1 + lit(r.toLong) * h2) % width).cast("int") + 1)
       }
-      toks.groupBy(col("tok").as("term")).agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("term")).limit(20)
+      counts.orderBy(col("n_exact").desc, col("term")).limit(20)
         .withColumn("n_est", least(probes: _*))
         .transform(graft.Tables.ordered(col("n_exact").desc, col("term")))
     }),

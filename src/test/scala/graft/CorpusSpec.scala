@@ -611,6 +611,15 @@ class CorpusSpec extends SparkSpec {
         cms(r * 64 + graft.functions.CountMin.bucket(h1, h2, r, 64))).min
       assert(est >= n, s"CMS undercounted $w: $est < $n")
     }
+    // the weighted variant over the exact (term, count) aggregate must
+    // produce the BIT-IDENTICAL counter array (additivity — this is
+    // what lets text_cms_freq build sketch + exact counts in one scan)
+    val weighted = spark.createDataset(exact.toSeq).repartition(5)
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.CountMinWeighted(4, 64).toColumn.name("cms"))
+      .head()._2
+    assert(weighted == cms,
+      "weighted CMS over counts diverged from the per-occurrence sketch")
   }
 
   test("unigramKl matches a driver-side brute-force on a tiny corpus") {

@@ -45,13 +45,21 @@ object GraftFunctions {
       s"winnow expects (text) or (text, k, window), got ${exprs.length} arguments")
   }
 
-  /** Register into an existing session (temp functions + optimizer rule). */
+  /** Register into an existing session (temp functions + optimizer rule).
+    * Idempotent: a name already present is left alone — re-registration
+    * would be a no-op behaviorally (the builders are stable objects) but
+    * SimpleFunctionRegistry logs a "replaced a previously registered
+    * function" warning per name, and multi-query mains (Bench/Verify)
+    * call this per session set-up path. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_product", buildDot, "scala_udf")
-    reg.createOrReplaceTempFunction("int_dot_product", buildIntDot, "scala_udf")
-    reg.createOrReplaceTempFunction("winnow", buildWinnow, "scala_udf")
-    reg.createOrReplaceTempFunction("cdc_boundaries", buildCdc, "scala_udf")
+    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    put("dot_product", buildDot)
+    put("int_dot_product", buildIntDot)
+    put("winnow", buildWinnow)
+    put("cdc_boundaries", buildCdc)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein

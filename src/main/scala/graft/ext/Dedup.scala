@@ -837,7 +837,13 @@ object Dedup {
     * and the bounded DP run as codegen Columns downstream of emission.
     *
     * Output: blockCols ++ (k1, k2, dist) with k1 < k2, dist <= maxDist.
-    */
+    *
+    * Null blocking values NEVER pair: rows with a null in any block
+    * column are dropped up front — the equi-join contract (null
+    * equi-joins nothing) this detector had before it moved onto the
+    * posting valve, preserved explicitly because a groupBy would
+    * otherwise treat null as a regular group and silently pair
+    * null-keyed records with each other. */
   def editDistancePairs(df: DataFrame, keyCol: String, strCol: String,
       blockCols: Seq[String], maxDist: Int,
       maxBucket: Int = 4096): DataFrame = {
@@ -846,7 +852,9 @@ object Dedup {
         "blocks the pairing is an unbounded cross product")
     // key first in the member struct: sort_array orders postings by key,
     // so emitted (a, b) already satisfy a.k <= b.k
-    val rows = df.select(blockCols.map(col) :+
+    val rows = df
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(blockCols.map(col) :+
       struct(col(keyCol).as("k"), length(col(strCol)).as("l"),
         col(strCol).as("s")).as("m"): _*)
     Posting.streamPairs(

@@ -102,7 +102,7 @@ object Posting {
           case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
             r.cacheBuilder.logicalPlan.sameResult(pinnedPlan)
           case _ => false
-        } catch { case _: Throwable => true }
+        } catch { case scala.util.control.NonFatal(_) => true }
       private def fire(qe: QueryExecution): Unit =
         if (!isProbe(qe) && consumesPin(qe) && done.compareAndSet(false, true)) {
           pinned.unpersist(blocking = false)

@@ -592,6 +592,16 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     }
   }
 
+  /** Persist the first resolution (temp + rename, so a crash mid-write
+    * never leaves a torn destination). First-resolution-wins is
+    * FS-DEPENDENT: HDFS rename fails when the destination exists, but
+    * RawLocalFileSystem delegates to POSIX rename, which atomically
+    * OVERWRITES — so on local FS a concurrent second writer would
+    * last-win. The exists-check below plus the adopt-by-re-read after
+    * the rename narrows that window; it cannot eliminate it on POSIX.
+    * That residue is harmless in-engine: Structured Streaming calls
+    * `initialOffset()` from one driver thread per query, so concurrent
+    * first-resolutions of one checkpoint never actually race. */
   private def persistInitial(o: Offset): Offset = {
     val p = initialOffsetFile
     val fs = p.getFileSystem(hadoopConf())
@@ -599,9 +609,18 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
       checkpointLocation, s".graft-initial-offset.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, false)
     try out.write(o.json().getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.rename(tmp, p)) o
-    else {
-      // a concurrent resolution won the rename: theirs is authoritative
+    if (fs.exists(p)) {
+      // a concurrent resolution already landed: theirs is authoritative
+      fs.delete(tmp, false)
+      loadPersistedInitial().getOrElse(o)
+    } else if (fs.rename(tmp, p)) {
+      // re-read rather than return `o`: on POSIX the rename may have
+      // overwritten (or been overwritten by) a concurrent writer —
+      // adopting the file's actual content keeps every caller agreeing
+      // on ONE persisted resolution either way
+      loadPersistedInitial().getOrElse(o)
+    } else {
+      // rename refused (HDFS semantics): the other resolution won
       fs.delete(tmp, false)
       loadPersistedInitial().getOrElse(o)
     }

@@ -113,7 +113,10 @@ class PostingSpec extends SparkSpec {
     // pin — on a shared/multi-threaded session that would silently
     // recompute the expensive upstream when the posting is consumed
     (0L until 10L).toDF("x").count()
-    Thread.sleep(500) // the listener bus is async; give a wrong release time to land
+    // deterministic negative: drain the async bus so a wrong release
+    // from the unrelated action HAS landed by the time we assert — a
+    // fixed sleep could pass vacuously under CI load
+    drainListenerBus()
     assert(rows.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
       "an unrelated action released the valve pin before consumption")
     posting.count() // the consuming action — the release boundary
@@ -249,5 +252,22 @@ class PostingSpec extends SparkSpec {
     } yield (i.toLong, j.toLong, d)).toSet
     assert(un == expect, s"uncapped pair set wrong: ${un.size} vs ${expect.size}")
     assert(capped == un, "the bounded valve changed the fuzzy pair set")
+  }
+
+  test("editDistancePairs: null blocking values never pair (equi-join contract)") {
+    val ss = spark
+    import ss.implicits._
+    // two null-keyed rows with identical names, two non-null rows that
+    // pair normally: the old equi-join dropped null blocks (null never
+    // equi-joins), and the posting groupBy must not resurrect them as a
+    // regular group
+    val df = Seq(
+      (1L, Some("A"), "widget"), (2L, Some("A"), "widgetz"),
+      (3L, None, "widget"), (4L, None, "widget"))
+      .toDF("id", "blk", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name", Seq("blk"), maxDist = 2)
+      .select("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"null-blocked rows paired (or real pair lost): $got")
   }
 }

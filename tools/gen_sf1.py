@@ -1,29 +1,37 @@
 #!/usr/bin/env python3
-"""Generate a 10x scale-up of the sf0.1 fixture for the bench scale-slope
-measurement (VERDICT r8 item 4). NOT an oracle fixture: correctness stays
-gated on the driver's sf0.01 tables; this data exists only to measure the
-sf0.1 -> sf1 sec-per-query slope with the same partition rule.
+"""Generate an Nx scale-up of the sf0.1 fixture for the bench scale-slope
+measurement (VERDICT r8 item 4; second decade r14 item 1). NOT an oracle
+fixture: correctness stays gated on the driver's sf0.01 tables; this data
+exists only to measure the sec-per-query slope across scale factors with
+the same partition rule.
 
-Construction: 10 replicas of sf0.1, replica i shifting every entity key
-(orderkey/partkey/suppkey/custkey/doc_id/vec_id/event_id/user_id) by
-i*KEY_OFF so each replica is a disjoint, referentially-consistent
-sub-database — joins fan out exactly as at 10x data, distinct counts scale
-10x. Document text is passed through a per-replica ROTATED-ALPHABET
-substitution (bijective char map): within-replica dup/near-dup structure is
-preserved exactly (MinHash/SimHash/winnowing are permutation-covariant),
-while cross-replica shingle overlap drops to ~0 — so dedup queries see 10x
-corpora, not a degenerate 10-way duplicate explosion. Embeddings get a
-per-replica additive epsilon for the same reason (no 10-way exact-tie
-neighbor lists). Dims nation/region stay fixed (TPC-H semantics); the
-un-shifted c_nationkey/s_nationkey references stay valid.
+Construction: R replicas of sf0.1 (R = 10*SF, argv[1] = SF, default 1),
+replica i shifting every entity key (orderkey/partkey/suppkey/custkey/
+doc_id/vec_id/event_id/user_id) by i*KEY_OFF so each replica is a
+disjoint, referentially-consistent sub-database — joins fan out exactly
+as at Rx data, distinct counts scale Rx. Document text is passed through
+a per-replica ROTATED-ALPHABET substitution (bijective char map):
+within-replica dup/near-dup structure is preserved exactly
+(MinHash/SimHash/winnowing are permutation-covariant), while
+cross-replica shingle overlap drops to ~0 — so dedup queries see Rx
+corpora, not a degenerate R-way duplicate explosion. Past 26 replicas
+the rotations would repeat (replica 26's text would exactly duplicate
+replica 0's, planting an artificial cross-replica dup structure), so
+replicas >= 26 additionally SWAP CASE — 52 distinct bijections, enough
+through sf5. Embeddings get a per-replica additive epsilon for the same
+reason (no R-way exact-tie neighbor lists). Dims nation/region stay
+fixed (TPC-H semantics); the un-shifted c_nationkey/s_nationkey
+references stay valid.
 
-Output: bench_ab/sf1/<table>.parquet (untracked; ~170 MB)."""
+Output: bench_ab/sf<SF>/<table>.parquet (untracked; ~240 MB per sf1)."""
 import duckdb, os, sys
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(__file__), "..", "bench_ab", "sf1")
+SF = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+R = 10 * SF
+assert R <= 52, "only 52 distinct text bijections available (see docstring)"
+DST = os.path.join(os.path.dirname(__file__), "..", "bench_ab", f"sf{SF}")
 KEY_OFF = 1 << 24  # > any sf0.1 key (max observed ~2.4M)
-R = 10
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
@@ -54,7 +62,10 @@ def repl_select(table, i):
                 f"event_type, value, props FROM src")
     if table == "documents":
         frm = LOWER + UPPER
-        to = rot(LOWER, i) + rot(UPPER, i)
+        if i < 26:
+            to = rot(LOWER, i) + rot(UPPER, i)
+        else:  # case-swap bijections: distinct from every pure rotation
+            to = rot(UPPER, i) + rot(LOWER, i)
         return (f"SELECT doc_id {k} AS doc_id, "
                 f"translate(text, '{frm}', '{to}') AS text, "
                 f"lang, source, n_chars FROM src")

@@ -531,7 +531,7 @@ object Dedup {
     * defended against. Default Int.MaxValue = uncapped (the
     * oracle-checked semantics). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = Int.MaxValue): DataFrame =
     // explode_outer everywhere a shingle array unnests: plain explode
     // makes InferFiltersFromGenerate synthesize `size(shs) > 0` on the
     // generator input, and predicate pushdown substitutes the whole
@@ -539,8 +539,22 @@ object Dedup {
     // higher-order function then runs 2 extra times per row INSIDE the
     // single-task scan (measured 1.2s/branch on sf0.1). The cheap
     // `sh IS NOT NULL` filter above the Generate is equivalent.
-    val base = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), n)).as("shs"))
+    ngramJaccardPairsOfShingles(
+      docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"), n)).as("shs")),
+      threshold, maxDocFreq)
+
+  /** [[ngramJaccardPairs]] over a PRE-SHINGLED corpus: `shingled` is
+    * (doc_id, shs) with shs the DISTINCT shingle array. The seam exists
+    * so a query driving several detectors over one corpus (the
+    * detector-agreement matrix) can pin the shingle computation once —
+    * shingling is the dominant per-row CPU of both the Jaccard and the
+    * MinHash detectors, and their shingle universes are identical
+    * ([[minhashSigOfShingles]]: min over a multiset = min over its
+    * set). */
+  def ngramJaccardPairsOfShingles(shingled: DataFrame,
+      threshold: Double = 0.5, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val base = shingled
     val capped = if (maxDocFreq == Int.MaxValue) base else {
       val hot = base.select(explode_outer(col("shs")).as("sh"))
         .filter(col("sh").isNotNull)
@@ -590,9 +604,17 @@ object Dedup {
     * empty) — callers filter those out, matching the explode-based
     * formulation where such docs never produced index rows. */
   def minhashSigArray(text: Column, n: Int = 3): Column =
+    minhashSigOfShingles(shingles(text, n))
+
+  /** [[minhashSigArray]] over a pre-computed shingle array column.
+    * Distinct and multiset shingle arrays give the SAME signature
+    * (each component is an array_min — min over a multiset equals min
+    * over its distinct set), so one `array_distinct`-shingled frame can
+    * feed both this and the Jaccard detector. */
+  def minhashSigOfShingles(shs: Column): Column =
     element_at(
       transform(
-        array(transform(shingles(text, n), sh => portableHash32(sh))),
+        array(transform(shs, sh => portableHash32(sh))),
         hs => array(minhashParams.map { case (a, b) =>
           array_min(transform(hs, h => (h * a + b) % MinhashP)) }: _*)),
       1)
@@ -623,13 +645,22 @@ object Dedup {
       (0 until 4).map(r => element_at(sig, bnd * 4 + r + 1)): _*))
 
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame =
+    minhashLshPairsOfShingles(
+      docs.select(col("doc_id"), shingles(col("text"), n).as("shs")),
+      threshold, maxBucket)
+
+  /** [[minhashLshPairs]] over a PRE-SHINGLED corpus (doc_id, shs) —
+    * distinct or multiset shingles, same signatures (see
+    * [[minhashSigOfShingles]]). The detector-agreement seam. */
+  def minhashLshPairsOfShingles(shingled: DataFrame, threshold: Double = 0.5,
       maxBucket: Int = 4096): DataFrame = {
     // No filter directly on `sig`: predicate pushdown would substitute
     // the whole signature expression into a scan-stage filter and
     // recompute it per row (see ngramJaccardPairs). Shingle-less docs get
     // a NULL band hash instead, filtered cheaply after the explode.
-    val sigs = docs
-      .select(col("doc_id"), minhashSigArray(col("text"), n).as("sig"))
+    val sigs = shingled
+      .select(col("doc_id"), minhashSigOfShingles(col("shs")).as("sig"))
     val bandCols = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         when(element_at(col("sig"), 1).isNotNull,

@@ -259,13 +259,19 @@ object Extensions {
     // positives; jaccard_only = banding misses). A full-outer join of two
     // EDGE SETS (both ≪ corpus), then one grouped count.
     "dedup_detector_agreement" -> ((s, dir) => {
-      // both detectors shingle the same corpus: pin the planted frame so
-      // the 3-branch union + scan runs once (caches swept by the caller)
-      val docs = plantedDocs(s, dir)
+      // both detectors consume the SAME distinct 3-shingle sets (minhash
+      // sigs are per-component minima, so multiset vs set is identical —
+      // Dedup.minhashSigOfShingles): pin the SHINGLED frame, not just
+      // the planted docs, so the dominant per-row CPU (tokenize +
+      // n-gram concat) runs once for the pair of detectors instead of
+      // once each (caches swept by the caller)
+      val shingled = plantedDocs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), 3)).as("shs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val jp = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      val jp = Dedup.ngramJaccardPairsOfShingles(shingled, threshold = 0.5)
         .select(col("i"), col("j"), lit(true).as("in_j"))
-      val mh = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.5)
+      val mh = Dedup.minhashLshPairsOfShingles(shingled, threshold = 0.5)
         .select(col("i").as("mi"), col("j").as("mj"), lit(true).as("in_m"))
       jp.join(mh, col("i") === col("mi") && col("j") === col("mj"), "full_outer")
         .select(coalesce(col("i"), col("mi")).as("pi"),

@@ -48,10 +48,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     told otherwise). `now` attaches to a long-lived feed without
   *     replaying it: page mode reads the numeric head once (and fails
   *     loudly if unreachable — starting at 0 would replay everything);
-  *     token mode walks each range's chain to its head once at first
-  *     start (O(backlog) tiny head GETs and O(1) driver memory, paid
-  *     once; a production feed with deep history should supply
-  *     `startToken` instead). The RESOLVED attach position is
+  *     token mode attaches in ONE call per range when the protocol
+  *     offers a head-token endpoint (`headTokenUrl` → the current
+  *     continuation, the Cosmos attach shape), and otherwise walks
+  *     each range's chain to its head once at first start (O(backlog)
+  *     tiny head GETs and O(1) driver memory, paid once; a deep feed
+  *     without a head-token endpoint should supply `startToken`
+  *     instead). The RESOLVED attach position is
   *     persisted under the source's checkpoint directory (the Kafka
   *     initial-offset-log pattern) and replayed verbatim by every
   *     later `initialOffset()` call: the engine re-invokes
@@ -271,6 +274,22 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     }
   private val startToken: String =
     Option(options.get("startToken")).getOrElse("")
+  /** Optional O(1) attach endpoint for `startAt=now` first starts on
+    * deep feeds: `GET {headTokenUrl}[?range=r]` → `{"token": "..."}`
+    * naming the feed's CURRENT head cursor directly — the Cosmos shape,
+    * where the store hands the processor a current continuation in one
+    * call (EtlProcess.cs:183-187) instead of making it walk history.
+    * Without it, `startAt=now` walks each range's token chain from its
+    * start token (O(history) tiny head GETs, O(1) memory, paid once).
+    * A transport failure or malformed body falls back to the walk —
+    * both resolve the same attach position, and the resolution is
+    * persisted under the checkpoint either way. */
+  private val headTokenUrl: Option[String] = {
+    val u = Option(options.get("headTokenUrl"))
+    require(u.isEmpty || tokenMode,
+      "http-feed: headTokenUrl requires cursorMode=token")
+    u
+  }
   /** `startAt=now` attaches at the live head instead of replaying the
     * feed (the Cosmos trigger's StartFromBeginning=false shape). */
   private val startAtNow: Boolean =
@@ -511,6 +530,46 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
     Some(RangeCursor(epoch, tok))
   }
 
+  /** One-call attach: ask the feed's head-token endpoint for the
+    * current cursor of `range` (see [[headTokenUrl]]). The returned
+    * cursor anchors epoch 0 at the attach token — epochs are
+    * checkpoint-relative page counts, and the resolved offset is
+    * persisted verbatim, so "0 = the attach point" is as consistent as
+    * the walk's "history depth = the attach point". `None` (transport
+    * failure, malformed body, endpoint unset) → caller falls back to
+    * the chain walk. */
+  private def fetchHeadToken(range: String): Option[RangeCursor] =
+    headTokenUrl.flatMap { hu =>
+      val u = if (range.isEmpty) hu else withParams(hu, Seq(rangeParam -> range))
+      val got = try {
+        HttpJsonSource.fetch(u, conf) match {
+          case Right(n) if n.hasNonNull("token") && n.get("token").isTextual =>
+            Some(n.get("token").asText())
+          // a feed may legitimately be EMPTY at attach: token null means
+          // "no pages published yet" — attach at the range's start token
+          case Right(n) if n.has("token") && n.get("token").isNull =>
+            Some(startTok(range))
+          case Right(_) =>
+            System.err.println(s"[http-feed] head-token $u returned a " +
+              "malformed body (falling back to the chain walk)")
+            None
+          case Left(status) =>
+            System.err.println(s"[http-feed] head-token $u -> $status " +
+              "(falling back to the chain walk)")
+            None
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[http-feed] head-token $u failed: " +
+            s"${e.getMessage} (falling back to the chain walk)")
+          None
+      }
+      got.map { tok =>
+        chains(range) = new RangeChain(0L, ArrayBuffer(tok))
+        RangeCursor(0L, tok)
+      }
+    }
+
   /** Poll the ranges endpoint. `Some(ids)` on a well-formed response
     * (also records advertised per-range start tokens); `None` on a
     * transport failure or malformed body — the caller must then keep
@@ -643,11 +702,14 @@ private[v2] class HttpFeedMicroBatch(schema0: StructType,
         else rangeIds
       if (startAtNow)
         TokenOffset(initialRanges.map { r =>
-          // trimmed walk: O(history) tiny head GETs but O(1) driver
-          // memory — tokens below the attach point are never needed
-          r -> walkToHeadTrimmed(r).getOrElse(throw new IOException(
-            s"http-feed: head chain walk (range '$r') failed at first " +
-              "start with startAt=now — cannot resolve the attach position"))
+          // O(1) head-token attach when the protocol offers it;
+          // otherwise the trimmed walk: O(history) tiny head GETs but
+          // O(1) driver memory — tokens below the attach point are
+          // never needed
+          r -> fetchHeadToken(r).orElse(walkToHeadTrimmed(r))
+            .getOrElse(throw new IOException(
+              s"http-feed: head chain walk (range '$r') failed at first " +
+                "start with startAt=now — cannot resolve the attach position"))
         }.toMap)
       else
         TokenOffset(initialRanges.map(r => r -> RangeCursor(0L, startTok(r))).toMap)

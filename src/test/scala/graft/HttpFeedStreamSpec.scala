@@ -535,6 +535,129 @@ class HttpFeedStreamSpec extends SparkSpec {
     }
   }
 
+  /** Token feed with an O(1) head-token endpoint (`/items/headtoken` →
+    * `{"token": <current head cursor>}`, the Cosmos one-call attach
+    * shape) plus a counter of head-CHAIN GETs — the evidence surface
+    * for the fast-attach path: an attach that walks pays O(history)
+    * chain GETs, one that uses the endpoint pays none. `tokenFails`
+    * turns the endpoint into a 500 to drive the walk fallback. */
+  private def withHeadTokenFeed(f: (String, AtomicLong, AtomicLong,
+      java.util.concurrent.atomic.AtomicBoolean,
+      ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val head = new AtomicLong(0)
+    val headGets = new AtomicLong(0)
+    val tokenFails = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fetched = new ConcurrentLinkedQueue[String]()
+    def tok(k: Long): String = s"tok-$k"
+    def parseTok(t: String): Option[Long] =
+      if (t.isEmpty) Some(-1L)
+      else t.split("-") match {
+        case Array("tok", k) => scala.util.Try(k.toLong).toOption
+        case _ => None
+      }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/items", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val cursor = query.split("&").collectFirst {
+        case kv if kv.startsWith("cursor=") =>
+          java.net.URLDecoder.decode(kv.substring(7), StandardCharsets.UTF_8)
+      }.getOrElse("")
+      def send(status: Int, body: String): Unit = {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) { ex.getResponseBody.write(b); ex.getResponseBody.close() }
+        ex.close()
+      }
+      if (path.endsWith("/headtoken")) {
+        if (tokenFails.get()) send(500, "")
+        else if (head.get() == 0) send(200, """{"token": null}""")
+        else send(200, s"""{"token": "${tok(head.get() - 1)}"}""")
+      } else parseTok(cursor) match {
+        case None => send(400, "")
+        case Some(pos) =>
+          if (path.endsWith("/head")) {
+            headGets.incrementAndGet()
+            if (pos + 1 < head.get()) send(200, s"""{"next": "${tok(pos + 1)}"}""")
+            else send(200, """{"next": null}""")
+          } else {
+            fetched.add(s"page=$pos")
+            if (pos >= 0 && pos < head.get()) {
+              def item(sfx: String) =
+                s"""{"id":"p$pos$sfx","Name":"Item_${pos}_$sfx",
+                   |"LogicalPartition":"Partition_A"}""".stripMargin
+              send(200, s"[${item("a")},${item("b")}]")
+            } else send(404, "")
+          }
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/items", head,
+      headGets, tokenFails, fetched)
+    finally server.stop(0)
+  }
+
+  test("headTokenUrl: startAt=now on a 40-page feed attaches O(1) — no history walk") {
+    withHeadTokenFeed { (url, head, headGets, _, fetched) =>
+      head.set(40) // deep history: a chain walk would cost >= 40 head GETs
+      val ckpt = Files.createTempDirectory("graft_tok_fast").toString
+      val ids = new ConcurrentLinkedQueue[String]()
+      def start() = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("startAt", "now").option("headTokenUrl", s"$url/headtoken")
+        .option("maxPagesPerTrigger", "2")
+        .option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+      val q = start()
+      q.processAllAvailable()
+      assert(ids.isEmpty, s"fast attach replayed history: ${ids.size} rows")
+      val attachGets = headGets.get()
+      assert(attachGets < 10,
+        s"attach cost $attachGets head-chain GETs on a 40-page feed — " +
+          "the head-token endpoint was not used (a walk costs >= 40)")
+      head.set(42)
+      q.processAllAvailable()
+      q.stop()
+      val got = ids.toArray.map(_.toString).toSet
+      assert(got == Set("p40a", "p40b", "p41a", "p41b"),
+        s"expected exactly the post-attach pages, got $got")
+      assert(!fetched.toArray.map(_.toString).exists(p =>
+        p.stripPrefix("page=").toLong < 40),
+        s"a history page was fetched despite the fast attach: $fetched")
+    }
+  }
+
+  test("headTokenUrl outage falls back to the chain walk — same attach position") {
+    withHeadTokenFeed { (url, head, headGets, tokenFails, _) =>
+      tokenFails.set(true)
+      head.set(5)
+      val ckpt = Files.createTempDirectory("graft_tok_fastfail").toString
+      val ids = new ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("http-feed")
+        .option("url", url).option("cursorMode", "token")
+        .option("startAt", "now").option("headTokenUrl", s"$url/headtoken")
+        .option("maxPagesPerTrigger", "2")
+        .option("maxRetries", "0").option("retryBackoffMs", "20").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("id")).collect().map(_.getString(0)).foreach(ids.add)
+        }.start()
+      q.processAllAvailable()
+      assert(ids.isEmpty, s"fallback attach replayed history: ${ids.size} rows")
+      assert(headGets.get() >= 5,
+        s"only ${headGets.get()} head-chain GETs — the walk fallback did not run")
+      head.set(6)
+      q.processAllAvailable()
+      q.stop()
+      val got = ids.toArray.map(_.toString).toSet
+      assert(got == Set("p5a", "p5b"),
+        s"expected exactly the post-attach page, got $got")
+    }
+  }
+
   test("token-mode AvailableNow pins the prepare-time backlog — a live feed can't extend it") {
     withTokenFeed { (url, head, _) =>
       head.set(4)

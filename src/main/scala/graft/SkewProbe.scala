@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * C(n,2) owned pairs by definition, so n = 2·10⁴ (≈2·10⁸ pairs per
   * detector) is the largest honest probe that completes in minutes —
   * the MEMORY bound it certifies is size-independent (G grows with the
-  * block, sub-posting width does not). The fuzzy detector runs at
-  * min(n, 8000): its per-pair cost is a bounded levenshtein DP
-  * (O(len·maxDist) character ops), ~100× a xor+popcount, so the same
-  * pair count costs ~100× the wall for the same memory evidence.
+  * block, sub-posting width does not). All five detectors run at the
+  * same n, fuzzy included (rounds 13 and earlier capped fuzzy at 8000
+  * because its per-pair bounded-DP cost is ~100× a xor+popcount; the
+  * full-n run measured r14 — minutes, not hours — so the cap is gone
+  * and the probe table is symmetric).
   *
   * Run: `sbt "runMain graft.SkewProbe [sfDir] [n]"` (defaults:
   * bench_ab/sf1, 20000). Prints one JSON line; numbers are recorded in
@@ -105,7 +106,6 @@ object SkewProbe {
     * emit. */
   def detectors(c: Corpora, n: Int,
       maxBucket: Option[Int] = None): Seq[(String, Int, () => DataFrame)] = {
-    val nFuzzy = math.min(n, 8000)
     def mb(dflt: Int): Int = maxBucket.getOrElse(dflt)
     Seq(
       ("minhash", n, () => graft.ext.Dedup.minhashLshPairs(c.docs, maxBucket = mb(4096))),
@@ -113,9 +113,8 @@ object SkewProbe {
       ("phash", n, () => graft.ext.Multimodal.phashPairs(c.media.sparkSession,
         c.media, maxBucket = mb(4096))),
       ("sax", n, () => graft.ext.TimeSeries.saxNeighbors(c.events, maxBucket = mb(4096))),
-      ("fuzzy", nFuzzy, () => graft.ext.Dedup.editDistancePairs(
-        c.parts.filter(col("p_partkey") < (1L << 40) + nFuzzy),
-        "p_partkey", "p_name", Seq("p_brand", "p_size"), maxDist = 8,
+      ("fuzzy", n, () => graft.ext.Dedup.editDistancePairs(
+        c.parts, "p_partkey", "p_name", Seq("p_brand", "p_size"), maxDist = 8,
         maxBucket = mb(4096))))
   }
 

@@ -333,11 +333,15 @@ object Bench {
     // resolved from the working directory (overridable) — a hardcoded
     // absolute path plus a swallowed failure would leave a stale
     // committed BENCH_FULL.json with no signal
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+    val fullPathEnv = sys.env.get("SPARK_GRAFT_BENCH_FULL")
+    val fullPath = fullPathEnv.getOrElse(
       java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.toString)
     // a SPARK_GRAFT_BENCH_ONLY subset probe must never clobber the
-    // committed full-suite record
-    if (only.isEmpty) {
+    // committed full-suite record — but a subset run that EXPLICITLY
+    // names its own output file (scale-slope sessions restricted to
+    // the query list to skip the denominator passes) gets the full
+    // per-query map there
+    if (only.isEmpty || fullPathEnv.isDefined) {
       scala.util.Try(java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))) match {

@@ -34,7 +34,14 @@ def main():
     runnable = {k: v for k, v in sorted(oracle.items())
                 if "__GRAFT_VERIFY_OUT__" not in v}
     times, failed = {}, set()
-    for _pass in range(2):
+    # GRAFT_DUCKDB_PASSES=1 for long side experiments (sf3+ replicas)
+    # where a second full pass costs an hour. CAUTION: one pass drops
+    # the min-of-2, so DuckDB's wall can carry cold-cache noise and a
+    # Spark/DuckDB ratio computed from it FLATTERS Spark — any record
+    # built from a non-default pass count must disclose it and treat
+    # the DuckDB number as an upper bound.
+    passes = int(os.environ.get("GRAFT_DUCKDB_PASSES", "2"))
+    for _pass in range(passes):
         for name, sql in runnable.items():
             if name in failed:
                 continue

@@ -31,13 +31,23 @@ SF = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 R = 10 * SF
 assert R <= 52, "only 52 distinct text bijections available (see docstring)"
 DST = os.path.join(os.path.dirname(__file__), "..", "bench_ab", f"sf{SF}")
-KEY_OFF = 1 << 24  # > any sf0.1 key (max observed ~2.4M)
+# > any sf0.1 key (max observed ~2.4M), and COPRIME to the small moduli
+# downstream synthetic-payload generators apply to keys (the multimodal
+# queries derive pixel/PCM bytes from `id % 256` / `id % 5` / `id % 4`):
+# the round-14 first sf3 run measured a 7x wall on the media pair
+# detectors because 2^24 = 0 (mod 256) made every replica's payloads
+# byte-identical to replica 0's — an R-way duplicate explosion the
+# generator contract promises NOT to plant. 2^24 + 1 is odd, != 0 mod
+# 5, so key-derived payloads differ per replica.
+KEY_OFF = (1 << 24) + 1
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
+DIGITS = "0123456789"
 
 def rot(s, i):
-    return s[i % 26:] + s[:i % 26]
+    n = len(s)
+    return s[i % n:] + s[:i % n]
 
 def repl_select(table, i):
     k = f"+ {i * KEY_OFF}"
@@ -61,19 +71,27 @@ def repl_select(table, i):
         return (f"SELECT event_id {k} AS event_id, ts, user_id {k} AS user_id, "
                 f"event_type, value, props FROM src")
     if table == "documents":
-        frm = LOWER + UPPER
+        # digits rotate too (i % 10): digit-only shingles would otherwise
+        # collide across every replica and grow posting lists R-wide
+        frm = LOWER + UPPER + DIGITS
         if i < 26:
-            to = rot(LOWER, i) + rot(UPPER, i)
+            to = rot(LOWER, i) + rot(UPPER, i) + rot(DIGITS, i)
         else:  # case-swap bijections: distinct from every pure rotation
-            to = rot(UPPER, i) + rot(LOWER, i)
+            to = rot(UPPER, i) + rot(LOWER, i) + rot(DIGITS, i)
         return (f"SELECT doc_id {k} AS doc_id, "
                 f"translate(text, '{frm}', '{to}') AS text, "
                 f"lang, source, n_chars FROM src")
     if table == "embeddings":
+        # label suffix per replica: labels are the within-corpus blocking
+        # key of the exact near-dup operators — verbatim labels made
+        # within-label joins R^2 instead of R (the sub-database contract:
+        # joins fan out exactly as at Rx data). No query filters label by
+        # literal (grepped), so the suffix only partitions the key space.
         eps = i * 1e-3
+        lbl = "label" if i == 0 else f"label || '_r{i}'"
         return (f"SELECT vec_id {k} AS vec_id, "
                 f"list_transform(embedding, x -> CAST(x + {eps} AS FLOAT)) AS embedding, "
-                f"label FROM src")
+                f"{lbl} AS label FROM src")
     raise ValueError(table)
 
 def main():

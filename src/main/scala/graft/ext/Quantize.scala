@@ -208,15 +208,26 @@ object Quantize {
       .select(col("qid"), col("sub"), col("code"),
         // 9-dp decimal partials make the per-pair ADC sum independent of
         // partition/summation order (double += would be order-sensitive
-        // right at the 4-dp rounding boundary)
-        round(dotProduct(col("sv"), col("cw")), 9)
-          .cast(DecimalType(12, 9)).as("pdot"))
+        // right at the 4-dp rounding boundary). The partial is carried
+        // as its exact NANO-UNIT LONG (decimal(12,9) values are exact
+        // 1e-9 multiples, so the unscaled long is lossless): the decimal
+        // sum buffer would be 22 digits — off the compact-long fast path
+        // — and the sum runs once per (corpus row × matching query), the
+        // hottest aggregation in the ADC join (r14, guide §1.2).
+        (round(dotProduct(col("sv"), col("cw")), 9)
+          .cast(DecimalType(12, 9)) * lit(1000000000L)).cast("long")
+          .as("pdot_u"))
 
-    // ---- ADC: compressed corpus join broadcast tables, sum partials
+    // ---- ADC: compressed corpus join broadcast tables, sum partials.
+    // Long nano-unit sum (exact; m partials of |pdot| <= ~2e9 units can
+    // never wrap), divided back to value scale as DECIMAL before the
+    // one double cast — bit-identical to the direct decimal(12,9) sum.
     val scored = corpusCodes.join(broadcast(qTables), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(round(sum(col("pdot")).cast("double"), 4).as("qcos"))
+      .agg(round((sum(col("pdot_u")).cast(DecimalType(38, 0)) /
+          lit(1000000000L).cast(DecimalType(19, 0))).cast("double"), 4)
+        .as("qcos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
     scored.select(col("qid"), col("vec_id"), col("qcos"),
         row_number().over(w).as("rk"))

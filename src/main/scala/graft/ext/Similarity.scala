@@ -297,6 +297,12 @@ object Similarity {
     * vector. Output is k rows — broadcastable at any corpus size. */
   def labelCentroids(emb: DataFrame): DataFrame = {
     val e = emb.select(col("label"), vec(col("embedding")).as("v"))
+    // stays posexplode + groupBy(label, pos) + reassemble: the r14 A/B
+    // of a dim-wide label-keyed aggregate (one agg, no collect_list,
+    // one dim-probe job) measured SLOWER on embed_centroid_assign
+    // (0.56s -> 0.79s same-protocol subset bench) — same grouped
+    // wide-buffer penalty as the Lloyd M-step note above. Measured
+    // negative result; keep the explode.
     val cd = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("x").cast("decimal(20,10)")).cast("double") /
@@ -321,10 +327,16 @@ object Similarity {
     val scored = n.crossJoin(broadcast(cent))
       .withColumn("cos",
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("clabel").desc)
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("vec_id"), col("label"), col("clabel").as("assigned"), col("cos"))
+    // per-vector argmax as a map-side-combinable max-struct aggregate,
+    // not a window: the window form shuffled all k candidate rows per
+    // vector and sorted them; the partial aggregation reduces each
+    // vector to ONE row before the exchange (and no sort at all).
+    // max(struct(cos, clabel)) is lexicographic — highest cos, ties to
+    // the larger label — exactly the (cos DESC, clabel DESC) rn=1 row.
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), col("clabel"))).as("_best"))
+      .select(col("vec_id"), col("label"),
+        col("_best.clabel").as("assigned"), col("_best.cos").as("cos"))
   }
 
   /** Distributed k-means (Lloyd) over the full corpus — unlike
@@ -414,6 +426,16 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(centroids.length == k, s"corpus has fewer than $k vectors")
+    // M-step stays posexplode + groupBy(cell, pos): the r14 A/B of the
+    // dim-wide single-group-key form (64 decimal sum buffers per cell,
+    // the r13 PCA rewrite's shape) measured SLOWER here — embed_kmeans
+    // 0.86s -> 1.13s, embed_outliers 1.20s -> 1.28s same-protocol
+    // subset bench — because unlike PCA's group-FREE flat-buffer agg,
+    // a grouped hash aggregate with 65 wide buffers loses more to
+    // per-group buffer width than the explode loses to row
+    // multiplication (the explode's k*dim partials already combine
+    // map-side, so the exchange is tiny either way). Measured negative
+    // result; keep the explode.
     for (_ <- 0 until iters) {
       val sums = assignCells(e, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))

@@ -152,7 +152,17 @@ object TextOps {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency for the QUERY TERMS ONLY: the full-vocabulary
+    // groupBy(term) aggregated (and shuffled) every distinct term in
+    // the corpus to then use a handful of rows — restricting tf to the
+    // query's distinct terms first computes the identical df values
+    // (every doc containing the term still appears) over a frame the
+    // size of the query's posting lists, and the result is small enough
+    // to broadcast into the scoring join instead of shuffling on term
+    // (r14; guide §2.3 "don't compute things you throw away")
+    val df = tf
+      .join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -163,7 +173,7 @@ object TextOps {
       lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
     val scored = tf
       .join(broadcast(queryTerms), Seq("term"))
-      .join(df, Seq("term"))
+      .join(broadcast(df), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("s", round(idf * (num / den), 6).cast(DecimalType(18, 6)))

@@ -950,9 +950,27 @@ object Relational {
     // ---- histogram by fixed-width buckets (portable floor arithmetic;
     // DuckDB 1.0 has no width_bucket)
     "q36_histogram" -> ((s, dir) => {
+      // two-phase integer-cents (see q1_agg): `bucket` is LOW
+      // cardinality, so a single-group Long partial would see rows
+      // proportional to input size — phase 1 splits by scan partition
+      // id (per-partition rows are bounded by the split size rule),
+      // sums exact cents in LONGs with the loud try_sum wrap gate, and
+      // phase 2 re-sums the partials as DECIMAL(38,0), dividing back
+      // to money scale before the one double cast (bit-identical to
+      // the all-decimal form, ~5x cheaper per row — the DECIMAL(18,2)
+      // sum buffer is 28 digits, off the compact-long fast path)
       t(s, dir, "lineitem")
-        .groupBy(floor(col("l_extendedprice") / 10000).cast("int").as("bucket"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("int").as("bucket"),
+          spark_partition_id().as("_p"))
+        .agg(count(lit(1)).as("_n"),
+          try_sum(round(col("l_extendedprice") * 100).cast("long")).as("_tc"))
+        .filter(assert_true(col("_tc").isNotNull,
+          lit("q36_histogram: integer-cents Long partial overflowed " +
+            "(rows per partition exceeded the safe bound)")).isNull)
+        .groupBy(col("bucket"))
+        .agg(sum(col("_n")).as("n"),
+          (sum(col("_tc").cast(DecimalType(38, 0))) /
+            lit(100).cast(DecimalType(9, 0))).cast(D).as("total"))
         .transform(graft.Tables.ordered(col("bucket")))
     }),
 
@@ -988,9 +1006,25 @@ object Relational {
       // the scalar threshold — unpersisted, Spark plans the full lineitem
       // scan + shuffle on each side of the crossJoin (at 100 TB this is a
       // materialized intermediate table)
+      // integer-cents accumulate (see q1_agg): the per-part value sums
+      // exact cents in a LONG — 5x cheaper per row than DECIMAL(18,2)
+      // accumulation (whose 28-digit sum buffer leaves the compact-long
+      // fast path). l_partkey is a HIGH-cardinality key, so per-group
+      // row counts are bounded by the part's own line count, not the
+      // partition size — no spark_partition_id sub-level needed; a
+      // pathological 9.2e16-dollar part wraps try_sum to NULL and the
+      // assert gate below raises instead of publishing. The decimal
+      // finalize divides the exact cents back to money scale before the
+      // one double cast, so part_value is bit-identical to the
+      // all-decimal form (same exact rational, same single rounding).
       val value = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(dsum(col("l_extendedprice")).as("part_value"))
+        .agg(try_sum(round(col("l_extendedprice") * 100).cast("long")).as("_pc"))
+        .filter(assert_true(col("_pc").isNotNull,
+          lit("q44_important_stock: integer-cents Long partial overflowed")).isNull)
+        .select(col("l_partkey"),
+          (col("_pc").cast(DecimalType(38, 0)) /
+            lit(100).cast(DecimalType(9, 0))).cast(D).as("part_value"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val threshold = value.agg((sum(dec(col("part_value"))).cast(D) * 0.0002)
         .as("thresh"))

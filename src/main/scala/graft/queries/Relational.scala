@@ -51,14 +51,23 @@ object Relational {
       // money scale BEFORE the double cast, so published values are
       // bit-identical to the all-decimal form (same exact rational,
       // same one rounding to double).
-      // tf: the per-row integer math still wants the core spread.
+      // t, NOT tf (r14): integer-cents made the per-row work ~20 int
+      // ops, so the round-robin pre-balance was a full-table round
+      // trip to parallelize arithmetic cheaper than the shuffle write
+      // itself — in-session interleaved A/B (FanoutAB protocol,
+      // min-of-3): fanout 0.485s vs plain 0.258s at sf0.1. The Long
+      // partial bound now comes from the SCAN split rule instead of
+      // the fanout width: maxPartitionBytes caps rows/partition at
+      // ~1e6 for this row width, so the tightest term (charge,
+      // ~1e11/row) peaks ~1e17 per partial — 90x inside the Long
+      // range, and the try_sum gate still fails loudly, never wrongly.
       val cents = (c: Column) => round(c * 100).cast("long") // exact for 2-dec doubles
       val dp4 = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
       val ch6 = dp4 * (lit(100L) + cents(col("l_tax")))
       val d38 = (c: Column) => sum(c.cast(DecimalType(38, 0)))
       val fin = (c: Column, unit: Int) =>
         (d38(c) / lit(unit).cast(DecimalType(9, 0))).cast(D)
-      val part = tf(s, dir, "lineitem")
+      val part = t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"),
           spark_partition_id().as("_p"))
@@ -236,10 +245,12 @@ object Relational {
       // Expand now multiplies 6 rows, and the corpus pays ONE ordinary
       // map-side-combinable aggregation
       // integer-cents base (see q1_agg): try_sum long partials per
-      // fanout partition with the same loud assert_true overflow gate
-      // (per-partition rows grow with input — a wrap must raise, not
-      // publish), decimal finalization after the rollup
-      val base = tf(s, dir, "lineitem")
+      // scan partition with the same loud assert_true overflow gate
+      // (a wrap must raise, not publish), decimal finalization after
+      // the rollup. t, not tf — same r14 fanout A/B as q1_agg: the
+      // per-row work is a couple of integer ops, so the round-robin
+      // pre-balance cost more than the aggregation it spread.
+      val base = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"),
           spark_partition_id().as("_p"))
         .agg(try_sum(round(col("l_quantity") * 100).cast("long")).as("_sq"),
@@ -1137,16 +1148,60 @@ object Relational {
     // stream doubles and drift with partitioning). One map-side-combinable
     // pass collects all six sums.
     "q52_stats_moments" -> ((s, dir) => {
-      val q = dec(col("l_quantity"))
-      val p = dec(col("l_extendedprice"))
-      val d28 = DecimalType(28, 4)
-      val base = tf(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(q).as("sx"), sum((q * q).cast(d28)).as("sxx"),
-          sum(p).as("sy"), sum((p * p).cast(d28)).as("syy"),
-          sum((q * p).cast(d28)).as("sxy"))
+      // two-phase integer-units (see q1_agg): the six moment sums
+      // accumulated DECIMAL(28,4)/(38,4) buffers per row — off the
+      // compact-long fast path, and the squared terms were per-row
+      // decimal MULTIPLIES too. Phase 1 sums exact integer units in
+      // LONGs by (flag, scan partition id) with the loud try_sum wrap
+      // gate; phase 2 re-sums as DECIMAL(38,0) and divides back to
+      // value scale before the one double cast — the same exact
+      // rationals, so every published double is bit-identical.
+      // Unit audit per (flag, partition) partial at R rows/partition
+      // (R is bounded by the data-sized split rule, ~1e5; audited to
+      // R = 1e6): qc<=5.1e3 cents, pc<=1.1e7 cents, so qc^2<=2.6e7,
+      // qc*pc<=5.6e10 — all partials <= 5.6e16 at R=1e6. The ONE term
+      // that could brush the Long range is the price square
+      // (pc^2<=1.2e14 -> 1.2e20 at R=1e6), so it decomposes through
+      // dollars/cents: pc = 100*pd + pr gives
+      // pc^2 = 1e4*pd^2 + 200*pd*pr + pr^2 with pd^2<=1.2e10,
+      // pd*pr<=1.1e7, pr^2<=9801 — every factor-sum bounded <=1.2e16,
+      // recombined exactly in phase-2 decimal.
+      // t, not tf — r14 fanout A/B (FanoutAB protocol, min-of-3):
+      // fanout 0.805s vs plain 0.380s at sf0.1; integer units made the
+      // per-row work cheaper than the round-robin shuffle write.
+      val part = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("_qc"),
+          round(col("l_extendedprice") * 100).cast("long").as("_pc"))
+        .withColumn("_pd", expr("_pc div 100"))
+        .withColumn("_pr", col("_pc") - col("_pd") * 100)
+        .groupBy(col("l_returnflag"), spark_partition_id().as("_p"))
+        .agg(count(lit(1)).as("_n"),
+          try_sum(col("_qc")).as("_sq"),
+          try_sum(col("_qc") * col("_qc")).as("_sqq"),
+          try_sum(col("_pc")).as("_sp"),
+          try_sum(col("_pd") * col("_pd")).as("_spd2"),
+          try_sum(col("_pd") * col("_pr")).as("_spdr"),
+          try_sum(col("_pr") * col("_pr")).as("_spr2"),
+          try_sum(col("_qc") * col("_pc")).as("_sqp"))
+        .filter(assert_true(
+          col("_sq").isNotNull && col("_sqq").isNotNull &&
+            col("_sp").isNotNull && col("_spd2").isNotNull &&
+            col("_spdr").isNotNull && col("_spr2").isNotNull &&
+            col("_sqp").isNotNull,
+          lit("q52_stats_moments: integer-unit Long partial overflowed " +
+            "(rows per partition exceeded the safe bound)")).isNull)
+      val d38 = (c: Column) => sum(c.cast(DecimalType(38, 0)))
+      val unit = (c: Column, u: Int) =>
+        (c / lit(u).cast(DecimalType(9, 0))).cast(D)
+      val base = part.groupBy(col("l_returnflag"))
+        .agg(sum(col("_n")).as("n"),
+          unit(d38(col("_sq")), 100).as("sx"),
+          unit(d38(col("_sqq")), 10000).as("sxx"),
+          unit(d38(col("_sp")), 100).as("sy"),
+          unit(d38(col("_spd2")) * 10000 + d38(col("_spdr")) * 200 +
+            d38(col("_spr2")), 10000).as("syy"),
+          unit(d38(col("_sqp")), 10000).as("sxy"))
       val n = col("n").cast(D)
       base.select(col("l_returnflag"), col("n"),
           round((col("sxx").cast(D) - col("sx").cast(D) * col("sx").cast(D) / n) / n, 6).as("var_qty"),

@@ -58,12 +58,18 @@ object ConfAB {
     scala.util.Try(spark.range(100L)
       .write.format("noop").mode("overwrite").save())
 
-    val defaults = abConf.map { case (k, _) => k -> spark.conf.get(k) }
+    // getOption: a conf with no session value and no default (e.g. one the
+    // session never set) must not abort the tool before any run.
+    val defaults = abConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def restoreDefaults(): Unit = defaults.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
     def withConf(on: Boolean)(body: => Double): Double = {
-      (if (on) abConf else defaults).foreach { case (k, v) =>
-        spark.conf.set(k, v) }
+      if (on) abConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      else restoreDefaults()
       try body
-      finally defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+      finally restoreDefaults()
     }
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -75,21 +81,35 @@ object ConfAB {
     }
 
     // pass structure: per query, alternate OFF, ON within the same
-    // contention window; repeat `passes` times; publish min per variant
+    // contention window; repeat `passes` times; publish min per variant.
+    // Failed runs (NaN) are skipped when folding minima — min(prev, NaN)
+    // would permanently poison that query's minimum and the TOTAL line —
+    // and counted separately.
+    def foldMin(prev: Double, x: Double): Double =
+      if (x.isNaN) prev else math.min(prev, x)
     val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+    val fails = scala.collection.mutable.Map[String, Int]()
     for (_ <- 1 to passes; (n, fn) <- qseq) {
       val off = withConf(on = false)(runOnce(fn))
       val on = withConf(on = true)(runOnce(fn))
+      if (off.isNaN || on.isNaN)
+        fails(n) = fails.getOrElse(n, 0) + Seq(off, on).count(_.isNaN)
       val (po, pn) = acc.getOrElse(n, (Double.MaxValue, Double.MaxValue))
-      acc(n) = (math.min(po, off), math.min(pn, on))
+      acc(n) = (foldMin(po, off), foldMin(pn, on))
     }
     println(f"${"query"}%-30s ${"off_s"}%8s ${"on_s"}%8s ${"delta"}%8s")
     var (to, tn) = (0.0, 0.0)
     acc.toSeq.sortBy(_._1).foreach { case (n, (o, v)) =>
-      to += o; tn += v
-      println(f"$n%-30s $o%8.3f $v%8.3f ${(v - o) / o * 100}%7.1f%%")
+      if (o == Double.MaxValue || v == Double.MaxValue) {
+        println(f"$n%-30s ${"-"}%8s ${"-"}%8s    all-fail")
+      } else {
+        to += o; tn += v
+        println(f"$n%-30s $o%8.3f $v%8.3f ${(v - o) / o * 100}%7.1f%%")
+      }
     }
     println(f"TOTAL off=$to%8.3f on=$tn%8.3f ${(tn - to) / to * 100}%7.1f%%")
+    if (fails.nonEmpty) println(s"FAILED runs (skipped in minima): " +
+      fails.toSeq.sortBy(_._1).map { case (n, c) => s"$n=$c" }.mkString(", "))
     spark.stop()
   }
 }

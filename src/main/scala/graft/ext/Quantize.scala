@@ -164,6 +164,17 @@ object Quantize {
     * distance (ADC) broadcast equi-join. `codebooks(s)(j)` = codeword `j`
     * of subspace `s`; all codebooks must share one sub-dimension.
     */
+  /** Convert an exact nano-unit LONG sum back to value scale as an EXACT
+    * decimal. The sum is cast to DecimalType(38,9) first: under Spark's
+    * decimal-division precision-loss rule, (38,9)/(10,0) types the quotient
+    * decimal(38,9) — wide enough to hold sum_u * 1e-9 exactly (|sum_u| is
+    * at most m * 2e9 ~ 2e10 units). Casting (38,0)/(19,0) instead would
+    * type it decimal(38,6) and silently round the 9-dp value to 6 dp —
+    * a double-rounding bug at 4-dp boundaries. QuantizeSuite asserts the
+    * quotient's dataType so a precision-loss regression fails loudly. */
+  def adcFinalize(sumU: Column): Column =
+    sumU.cast(DecimalType(38, 9)) / lit(1000000000L).cast(DecimalType(10, 0))
+
   private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
@@ -222,11 +233,15 @@ object Quantize {
     // Long nano-unit sum (exact; m partials of |pdot| <= ~2e9 units can
     // never wrap), divided back to value scale as DECIMAL before the
     // one double cast — bit-identical to the direct decimal(12,9) sum.
+    // The sum is cast to DecimalType(38,9) BEFORE the divide so Spark's
+    // precision-loss rule types the quotient decimal(38,9) (exact at 9 dp);
+    // a (38,0)/(19,0) divide would type it decimal(38,6), rounding the
+    // 9-dp sum to 6 dp before round(...,4) and flipping qcos at 4-dp
+    // boundaries. QuantizeSpec asserts the quotient stays (38,9).
     val scored = corpusCodes.join(broadcast(qTables), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(round((sum(col("pdot_u")).cast(DecimalType(38, 0)) /
-          lit(1000000000L).cast(DecimalType(19, 0))).cast("double"), 4)
+      .agg(round(adcFinalize(sum(col("pdot_u"))).cast("double"), 4)
         .as("qcos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
     scored.select(col("qid"), col("vec_id"), col("qcos"),

@@ -56,11 +56,15 @@ object Relational {
       // trip to parallelize arithmetic cheaper than the shuffle write
       // itself — in-session interleaved A/B (FanoutAB protocol,
       // min-of-3): fanout 0.485s vs plain 0.258s at sf0.1. The Long
-      // partial bound now comes from the SCAN split rule instead of
-      // the fanout width: maxPartitionBytes caps rows/partition at
-      // ~1e6 for this row width, so the tightest term (charge,
-      // ~1e11/row) peaks ~1e17 per partial — 90x inside the Long
-      // range, and the try_sum gate still fails loudly, never wrongly.
+      // partial is GATED, not bounded (r15, ADVICE): for MULTI-row-group
+      // parquet, maxPartitionBytes caps rows/partition (~1e6 at this row
+      // width → the tightest term, charge at ~1e11/row, peaks ~1e17 per
+      // partial, 90x inside Long range); but parquet splits assign whole
+      // row groups, so a large SINGLE-row-group file lands in one
+      // partition and the bound does not hold — there the try_sum +
+      // assert_true gate ABORTS loudly rather than publishing a wrapped
+      // sum, and the caller re-runs with the all-decimal form or a
+      // wider fanout. Never silently wrong; aborts on degenerate files.
       val cents = (c: Column) => round(c * 100).cast("long") // exact for 2-dec doubles
       val dp4 = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
       val ch6 = dp4 * (lit(100L) + cents(col("l_tax")))

@@ -102,6 +102,24 @@ class QuantizeSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"expected broadcast codebook/ADC join:\n$plan")
   }
 
+  test("adcFinalize quotient stays DecimalType(38,9) — no precision-loss rounding") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(123449999L), Row(-987654321L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("su",
+            org.apache.spark.sql.types.LongType))))
+      .select(Quantize.adcFinalize(col("su")).as("q"))
+    assert(df.schema("q").dataType === DecimalType(38, 9),
+      s"ADC finalize quotient regressed to ${df.schema("q").dataType}: " +
+        "a narrower scale silently rounds the exact 9-dp sum before round(...,4)")
+    // 123449999 nano-units is exactly 0.123449999: a 6-dp intermediate would
+    // round it to 0.123450 and then round(...,4) to 0.1235 instead of 0.1234.
+    val got = df.select(round(col("q").cast("double"), 4))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(0.1234, -0.9877), s"double-rounding regression: $got")
+  }
+
   test("quantizedTopK broadcasts the query side (no shuffle for the join)") {
     val plan = Quantize.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5)
       .queryExecution.executedPlan.toString

@@ -684,20 +684,38 @@ object Dedup {
           // single-task on sf0.1)
           .transform(graft.Tables.fanout))
       .filter(Posting.owns(col("a"), col("b")))
-      // est_jaccard at EMISSION, threshold BEFORE the cross-band
-      // distinct: the dedup shuffle then carries 24-byte qualifying
-      // (i, j, est) rows instead of full signature pairs (~12x fewer
-      // bytes, sub-threshold candidates never shuffled at all —
-      // SkewProbe measured the sig-carrying distinct as the dominant
-      // cost of a planted 2e4-identical-doc block). est is a pure
-      // function of the pair, so filter-then-distinct is result-
-      // identical to distinct-then-filter.
+      // est_jaccard at EMISSION, threshold BEFORE ownership: the
+      // CaseWhen band probes below then run only on qualifying pairs
+      // (sub-threshold candidates are dropped by 16 cheap component
+      // compares first — SkewProbe measured the sig-carrying distinct
+      // as the dominant cost of a planted 2e4-identical-doc block).
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          eq => eq)).cast("double") / 16.0).as("est_jaccard"))
+          eq => eq)).cast("double") / 16.0).as("est_jaccard"),
+        col("band"), col("a.sig").as("siga"), col("b.sig").as("sigb"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct() // a pair can collide in several bands
+      // First-agreeing-band ownership (r15, guide §2.4 — distinct on
+      // already-unique data): a pair collides once PER agreeing band
+      // (≤ 4x for identical docs, the dominant kind in a near-dup
+      // corpus); owning it to the LOWEST agreeing band makes emission
+      // globally exactly-once, so the cross-band `.distinct()` — a
+      // full shuffle + hash-agg of the qualifying pair set —
+      // disappears. Agreement is the EXACT bucket predicate (md5
+      // bandHash equality, same as the posting key), not component
+      // equality, so ownership provably matches the bucketing even in
+      // a hash-collision corner. CaseWhen short-circuits, so the
+      // common identical-doc pair pays 2 md5s, worst case 6.
+      .filter(col("band") === firstAgreeingBand(col("siga"), col("sigb")))
       .select(col("i"), col("j"), col("est_jaccard"))
+  }
+
+  /** Index of the FIRST band (0-3) whose md5 band hash agrees between
+    * two 16-slot signatures — the global owner of a banded LSH pair.
+    * Uses [[bandHash]] equality (the bucket predicate itself), so a
+    * pair is owned by exactly one of the bands that bucketed it. */
+  private def firstAgreeingBand(siga: Column, sigb: Column): Column = {
+    def agrees(bnd: Int): Column = bandHash(siga, bnd) === bandHash(sigb, bnd)
+    when(agrees(0), 0).when(agrees(1), 1).when(agrees(2), 2).otherwise(3)
   }
 
   /** Incremental MinHash-LSH dedup: which BATCH documents near-duplicate
@@ -727,12 +745,15 @@ object Dedup {
     }
     withBands(batch, "i", "sigi")
       .join(withBands(base, "j", "sigj"), Seq("band", "bh"))
-      .select(col("i"), col("j"), col("sigi"), col("sigj"))
-      .distinct() // a pair can collide in several bands
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sigi"), col("sigj"), (x, y) => x === y),
           eq => eq)).cast("double") / 16.0)
       .filter(col("est_jaccard") >= threshold)
+      // first-agreeing-band ownership instead of the cross-band
+      // `.distinct()` — same exactly-once argument as
+      // [[minhashLshPairsOfShingles]]; threshold first so the md5
+      // probes run only on qualifying pairs
+      .filter(col("band") === firstAgreeingBand(col("sigi"), col("sigj")))
       .select(col("i"), col("j"), col("est_jaccard"))
   }
 

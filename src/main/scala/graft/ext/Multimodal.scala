@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed media metadata carried alongside the opaque payload. */
@@ -642,6 +642,32 @@ object Multimodal {
       .toDF("media_id", "n_frames", "fp")
   }
 
+  /** Audio dedup CANDIDATE pairs: fingerprint-equality collisions over
+    * `media` — (i, j, fp) with i < j, one row per colliding pair, the
+    * exact result set of a self equi-join on (n_frames, fp). Built as a
+    * bounded posting list instead of that self-join (r15, guide §2/§6):
+    * the join shape consumed the fingerprint frame twice, so the
+    * dominant per-row cost — WAV decode + energy fingerprint — ran
+    * TWICE over the corpus, plus a two-sided join shuffle; the posting
+    * build decodes once (Posting.bounded pins the tiny fp rows for its
+    * two passes), shuffles once on the collision key, and emits pairs
+    * in-task. `maxBucket` is the 100 TB fat-bucket valve (planted exact
+    * copies make collision buckets grow with the corpus); Posting's
+    * split-don't-drop keeps the pair set identical to the uncapped
+    * join, and [[Posting.owns]] keeps emission exactly-once. */
+  def wavFpPairs(spark: SparkSession, media: DataFrame, frame: Int = 32,
+      maxBucket: Int = 4096): DataFrame = {
+    val rows = wavFingerprints(spark, media, frame)
+      .select(col("n_frames"), col("fp"),
+        struct(col("media_id")).as("m"))
+    Posting.streamPairs(
+        Posting.bounded(rows, Seq("n_frames", "fp"), "m", maxBucket)
+          .transform(graft.Tables.fanout))
+      .filter(Posting.owns(col("a"), col("b")))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"),
+        col("fp"))
+  }
+
   /** PLANTED wav corpus: the fixture clips plus exact re-encoded copies
     * of every 25th id (+200000) — the sample formula keys on
     * media_id mod 200000, so a copy is bit-identical audio under a new
@@ -825,7 +851,8 @@ object Multimodal {
     * nothing. Pipeline is the standard posting-list shape (no self-join,
     * no cartesian): explode 4 chunk rows per image → group to posting
     * lists → emit ordered pairs IN the task → distance filter AT
-    * emission → distinct to collapse multi-chunk hits.
+    * emission → first-agreeing-chunk ownership so every pair is emitted
+    * exactly once (no distinct).
     *
     * `maxBucket` is the 100 TB fat-bucket valve (a flat-color meme
     * template shared by millions of images = one degenerate posting
@@ -847,14 +874,27 @@ object Multimodal {
         expr("shiftright(phash, c * 14) & 16383"))
       .select(col("c"), col("chunk"),
         struct(col("media_id"), col("phash")).as("m"))
+    // First-agreeing-chunk ownership (r15, guide §2.4 — distinct on
+    // already-unique data): a pair within distance `maxDist` agrees on
+    // >= 1 of the 4 chunks and is bucketed once PER agreeing chunk;
+    // owning it to the LOWEST agreeing chunk makes emission globally
+    // exactly-once, so the cross-chunk `.distinct()` — a full shuffle
+    // of the (inherently quadratic) pair set, with dist-0 pairs emitted
+    // 4x — disappears. Chunk agreement is exact bit arithmetic on the
+    // xor (the bucket key IS the chunk value), so ownership is provably
+    // the bucket-collision predicate, not an approximation of it.
+    val x = col("a.phash").bitwiseXOR(col("b.phash"))
+    def chunkAgrees(cp: Int): Column =
+      shiftright(x, cp * 14).bitwiseAND(lit(16383L)) === 0L
+    val firstAgreeingChunk =
+      when(chunkAgrees(0), 0).when(chunkAgrees(1), 1)
+        .when(chunkAgrees(2), 2).otherwise(3)
     Posting.streamPairs(
         Posting.bounded(rows, Seq("c", "chunk"), "m", maxBucket)
           .transform(graft.Tables.fanout))
       .filter(Posting.owns(col("a"), col("b")) &&
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= maxDist)
+        bit_count(x) <= maxDist && col("c") === firstAgreeingChunk)
       .select(col("a.media_id").as("i"), col("b.media_id").as("j"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
-          .cast("int").as("dist"))
-      .distinct() // a pair can collide in several chunk positions
+        bit_count(x).cast("int").as("dist"))
   }
 }

@@ -195,54 +195,73 @@ object Quantize {
 
     // ---- full-corpus encode: explode each vector into its m subvectors
     // (one scan-local pass), broadcast-join the codebook on `sub`, keep
-    // the argmin codeword per (vec_id, sub) via a min-struct aggregate
-    // (||c||^2 - 2 a·c ranks identically to L2 for fixed a)
+    // the argmin codeword per (vec_id, sub) via m min-struct aggregates
+    // in ONE groupBy(vec_id) (||c||^2 - 2 a·c ranks identically to L2
+    // for fixed a). r15 (guide §2): one corpus-linear exchange instead
+    // of the previous two (the (vec_id, sub) argmin agg + the quadratic
+    // scoring agg below); output is the per-vector CODE ARRAY, so the
+    // whole ADC score is computable scan-locally downstream.
     def subvecs(v: Column): Column =
       array((0 until m).map(s => slice(v, lit(s * subDim + 1), lit(subDim))): _*)
     val corpusSubs = corpus
       .select(col("vec_id"), posexplode(subvecs(normalized(col("embedding"))))
         .as(Seq("sub", "sv")))
-    val corpusCodes = corpusSubs
+    val corpusPQ = corpusSubs
       .join(broadcast(codebook), "sub")
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(
-        (col("cw2") - lit(2.0) * dotProduct(col("sv"), col("cw"))).as("d"),
-        col("code").as("c"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.c").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("sub") === 0, struct(
+          (col("cw2") - lit(2.0) * dotProduct(col("sv"), col("cw"))).as("d"),
+          col("code").as("c")))).as("b0"),
+        (1 until m).map(s => min(when(col("sub") === s, struct(
+          (col("cw2") - lit(2.0) * dotProduct(col("sv"), col("cw"))).as("d"),
+          col("code").as("c")))).as(s"b$s")): _*)
+      .select(col("vec_id"),
+        array((0 until m).map(s => col(s"b$s.c")): _*).as("codes"))
 
-    // ---- per-query ADC tables: (qid, sub, code, pdot) — the same
-    // broadcast join, no aggregation (every codeword keeps its partial)
+    // ---- per-query ADC lookup arrays: pd(sub)(code) = pdot_u, the
+    // 9-dp nano-unit LONG partial dot of query subvector `sub` against
+    // codeword `code` (exact: decimal(12,9) values are 1e-9 multiples,
+    // so the unscaled long is lossless; 9-dp partials make the per-pair
+    // sum independent of partition/summation order). The query side is
+    // tiny by contract — two small exchanges to assemble the arrays,
+    // then ONE broadcast.
     val qTables = queries
       .select(col("vec_id").as("qid"),
         posexplode(subvecs(normalized(col("embedding")))).as(Seq("sub", "sv")))
       .join(broadcast(codebook), "sub")
       .select(col("qid"), col("sub"), col("code"),
-        // 9-dp decimal partials make the per-pair ADC sum independent of
-        // partition/summation order (double += would be order-sensitive
-        // right at the 4-dp rounding boundary). The partial is carried
-        // as its exact NANO-UNIT LONG (decimal(12,9) values are exact
-        // 1e-9 multiples, so the unscaled long is lossless): the decimal
-        // sum buffer would be 22 digits — off the compact-long fast path
-        // — and the sum runs once per (corpus row × matching query), the
-        // hottest aggregation in the ADC join (r14, guide §1.2).
         (round(dotProduct(col("sv"), col("cw")), 9)
           .cast(DecimalType(12, 9)) * lit(1000000000L)).cast("long")
           .as("pdot_u"))
+    val qArrays = qTables
+      .groupBy(col("qid"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("pdot_u")))),
+        x => x.getField("pdot_u")).as("pds"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("pds")))),
+        x => x.getField("pds")).as("pd"))
 
-    // ---- ADC: compressed corpus join broadcast tables, sum partials.
-    // Long nano-unit sum (exact; m partials of |pdot| <= ~2e9 units can
-    // never wrap), divided back to value scale as DECIMAL before the
-    // one double cast — bit-identical to the direct decimal(12,9) sum.
-    // The sum is cast to DecimalType(38,9) BEFORE the divide so Spark's
-    // precision-loss rule types the quotient decimal(38,9) (exact at 9 dp);
-    // a (38,0)/(19,0) divide would type it decimal(38,6), rounding the
-    // 9-dp sum to 6 dp before round(...,4) and flipping qcos at 4-dp
-    // boundaries. QuantizeSpec asserts the quotient stays (38,9).
-    val scored = corpusCodes.join(broadcast(qTables), Seq("sub", "code"))
+    // ---- ADC, scan-local (r15, guide §2.1): each corpus row's code
+    // array meets every broadcast query row IN the task and the m-term
+    // lookup sum runs as an expression — the old shape's (sub, code)
+    // equi-join + groupBy(qid, vec_id) shuffled |corpus| x |queries|
+    // partial-sum rows (the suite's only quadratic EXCHANGE; the pair
+    // scoring itself is the query's contract). Long nano-unit sum is
+    // exact (m partials of |pdot| <= ~2e9 units can never wrap) and
+    // summed in ascending-sub order — identical terms, identical total.
+    // adcFinalize divides back to value scale as decimal(38,9) (exact;
+    // QuantizeSpec asserts the type) before the one double cast. The
+    // sum is a FLAT expression tree of 2m element_at lookups (all
+    // whole-stage codegen), not a higher-order aggregate/zip_with
+    // (interpreted per pair — guide §4).
+    val adcSum = (0 until m).map { s =>
+      element_at(element_at(col("pd"), s + 1),
+        element_at(col("codes"), s + 1) + lit(1))
+    }.reduce(_ + _)
+    val scored = corpusPQ.crossJoin(broadcast(qArrays))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round(adcFinalize(sum(col("pdot_u"))).cast("double"), 4)
-        .as("qcos"))
+      .select(col("qid"), col("vec_id"),
+        round(adcFinalize(adcSum).cast("double"), 4).as("qcos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
     scored.select(col("qid"), col("vec_id"), col("qcos"),
         row_number().over(w).as("rk"))

@@ -799,20 +799,15 @@ object Extensions {
     }),
 
     // audio dedup CANDIDATE pairs: fingerprint equality over the planted
-    // corpus — an equi-join on the fp value (hash-blocked, never a
-    // cartesian). Planted exact copies provably collide (spec-gated);
+    // corpus — a bounded posting list on the (n_frames, fp) collision
+    // key (hash-blocked, never a cartesian; decode runs ONCE, not once
+    // per join side). Planted exact copies provably collide (spec-gated);
     // like any perceptual hash the collisions are candidates for an
     // exact confirm pass, not verdicts — same contract as LSH buckets.
     "multimodal_wav_fp_pairs" -> ((s, dir) => {
-      val fps = Multimodal.wavFingerprints(s,
+      Multimodal.wavFpPairs(s,
         Multimodal.plantedWavMediaTable(s,
           tf(s, dir, "documents").select(col("doc_id"))), frame = 16)
-      val a = fps.select(col("media_id").as("i"), col("n_frames"), col("fp"))
-      val b = fps.select(col("media_id").as("j"),
-        col("n_frames").as("nfb"), col("fp").as("fpb"))
-      a.join(b, col("fp") === col("fpb") &&
-          col("n_frames") === col("nfb") && col("i") < col("j"))
-        .select(col("i"), col("j"), col("fp"))
         .transform(graft.Tables.ordered(col("i"), col("j")))
     }),
 

@@ -102,10 +102,46 @@ object Tables {
   def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Memoized data-file counts per table path (the fixture dirs are
+    * immutable for the life of the process, same contract as
+    * [[scanCache]]). Hidden/metadata entries (`_SUCCESS`, dotfiles)
+    * are excluded the way Spark's file index excludes them. */
+  private val fileCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def dataFileCount(spark: SparkSession, path: String): Int =
+    fileCountCache.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(hp)
+      Integer.valueOf(
+        if (st.isFile) 1
+        else fs.listStatus(hp).count { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        })
+    }).intValue()
+
   /** Read one fixture table pre-balanced for CPU-heavy per-row work —
-    * [[t]] + [[fanout]]. */
-  def tf(spark: SparkSession, dir: String, name: String): DataFrame =
-    fanout(t(spark, dir, name))
+    * [[t]] + [[fanout]], where the fanout is ADAPTIVE (r15): it is
+    * SKIPPED when the table's data-file count alone already meets the
+    * fanout target, because then the scan yields at least that many
+    * independent tasks and the round-robin exchange — a full-corpus
+    * shuffle — parallelizes nothing that the scan didn't. The test is
+    * FILE count, not bytes/maxPartitionBytes: parquet assigns whole row
+    * groups to one split, so byte-derived split estimates overcount for
+    * large single-row-group files (the exact shape the fanout exists
+    * for), while every FILE is at least one real schedulable task
+    * regardless of its row-group layout — the estimate only ever errs
+    * toward keeping the pre-balance. At 100 TB inputs arrive as
+    * thousands of part files, so all ~95 tf call sites skip the
+    * exchange; the single-file bench fixture keeps it, leaving the
+    * driver's measurement protocol unchanged. */
+  def tf(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (dataFileCount(spark, s"$dir/$name.parquet") >= target) df
+    else fanout(df)
+  }
 
   /** THE library-wide cache sweep — the caller side of the cache
     * contract (see graft.ext.TextOps's "Cache contract" scaladoc):

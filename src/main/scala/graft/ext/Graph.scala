@@ -111,6 +111,15 @@ object Graph {
     // same integer trajectory -> same oracle hash; iters is small and
     // bounded (3-20), so plan depth stays trivial.
     for (_ <- 1 to iters) {
+      // stays SortMergeJoin: the r15 A/B of a shuffle_hash hint on the
+      // ranks leg (rationale: the adj leg arrives sorted from its own
+      // construction, so SMJ's only per-round sort is |V| rank rows;
+      // a hash build would drop it) measured a WASH — pagerank
+      // 2.595s -> 2.578s, weighted 2.534s -> 2.584s, same-session
+      // subset protocol (bench_ab/r15_graph_{before,after}.json) —
+      // the per-partition hash build of ranks costs what the sort
+      // cost. No win at any scale where both are O(|V|/P); keep the
+      // default.
       val contrib = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("rank_u div deg").as("c"))
       ranks = contrib.groupBy(col("dst"))
@@ -159,6 +168,7 @@ object Graph {
     val teleportU = ((100L - dampingPct) * Scale / 100L) / n
     var ranks = nodes.withColumn("rank_u", lit(Scale / n))
     for (_ <- 1 to iters) {
+      // stays SortMergeJoin — same measured-wash A/B as [[pageRank]]'s loop
       val contrib = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("(rank_u * w) div sw").as("c"))
       ranks = contrib.groupBy(col("dst"))
@@ -349,6 +359,14 @@ object Graph {
     while (round < rounds && !fixedPoint) {
       val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("n"))
+      // stays SortMergeJoin: the r15 A/B of shuffle_hash hints on the
+      // keep side (rationale: drop the two per-round full-edge sorts)
+      // measured SLOWER — graph_kcore 1.92s -> 2.85/2.67s on the
+      // same-session subset protocol (bench_ab/r15_graph_{before,after}.json,
+      // r15_kcore_after2.json) — the per-partition hash-set build of
+      // keep, paid twice per round, costs more than the sorts it
+      // removes at every scale where keep is a meaningful fraction of
+      // the edge count. Measured negative; keep the SMJ.
       val next = ed
         .join(keep, ed("src") === keep("n"), "left_semi")
         .join(keep, ed("dst") === keep("n"), "left_semi")

@@ -599,21 +599,24 @@ object Extensions {
     // point: that set is small), via two doc-keyed joins against the
     // shingle index.
     "dedup_minhash_calibration" -> ((s, dir) => {
-      val docs = plantedDocs(s, dir)
-      // est (the whole LSH detector) feeds the intersection join AND the
-      // final projection; sh feeds sizes plus both intersection legs.
-      // Pinning both measured ~0.5s on the bench (an earlier note called
-      // this a wash citing AQE stage reuse — but the bench session runs
-      // AQE off, and ReuseExchange only dedups the final exchange, not
-      // the detector pipeline upstream of three differently-keyed
-      // consumers). Caches are the caller's to sweep, as with bm25TopK.
-      val est = Dedup.minhashLshPairs(docs)
+      // ONE pinned distinct-shingle frame feeds everything (r15, the
+      // detector-agreement seam): the LSH detector (sig of a multiset =
+      // sig of its set — minhashSigOfShingles), both intersection legs
+      // (cheap per-row explodes of the pinned compact arrays), and the
+      // per-doc set sizes (size(shs) in-row — the previous shape
+      // re-shingled the corpus a SECOND time, deduped it with a
+      // full-shuffle distinct, and ran a groupBy(doc_id) count for
+      // sizes). est stays pinned: the detector feeds the intersection
+      // join AND the final projection. Caches swept by the caller.
+      val shingled = plantedDocs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), 3)).as("shs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = docs
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
-        .distinct()
+      val est = Dedup.minhashLshPairsOfShingles(shingled, threshold = 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sh = shingled
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+      val sizes = shingled.select(col("doc_id"), size(col("shs")).as("sz"))
       val inter = est.select(col("i"), col("j"))
         .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
         .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))

@@ -32,4 +32,31 @@ class TablesSpec extends SparkSpec {
         "live session must keep its entries")
     } finally Tables.stoppedProbe = saved
   }
+
+  test("tf fanout is adaptive: single-file input keeps the round-robin, " +
+      "multi-file input at the target skips it") {
+    val target = spark.sparkContext.defaultParallelism
+    // the fixture tables are single parquet FILES → fanout kept
+    val single = Tables.tf(spark, sf, "region")
+    assert(single.queryExecution.executedPlan.toString
+        .contains("RoundRobinPartitioning"),
+      "single-file fixture scan must keep the round-robin pre-balance")
+    // a table written as >= target part files → fanout skipped: the scan
+    // alone yields that many independent tasks
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_adaptive")
+    try {
+      spark.range(1000L).repartition(target)
+        .write.mode("overwrite").parquet(s"$dir/many.parquet")
+      assert(Tables.dataFileCount(spark, s"$dir/many.parquet") >= target,
+        "setup: expected one part file per partition")
+      val multi = Tables.tf(spark, dir.toString, "many")
+      assert(!multi.queryExecution.executedPlan.toString
+          .contains("RoundRobinPartitioning"),
+        "multi-file scan must skip the full-corpus round-robin exchange")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -565,20 +565,32 @@ object Dedup {
         .select(col("doc_id"),
           filter(col("shs"), s => !array_contains(col("hot"), s)).as("shs"))
     }
-    capped
+    val posting = capped
       .select(col("doc_id"), size(col("shs")).as("sz"),
         explode_outer(col("shs")).as("sh"))
       .filter(col("sh").isNotNull)
       .groupBy(col("sh"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("lst"))
-      .filter(size(col("lst")) >= 2)
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
       // pin the pair-emission width: the posting shuffle is tiny in BYTES,
       // so AQE's byte-based coalescing would run the compute-bound pair
       // explode on one task (measured 7s single-task on sf0.1)
       .transform(graft.Tables.fanout)
-      .select(explode(orderedPairs(col("lst"))).as("p"))
-      .groupBy(col("p.a.doc_id").as("i"), col("p.b.doc_id").as("j"),
-        col("p.a.sz").as("si"), col("p.b.sz").as("sj"))
+      // the shingle key is consumed — project it away so it doesn't ride
+      // along every emitted pair row
+      .select(col("ms"))
+    // STREAMED pair emission (r15, guide §5): the previous
+    // explode(orderedPairs(ms)) materialized the full C(|ms|, 2) struct
+    // array as ONE value per posting row — the planted hot shingle's
+    // posting (df grows with the corpus: 2000 docs at sf1, 6000 at sf3)
+    // made that an ~80 MB/720 MB single allocation, an OOM at the next
+    // decade. Posting.streamPairs yields one pair at a time, so peak
+    // task memory is O(|ms|) per posting row; the emitted (a, b) stream
+    // is the identical multiset (same sorted list, same i < j order), so
+    // the intersection counts — and everything downstream — are unchanged.
+    Posting.streamPairs(posting)
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sz").as("si"), col("b.sz").as("sj"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("si") + col("sj") - col("c")))

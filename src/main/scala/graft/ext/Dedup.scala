@@ -1013,17 +1013,20 @@ object Dedup {
         .select(col("doc_id"),
           filter(col("shs"), s => !array_contains(col("hot"), s)).as("shs"))
     }
-    capped
+    val posting = capped
       .select(col("doc_id"), size(col("shs")).as("sz"),
         explode_outer(col("shs")).as("sh"))
       .filter(col("sh").isNotNull)
       .groupBy(col("sh"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("lst"))
-      .filter(size(col("lst")) >= 2)
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
       .transform(graft.Tables.fanout)
-      .select(explode(orderedPairs(col("lst"))).as("p"))
-      .groupBy(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"),
-        col("p.a.sz").as("sa"), col("p.b.sz").as("sb"))
+      .select(col("ms"))
+    // streamed emission, same O(|ms|)-peak rationale (and measured
+    // fixture-scale win) as [[ngramJaccardPairsOfShingles]]
+    Posting.streamPairs(posting)
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
       .agg(count(lit(1)).as("c"))
       // one undirected count row → up to two directed containment rows
       .select(explode(array(

@@ -165,43 +165,54 @@ object Similarity {
       concat(lit(tbl.toString + ":"), bucketKey(v, tp))
     }: _*)
 
-    // Scan-local candidate generation + scoring (r15, guide §2.1): the
-    // previous shape deduped cross-table candidate collisions with a
-    // `.distinct()` (an exchange over the candidate set — the FULL
-    // quadratic pair set in the nBits=0 exact twin) and then joined the
-    // corpus BACK on vec_id to fetch vectors for scoring — a full-corpus
-    // exchange + sort. Instead the vector, its norm and its full key
-    // array ride the (map-local) table explode, candidates are owned by
-    // their FIRST agreeing table (key equality IS the bucket predicate —
-    // each key embeds its table prefix, so keys from different tables
-    // can never collide and `bucket === firstAgreeKey` is exactly-once),
-    // and the exact cosine is computed IN the task that found the
-    // candidate. Candidate set, cos values and ranks are unchanged; the
-    // distinct exchange and both join-backs are gone, and the rank
-    // window's WindowGroupLimit partial keeps the one remaining exchange
-    // at O(k·|queries|) rows per task.
-    val cKeyed = corpus
-      .select(col("vec_id"), col("embedding").as("v"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("ck", tableKeys(col("v")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("ck"),
-        explode(col("ck")).as("bucket"))
-    val qKeyed = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("qk", tableKeys(col("qv")))
-      .select(col("qid"), col("qv"), col("qn"), col("qk"),
-        explode(col("qk")).as("bucket"))
-    val firstAgreeKey = coalesce((0 until nTables).map { t =>
-      when(element_at(col("ck"), t + 1) === element_at(col("qk"), t + 1),
-        element_at(col("ck"), t + 1))
-    }: _*)
-    val scored = cKeyed.join(broadcast(qKeyed), "bucket")
-      .filter(col("vec_id") =!= col("qid") && col("bucket") === firstAgreeKey)
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.select(col("qid"), col("vec_id"), col("cos"), row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
+    // nTables == 1: cross-table duplicates are IMPOSSIBLE (one bucket row
+    // per vector per side, so the bucket join emits each (qid, vec_id) at
+    // most once) — the candidate `.distinct()` is pure waste and, with no
+    // explode multiplication, the vector can ride its single bucket row
+    // and score IN the task that found the candidate: no distinct
+    // exchange, no corpus join-back. This is the ann_lsh_exact (nBits=0)
+    // shape; r15 same-protocol sf1 subset A/B: 1.93 s → 1.16 s.
+    if (nTables == 1) {
+      val scored = c.withColumn("bucket", element_at(tableKeys(col("v")), 1))
+        .join(broadcast(q.withColumn("bucket",
+          element_at(tableKeys(col("qv")), 1))), "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      scored.select(col("qid"), col("vec_id"), col("cos"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= k)
+    } else {
+      // MULTI-TABLE stays distinct + join-back — the r15 A/B of two
+      // ownership variants (first-agreeing-table key equality, which is
+      // provably exactly-once) measured SLOWER at scale on the same
+      // sf1 subset protocol: scan-local (vector + key array riding the
+      // ×nTables explode) 5.68 → 7.96 s, ownership + join-back (only
+      // the key arrays riding) 5.68 → 8.48 s
+      // (bench_ab/r15_lsh_sf1_{orig,scanlocal,hybrid}.json) — at
+      // candidate volume, the per-occurrence key-array row copies cost
+      // more than the 16-byte-row distinct they replace, and only the
+      // distinct keeps the join-back probe set minimal. Measured
+      // negatives, kept as the record for why this shape survives.
+      val cKeyed = c.select(col("vec_id"), explode(tableKeys(col("v"))).as("bucket"))
+      val qKeyed = q.select(col("qid"), explode(tableKeys(col("qv"))).as("bucket"))
+      val cand = cKeyed.join(broadcast(qKeyed), "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val scored = cand
+        .join(c, "vec_id")
+        .join(broadcast(q), "qid")
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      scored.select(col("qid"), col("vec_id"), col("cos"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= k)
+    }
   }
 
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
